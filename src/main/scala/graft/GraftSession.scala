@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * - shuffle partitions sized to the core count (local mode); on a real
+  *   cluster AQE coalesces post-shuffle partitions anyway.
+  * - AQE on: runtime join-strategy switching + skew-join splitting — the
+  *   scale story for 100 TB joins (SURVEY.md §4).
+  * - events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+  *   default; nanosAsLong reads it as LongType nanos-since-epoch (the
+  *   reference's cell timestamps are epoch longs too, HBaseRDD cell ts).
+  */
+object GraftSession {
+  def builder(master: String, cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All engine queries read these via `spark.read.parquet` — Catalyst gives
+  * predicate pushdown, column pruning and partition coalescing for free,
+  * which at 100 TB means the scan only materializes the (columns × row
+  * groups) a query actually touches. Equivalent of the reference's
+  * server-side scan pushdown (HBaseRDD.scala:39-56).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}
+
+/** Typed row models (Dataset[T] views, reference `Transformation`-style
+  * schema-on-read — Transformation.scala:8-13). */
+object Models {
+  case class Customer(c_custkey: Long, c_name: String, c_nationkey: Int,
+                      c_acctbal: Double, c_mktsegment: String)
+  case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
+  case class Region(r_regionkey: Int, r_name: String)
+  case class Document(doc_id: Long, text: String, lang: String,
+                      source: String, n_chars: Long)
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.3 joins (SURVEY.md).
+  *
+  * The reference hand-built three shuffle-avoiding join strategies against
+  * the storage table (multi-get lookup, range-scan merge, fill/memoized
+  * lookup — HBaseRDDFunctions.scala:72-343). On Spark, strategy choice is
+  * Catalyst's + AQE: small side → broadcast hash join (the multi-get
+  * analogue: no shuffle of the big side), big-big → sort-merge join (the
+  * range-scan analogue). We declare intent (`broadcast`, `hint("merge")`)
+  * only where the stats can't know; everything else is left to AQE, which
+  * re-plans at runtime on real sizes — the correct behavior at 100 TB.
+  */
+object Joins {
+
+  /** J5 `fill` (HBaseRDDFunctions.scala:96-101,278-343): rows whose value
+    * is already present pass through untouched; only the missing ones are
+    * looked up. At scale this halves (or better) the join input on every
+    * iteration of an iterative expansion — the memoization the reference
+    * built by hand, expressed as split + join + union.
+    */
+  def fill(in: DataFrame, key: String, value: String,
+           lookup: DataFrame, lookupKey: String, lookupValue: String): DataFrame = {
+    val present = in.filter(col(value).isNotNull)
+    val missing = in.filter(col(value).isNull).drop(value)
+      .join(lookup.select(col(lookupKey).as(key), col(lookupValue).as(value)),
+        Seq(key), "left_outer")
+    present.unionByName(missing.select(in.columns.map(col).toIndexedSeq: _*))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // J1: join dispatch — declare the equi-join, Catalyst/AQE pick the
+    // physical strategy (the reference's manual multiGetSize flag,
+    // HBaseRDDFunctions.scala:72-84, is an acknowledged TODO; here it's
+    // cost-based and adaptive).
+    "j1_join" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_linenumber", $"o_custkey", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // J2: multi-get lookup join (HBaseRDDFunctions.scala:121-198): a small
+    // key set probes the big table. Broadcast hash join = the big side is
+    // never shuffled, exactly the reference's preservesPartitioning goal.
+    "j2_lookup_join" -> ((s, d) => {
+      import s.implicits._
+      val keys = Tables.customer(s, d)
+        .filter($"c_acctbal" > 9000.0).select($"c_custkey")
+      Tables.orders(s, d)
+        .join(broadcast(keys), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // J3: range-scan merge join (HBaseRDDFunctions.scala:200-268) — two
+    // key-ordered streams walked in lock-step ≙ Spark's sort-merge join.
+    "j3_merge_join" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 4).as("sum_qty"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // J4: right-outer lookup join (HBaseRDDFunctions.scala:86-94): misses
+    // on the table side surface as nulls instead of being dropped.
+    "j4_right_outer" -> ((s, d) => {
+      import s.implicits._
+      val liKeys = Tables.lineitem(s, d).select($"l_orderkey").distinct()
+      liKeys.join(Tables.orders(s, d),
+          $"l_orderkey" === $"o_orderkey", "right_outer")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+             count($"l_orderkey").as("n_with_items"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // J5: fill / memoized lookup: only null-valued rows hit the lookup
+    // table (HBaseRDDFunctions.scala:309-313).
+    "j5_fill" -> ((s, d) => {
+      import s.implicits._
+      val in = Tables.customer(s, d).select(
+        $"c_custkey", $"c_nationkey",
+        when($"c_nationkey" < 10, lit("cached")).as("filled"))
+      fill(in.withColumnRenamed("c_nationkey", "n_nationkey"),
+          "n_nationkey", "filled", Tables.nation(s, d), "n_nationkey", "n_name")
+        .select($"c_custkey", $"filled")
+        .orderBy($"c_custkey")
+    }),
+
+    // J6: constrain-by (AGraph.scala:51 `limit`) = left-semi join.
+    "j6_semi_join" -> ((s, d) => {
+      import s.implicits._
+      val bigItems = Tables.lineitem(s, d).filter($"l_quantity" >= 49.0)
+      Tables.orders(s, d)
+        .join(bigItems, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+    }),
+
+    // J7: expand-style left-outer join (AGraph.scala:235).
+    "j7_left_outer" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    }),
+
+    // J8: anti-join idiom (README.md:152 unknown-words) = left-anti.
+    "j8_anti_join" -> ((s, d) => {
+      import s.implicits._
+      val bulkLines = Tables.lineitem(s, d).filter($"l_quantity" >= 40.0)
+      Tables.part(s, d)
+        .join(bulkLines, $"p_partkey" === $"l_partkey", "left_anti")
+        .select($"p_partkey", $"p_name")
+        .orderBy($"p_partkey")
+    }),
+
+    // J9: profile overlay join (AGraph.scala:247-249).
+    "j9_profile_join" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"n_name")
+        .orderBy($"c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_join" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j2_lookup_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000.0 ORDER BY o_orderkey""".stripMargin,
+    "j3_merge_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "j4_right_outer" ->
+      """WITH lik AS (SELECT DISTINCT l_orderkey FROM lineitem)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(count(l_orderkey) AS BIGINT) AS n_with_items
+        |FROM orders LEFT JOIN lik ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "j5_fill" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_nationkey < 10 THEN 'cached' ELSE n_name END AS filled
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j7_left_outer" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j8_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 40.0)
+        |ORDER BY p_partkey""".stripMargin,
+    "j9_profile_join" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

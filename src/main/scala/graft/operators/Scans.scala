@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+
+/** §2.1 scans / sources / sinks (SURVEY.md).
+  *
+  * The reference's scan machinery (region-parallel HBaseRDD with
+  * server-side filter stacks, HBaseRDD.scala:30-89) maps to declarative
+  * DataFrame reads: Catalyst pushes predicates + projections into the
+  * parquet reader (`PushedFilters`/`ReadSchema`), and file splits give the
+  * region-parallelism. At 100 TB the scan cost is bounded by (pruned
+  * columns × matching row groups), not table size.
+  */
+object Scans {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1: scan with pushed-down predicate + projection
+    // (HBaseRDD.scala:39-56 — filters evaluate inside the storage layer).
+    "s1_scan_pushdown" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .filter($"l_extendedprice" > 5000.0)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // S2: raw full-table source (HBaseRDD.scala:100-104).
+    "s2_raw_source" -> ((s, d) => {
+      import s.implicits._
+      Tables.region(s, d).orderBy($"r_regionkey")
+    }),
+
+    // S3: typed table view — Dataset[T] with case-class encoder
+    // (HBaseTable.scala:55-65 `rdd(valueMapper)`).
+    "s3_typed_view" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d).as[graft.Models.Customer]
+        .filter(_.c_acctbal > 0)
+        .map(c => (c.c_custkey, c.c_name.toUpperCase))
+        .toDF("c_custkey", "name_upper")
+        .orderBy($"c_custkey")
+    }),
+
+    // S4: keyspace-restricted source (HBaseRDDKS.scala:29-45); keyspace ≙
+    // a computed partition of the key domain, pruned at scan time.
+    "s4_keyspace_source" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .filter($"user_id" % 4 === 2)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"event_type")
+    }),
+
+    // S5: snapshot sink/source round-trip (RDDUtils.scala:51-75 saved Kryo
+    // blocks; here columnar parquet — splittable + predicate-pushable,
+    // which Kryo SequenceFiles are not).
+    "s5_snapshot_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val path = "/root/repo/target/graft_snapshots/s5"
+      Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy($"doc_id")
+    }),
+
+    // S6: export sink — render rows as CSV lines (HttpRDD.scala:14-54).
+    "s6_export_lines" -> ((s, d) => {
+      import s.implicits._
+      Tables.region(s, d)
+        .select(concat_ws(",", $"r_regionkey", $"r_name").as("line"))
+        .orderBy($"line")
+    }),
+
+    // S7: stream source → aggregation (KafkaProxy.scala:12-33 socket
+    // DStream, rebuilt as Structured Streaming over the events table;
+    // Trigger.AvailableNow = bounded replay of the backlog).
+    "s7_stream_agg" -> ((s, d) => {
+      import s.implicits._
+      // File-stream source needs a directory: stage the events table into
+      // one (models the landing dir a stream ingests at scale).
+      val stageDir = "/root/repo/target/graft_stream/events"
+      Tables.events(s, d).write.mode("overwrite").parquet(stageDir)
+      val schema = Tables.events(s, d).schema
+      val src = s.readStream.schema(schema).parquet(stageDir)
+      val agg = src.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      val sink = "s7_stream_agg_sink"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy($"event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |WHERE l_extendedprice > 5000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s2_raw_source" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "s3_typed_view" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper FROM customer
+        |WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+    "s4_keyspace_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events WHERE user_id % 4 = 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s5_snapshot_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "s6_export_lines" ->
+      """SELECT r_regionkey || ',' || r_name AS line FROM region
+        |ORDER BY line""".stripMargin,
+    "s7_stream_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tooling only —
+not part of the shipped library). Compares Verify's parquet dumps against
+the oracle SQL run in DuckDB over the same testdata.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # dtype-insensitive: ints -> int64, floats -> float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif isinstance(df[c].dtype, object.__class__) or df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.reset_index(drop=True)
+
+def main(sf_dir: str, out_dir: str) -> None:
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noorc = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no output parquet"); n_fail += 1; continue
+        got = pd.read_parquet(qdir)
+        if name not in oracles:
+            print(f"noorc {name}: rows={len(got)}"); n_noorc += 1; continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: cols {list(g.columns)} != {list(e.columns)}")
+            n_fail += 1; continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+        # row order must match too (queries are deterministically ordered)
+        diff_cols = []
+        for c in g.columns:
+            if pd.api.types.is_float_dtype(g[c]):
+                ok = ((g[c] - e[c]).abs() <= 1e-9 * e[c].abs().clip(lower=1)).all() \
+                     or g[c].equals(e[c])
+                exact = g[c].equals(e[c])
+                if not exact:
+                    diff_cols.append((c, "float-inexact" if ok else "float-DIFF"))
+            elif not g[c].equals(e[c]):
+                diff_cols.append((c, "DIFF"))
+        hard = [c for c, k in diff_cols if "DIFF" in k]
+        if hard:
+            print(f"FAIL {name}: {diff_cols}")
+            for c in hard[:2]:
+                m = g[c] != e[c]
+                print(f"  {c}: got {g[c][m].head(3).tolist()} exp {e[c][m].head(3).tolist()}")
+            n_fail += 1
+        elif diff_cols:
+            print(f"WARN {name}: float not bit-exact {diff_cols}")
+            n_pass += 1
+        else:
+            print(f"pass {name}: rows={len(g)}"); n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noorc} no-oracle ==")
+    if n_fail: sys.exit(1)
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
