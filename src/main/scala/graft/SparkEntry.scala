@@ -37,7 +37,8 @@ object SparkEntry {
     operators.Joins.queries ++
     operators.Aggs.queries ++
     operators.Windows.queries ++
-    operators.SetOps.queries
+    operators.SetOps.queries ++
+    graph.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
     operators.Joins.oracles ++
     operators.Aggs.oracles ++
     operators.Windows.oracles ++
-    operators.SetOps.oracles
+    operators.SetOps.oracles ++
+    graph.GraphQueries.oracles
 }

@@ -1,0 +1,164 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Property-graph dataflow operators (SURVEY.md §2.9, AGraph.scala:30-326
+  * in the reference).
+  *
+  * Representation: a NETWORK is `(src: Long, edges: array<struct<dst,
+  * version, pb, vendor, ts>>)` — the reference's `LAYER[Seq[(Key,EP)]]`
+  * (AGraph.scala:30-47) — and PAIRS is the exploded `(src, dst, props…)`
+  * form. Ops are declarative DataFrame transforms: one hash-shuffle per
+  * groupBy, map-side partial aggregation, AQE skew handling. Heavy-hitter
+  * handling (`cutoff`) and `f1` are fully distributed — the reference's
+  * driver-side collects (AGraph.scala:108,305-310) are replaced by joins.
+  *
+  * Edge properties mirror EP (EP.scala:12-79): `version` byte, `pb` the
+  * probability quantized to /255, `vendor` code, cell timestamp `ts`.
+  */
+object GraphOps {
+
+  /** EP edge payload (EP.scala:12-30); pb = round(probability*255). */
+  case class Edge(src: Long, dst: Long, version: Long, pb: Long,
+                  vendor: Long, ts: Long)
+
+  /** `Props.combine` for EP (EP.scala:14,51-79): byte-wise max of the
+    * packed (version, probability, vendor) payload, timestamp = max.
+    * Expressed as a typed `Aggregator` — the Spark form of the
+    * reference's user-defined edge-property merge (AGraph.scala:13-15).
+    */
+  object CombineEdge extends Aggregator[Edge, Edge, Edge] {
+    private def payload(e: Edge): (Long, Long, Long) = (e.version, e.pb, e.vendor)
+    override def zero: Edge = Edge(0L, 0L, -1L, -1L, -1L, Long.MinValue)
+    override def reduce(b: Edge, a: Edge): Edge = merge(b, a)
+    override def merge(x: Edge, y: Edge): Edge = {
+      if (x.version < 0) y
+      else if (y.version < 0) x
+      else {
+        val keep = if (Ordering[(Long, Long, Long)].gteq(payload(x), payload(y))) x else y
+        keep.copy(ts = math.max(x.ts, y.ts))
+      }
+    }
+    override def finish(r: Edge): Edge = r
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[Edge]
+    override def outputEncoder = org.apache.spark.sql.Encoders.product[Edge]
+  }
+
+  /** Keyspace of a vertex id (Key.scala:6-23 2-byte keyspace symbol; here
+    * a modular partition of the long id domain). */
+  def space(v: Column, k: Int = 3): Column = pmod(v, lit(k))
+
+  /** G1 `reverse` (AGraph.scala:80-82): undirected pairs → both
+    * directions. */
+  def reverse(pairs: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    val cols = pairs.columns.filterNot(c => c == src || c == dst).map(col)
+    pairs.select(col(src) +: col(dst) +: cols.toIndexedSeq: _*)
+      .unionByName(pairs.select(
+        col(dst).as(src) +: col(src).as(dst) +: cols.toIndexedSeq: _*))
+  }
+
+  /** A8 `deduplicate` (AGraph.scala:126-211): merge duplicate (src,dst)
+    * edges via EP combine. Declarative form — `max_by` on the packed
+    * payload + `max(ts)`, all codegen'd; the typed CombineEdge Aggregator
+    * is the extension point for user-defined Props (used in a8 query). */
+  def deduplicate(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("src"), col("dst"))
+      .agg(
+        max_by(struct(col("version"), col("pb"), col("vendor")),
+               struct(col("version"), col("pb"), col("vendor"))).as("p"),
+        max(col("ts")).as("ts"))
+      .select(col("src"), col("dst"), col("p.version").as("version"),
+        col("p.pb").as("pb"), col("p.vendor").as("vendor"), col("ts"))
+
+  /** G2 `fromPairs`/`group` (AGraph.scala:75,118): pairs → adjacency
+    * network with per-row dst-sorted edge lists. */
+  def fromPairs(pairs: DataFrame): DataFrame =
+    deduplicate(pairs)
+      .groupBy(col("src"))
+      .agg(array_sort(collect_list(struct(col("dst"), col("version"),
+        col("pb"), col("vendor"), col("ts")))).as("edges"))
+
+  /** W3 `flatten` (AGraph.scala:56): network → pool of
+    * (key, highest(key ∪ neighbor keys)). */
+  def flatten(net: DataFrame): DataFrame =
+    net.select(col("src"),
+      greatest(col("src"), array_max(col("edges.dst"))).as("rep"))
+
+  /** G3 one BSP superstep (AGraph.scala:88-93): every vertex takes the
+    * max label among itself and its neighbors. `labels` = (vertex, label),
+    * `pairs` must contain both directions. */
+  def bspStep(labels: DataFrame, pairs: DataFrame): DataFrame = {
+    val viaNeighbors = pairs
+      .join(labels.withColumnRenamed("vertex", "dst"), Seq("dst"))
+      .select(col("src").as("vertex"), col("label"))
+    labels.unionByName(viaNeighbors)
+      .groupBy(col("vertex")).agg(max(col("label")).as("label"))
+  }
+
+  /** G4 iterative BSP (HGraphTable.scala:143-228 semantics): n supersteps
+    * with lineage cut each round — at scale this is checkpoint cadence;
+    * localCheckpoint keeps the loop's plan from growing exponentially. */
+  def bspIterate(labels0: DataFrame, pairs: DataFrame, steps: Int): DataFrame = {
+    var labels = labels0
+    for (_ <- 1 to steps) {
+      labels = bspStep(labels, pairs).localCheckpoint(eager = true)
+    }
+    labels
+  }
+
+  /** G5 `expand` (AGraph.scala:234-245): pool (key, rep) pushes reps to
+    * neighbors, then max-reduce — one transitive-closure step. Left-outer:
+    * keys without edges keep their rep. */
+  def expand(pool: DataFrame, pairs: DataFrame): DataFrame = {
+    val pushed = pairs
+      .join(pool.withColumnRenamed("key", "src"), Seq("src"))
+      .select(col("dst").as("key"), col("rep"))
+    pool.unionByName(pushed)
+      .groupBy(col("key")).agg(max(col("rep")).as("rep"))
+  }
+
+  /** A13 `cutoff` (AGraph.scala:98-113), distributed: degree histogram →
+    * cumulative vertex-mass fraction → smallest degree covering 1-ε →
+    * drop pairs touching vertices above it. No driver-side collect: the
+    * heavy-vertex set stays a DataFrame and is broadcast-anti-joined. */
+  def cutoff(pairs: DataFrame, epsilon: Double = 0.05): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val degree = pairs.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
+    val hist = degree.groupBy(col("degree")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("degree"))
+    val total = hist.agg(sum(col("nv"))).first().getLong(0)
+    val threshold = hist
+      .withColumn("cum", sum(col("nv")).over(w))
+      .filter(col("cum") >= lit(total * (1.0 - epsilon)))
+      .agg(min(col("degree"))).first().getLong(0)
+    val heavy = degree.filter(col("degree") > threshold)
+    val kept = pairs
+      .join(broadcast(heavy.select(col("vertex").as("src"))), Seq("src"), "left_anti")
+      .join(broadcast(heavy.select(col("vertex").as("dst"))), Seq("dst"), "left_anti")
+    (kept, heavy)
+  }
+
+  /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two
+    * edge sets restricted to keys present in both networks, then one
+    * global reduce → precision/recall/F1. */
+  def f1(model: DataFrame, validation: DataFrame): DataFrame = {
+    val commonKeys = model.select(col("src")).distinct()
+      .join(validation.select(col("src")).distinct(), Seq("src"), "left_semi")
+    val m = model.join(broadcast(commonKeys), Seq("src"), "left_semi")
+      .select(col("src"), col("dst")).distinct()
+    val v = validation.join(broadcast(commonKeys), Seq("src"), "left_semi")
+      .select(col("src"), col("dst")).distinct()
+    val tp = m.join(v, Seq("src", "dst"), "left_semi").count().toDouble
+    val fp = m.count().toDouble - tp
+    val fn = v.count().toDouble - tp
+    val precision = if (tp + fp > 0) tp / (tp + fp) else 0.0
+    val recall = if (tp + fn > 0) tp / (tp + fn) else 0.0
+    val f = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
+    val s = model.sparkSession
+    import s.implicits._
+    Seq((math.rint(precision * 1e6) / 1e6, math.rint(recall * 1e6) / 1e6,
+      math.rint(f * 1e6) / 1e6)).toDF("precision", "recall", "f1")
+  }
+}

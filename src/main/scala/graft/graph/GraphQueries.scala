@@ -1,0 +1,436 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import GraphOps._
+
+/** Graph-shaped operator queries (SURVEY.md §2.4 A2-A13, §2.9 G1-G9,
+  * §2.5 W2/W3, §2.6 SO1/SO5), oracle-checkable because the graph derives
+  * deterministically from `lineitem`: order vertex = 2·l_orderkey, part
+  * vertex = 2·l_partkey+1; EP props (version, pb=round(prob·255), vendor,
+  * ts) from (1, l_discount, l_suppkey, epoch(l_shipdate)); a second
+  * "vendor feed" re-scores the same edges from l_tax a day later, so
+  * every (src,dst) has duplicates for the EP-combine merge to resolve.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Edge feed: lineitem → scored edges (HGraphTable.scala:29-58 layout). */
+  private def feed(s: SparkSession, d: String, probCol: String, tsShift: Long): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+      ($"l_orderkey" * 2).as("src"),
+      ($"l_partkey" * 2 + 1).as("dst"),
+      lit(1L).as("version"),
+      round(col(probCol) * 255).cast("long").as("pb"),
+      $"l_suppkey".as("vendor"),
+      (unix_timestamp($"l_shipdate") + tsShift).as("ts"))
+  }
+  def feedA(s: SparkSession, d: String): DataFrame = feed(s, d, "l_discount", 0L)
+  def feedB(s: SparkSession, d: String): DataFrame = feed(s, d, "l_tax", 86400L)
+  def dedupA(s: SparkSession, d: String): DataFrame = deduplicate(feedA(s, d))
+  def pairs2(s: SparkSession, d: String): DataFrame =
+    GraphOps.reverse(dedupA(s, d).select(col("src"), col("dst")))
+
+  /** Shared oracle prologue mirroring the Spark-side fixtures. */
+  private val CTE =
+    """WITH feedA AS (
+      |  SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst,
+      |         CAST(1 AS BIGINT) AS version,
+      |         CAST(round(l_discount*255) AS BIGINT) AS pb,
+      |         l_suppkey AS vendor,
+      |         CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ts
+      |  FROM lineitem),
+      |feedB AS (
+      |  SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst,
+      |         CAST(1 AS BIGINT) AS version,
+      |         CAST(round(l_tax*255) AS BIGINT) AS pb,
+      |         l_suppkey AS vendor,
+      |         CAST(floor(epoch(l_shipdate)) + 86400 AS BIGINT) AS ts
+      |  FROM lineitem),
+      |dedup AS (
+      |  SELECT src, dst, version, pb, vendor, wts AS ts FROM (
+      |    SELECT src, dst, version, pb, vendor,
+      |           max(ts) OVER (PARTITION BY src, dst) AS wts,
+      |           row_number() OVER (PARTITION BY src, dst
+      |             ORDER BY version DESC, pb DESC, vendor DESC, ts DESC) AS rn
+      |    FROM feedA) WHERE rn = 1),
+      |pairs2 AS (SELECT src, dst FROM dedup
+      |           UNION ALL SELECT dst AS src, src AS dst FROM dedup),
+      |deg AS (SELECT src AS vertex, count(*) AS degree FROM pairs2 GROUP BY src)
+      |""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // A2: out-degree histogram (AGraph.scala:66, HGraphTable.scala:86-88).
+    "a2_edge_hist" -> ((s, d) => {
+      import s.implicits._
+      fromPairs(feedA(s, d))
+        .groupBy(size($"edges").cast("long").as("degree"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"degree")
+    }),
+
+    // A3 `frequency` (AGraph.scala:68-70): per-vertex incidence count.
+    "a3_frequency" -> ((s, d) => {
+      import s.implicits._
+      pairs2(s, d).groupBy($"src".as("vertex"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"vertex")
+    }),
+
+    // A4 `counts` (AGraph.scala:216-221): (vertices, Σ 1/(1+degree)).
+    "a4_counts" -> ((s, d) => {
+      import s.implicits._
+      fromPairs(feedA(s, d))
+        .agg(count(lit(1)).as("vertices"),
+          round(sum(lit(1.0) / (lit(1.0) + size($"edges"))), 6).as("est_groups"))
+    }),
+
+    // A5 `count` on a pool (AGraph.scala:223-228): members vs self-reps.
+    "a5_count_pool" -> ((s, d) => {
+      import s.implicits._
+      GraphOps.flatten(fromPairs(feedA(s, d)))
+        .agg(count(lit(1)).as("members"),
+          sum(when($"rep" === $"src", 1L).otherwise(0L)).as("representatives"))
+    }),
+
+    // A6 grouped reduce (AGraph.scala:244): max representative per key.
+    "a6_grouped_reduce" -> ((s, d) => {
+      import s.implicits._
+      dedupA(s, d).groupBy($"dst".as("key"))
+        .agg(max($"src").as("rep"))
+        .orderBy($"key")
+    }),
+
+    // A8 deduplicate-with-combine (AGraph.scala:126-211) through the
+    // typed CombineEdge Aggregator (Props.combine, EP.scala:14).
+    "a8_dedup_merge" -> ((s, d) => {
+      import s.implicits._
+      val both = feedA(s, d).unionByName(feedB(s, d)).as[Edge]
+      both.groupByKey(e => (e.src, e.dst))
+        .agg(CombineEdge.toColumn.name("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"),
+          $"e.version".as("version"), $"e.pb".as("pb"),
+          $"e.vendor".as("vendor"), $"e.ts".as("ts"))
+        .orderBy($"src", $"dst")
+    }),
+
+    // A10 `f1` (AGraph.scala:307-326), fully distributed; the model net
+    // perturbs some destinations so FP/FN are both non-trivial.
+    "a10_f1" -> ((s, d) => {
+      import s.implicits._
+      val model = dedupA(s, d).filter($"pb" > 0)
+        .withColumn("dst",
+          when($"vendor" % 5 === 0, $"dst" + 2).otherwise($"dst"))
+      f1(model, dedupA(s, d))
+    }),
+
+    // A13 `cutoff` (AGraph.scala:98-113): drop pairs touching vertices
+    // above the 95%-mass degree threshold — distributed anti-joins, no
+    // driver-side Set.
+    "a13_cutoff" -> ((s, d) => {
+      import s.implicits._
+      val (kept, heavy) = cutoff(pairs2(s, d), 0.05)
+      val nKept = kept.count()
+      val nHeavy = heavy.count()
+      Seq((nKept, nHeavy)).toDF("n_kept_pairs", "n_heavy_vertices")
+    }),
+
+    // G1 `reverse` (AGraph.scala:80-82).
+    "g1_reverse" -> ((s, d) => {
+      import s.implicits._
+      pairs2(s, d).orderBy($"src", $"dst")
+    }),
+
+    // G2 `fromPairs` (AGraph.scala:75,118): grouped adjacency network.
+    "g2_from_pairs" -> ((s, d) => {
+      import s.implicits._
+      fromPairs(feedA(s, d))
+        .select($"src", size($"edges").cast("long").as("degree"),
+          array_min($"edges.dst").as("min_dst"),
+          array_max($"edges.dst").as("max_dst"))
+        .orderBy($"src")
+    }),
+
+    // G3 one BSP superstep (AGraph.scala:88-93).
+    "g3_bsp_step" -> ((s, d) => {
+      import s.implicits._
+      val p2 = pairs2(s, d)
+      val labels0 = p2.select($"src".as("vertex")).distinct()
+        .withColumn("label", $"vertex")
+      bspStep(labels0, p2).orderBy($"vertex")
+    }),
+
+    // G4 iterative BSP, 3 supersteps with lineage cut
+    // (HGraphTable.scala:143-228 incremental propagation semantics).
+    "g4_bsp_iter3" -> ((s, d) => {
+      import s.implicits._
+      val p2 = pairs2(s, d)
+      val labels0 = p2.select($"src".as("vertex")).distinct()
+        .withColumn("label", $"vertex")
+      bspIterate(labels0, p2, 3).orderBy($"vertex")
+    }),
+
+    // G5 `expand` (AGraph.scala:234-245): transitive-closure step from a
+    // seed pool.
+    "g5_expand" -> ((s, d) => {
+      import s.implicits._
+      val seeds = Tables.orders(s, d).filter($"o_totalprice" > 9000.0)
+        .select(($"o_orderkey" * 2).as("key"))
+        .withColumn("rep", $"key")
+      expand(seeds, pairs2(s, d)).orderBy($"key")
+    }),
+
+    // G6 `innerExpand` (AGraph.scala:264-276): expand then restrict to
+    // the seed pool.
+    "g6_inner_expand" -> ((s, d) => {
+      import s.implicits._
+      val seeds = Tables.orders(s, d).filter($"o_totalprice" > 9000.0)
+        .select(($"o_orderkey" * 2).as("key"))
+        .withColumn("rep", $"key")
+      expand(seeds, pairs2(s, d))
+        .join(seeds.select($"key"), Seq("key"), "left_semi")
+        .orderBy($"key")
+    }),
+
+    // G7 `profile` overlay join (AGraph.scala:247-249).
+    "g7_profile" -> ((s, d) => {
+      import s.implicits._
+      val seeds = Tables.orders(s, d).filter($"o_totalprice" > 9000.0)
+        .select(($"o_orderkey" * 2).as("key"))
+        .withColumn("rep", $"key")
+      val expanded = expand(seeds, pairs2(s, d))
+      expanded.join(
+          Tables.orders(s, d).select(($"o_orderkey" * 2).as("key"), $"o_totalprice"),
+          Seq("key"))
+        .select($"key", $"rep", $"o_totalprice")
+        .orderBy($"key")
+    }),
+
+    // G8 `removeNet`/`remove` (HGraphTable.scala:106-135): cascading
+    // delete of the heaviest part vertex from every adjacency list.
+    "g8_remove_vertex" -> ((s, d) => {
+      import s.implicits._
+      val dd = dedupA(s, d)
+      val v = dd.groupBy($"dst").agg(count(lit(1)).as("deg"))
+        .orderBy($"deg".desc, $"dst".desc).limit(1)
+        .first().getLong(0)
+      dd.filter($"src" =!= v)
+        .groupBy($"src")
+        .agg(sum(when($"dst" =!= v, 1L).otherwise(0L)).as("n_edges"))
+        .orderBy($"src")
+    }),
+
+    // G9 table-backed views (HGraphTable.scala:86-104): persist the
+    // network in KV layout, read back, MaxConnected in keyspace 1
+    // (HGraphTable.scala:69-83 — last qualifier in keyspace order).
+    "g9_net_view" -> ((s, d) => {
+      import s.implicits._
+      val path = "/root/repo/target/graft_net/g9"
+      fromPairs(feedA(s, d))
+        .repartitionByRange(8, $"src").sortWithinPartitions($"src")
+        .write.mode("overwrite").parquet(path)
+      val net = s.read.parquet(path)
+      net.select($"src",
+          filter($"edges", e => pmod(e("dst"), lit(3)) === 1).as("es"))
+        .filter(size($"es") > 0)
+        .select($"src", size($"es").cast("long").as("n_k1"),
+          array_max($"es.dst").as("max_dst"))
+        .orderBy($"src")
+    }),
+
+    // W2 `MaxConnected` (HGraphTable.scala:69-83): max destination within
+    // a keyspace, in-memory variant (keyspace 2).
+    "w2_max_connected" -> ((s, d) => {
+      import s.implicits._
+      fromPairs(feedA(s, d))
+        .select($"src",
+          filter($"edges", e => pmod(e("dst"), lit(3)) === 2).as("es"))
+        .filter(size($"es") > 0)
+        .select($"src", array_max($"es.dst").as("max_dst"))
+        .orderBy($"src")
+    }),
+
+    // W3 `flatten` (AGraph.scala:56).
+    "w3_flatten" -> ((s, d) => {
+      import s.implicits._
+      GraphOps.flatten(fromPairs(feedA(s, d))).orderBy($"src")
+    }),
+
+    // SO1 edge-set union with combine (AGraph.scala:126-211): two vendor
+    // feeds' adjacency arrays concatenated then merged by max payload.
+    "so1_union_combine" -> ((s, d) => {
+      import s.implicits._
+      val a = fromPairs(feedA(s, d)).withColumnRenamed("edges", "ea")
+      val b = fromPairs(feedB(s, d)).withColumnRenamed("edges", "eb")
+      a.join(b, Seq("src"), "full_outer")
+        .select($"src", explode(concat(
+          coalesce($"ea", array()), coalesce($"eb", array()))).as("e"))
+        .select($"src", $"e.dst".as("dst"), $"e.version".as("version"),
+          $"e.pb".as("pb"), $"e.vendor".as("vendor"), $"e.ts".as("ts"))
+        .transform(deduplicate)
+        .select($"src", $"dst", $"pb")
+        .orderBy($"src", $"dst")
+    }),
+
+    // SO5 `minimize` (AGraph.scala:49): restrict vertices + edge lists to
+    // one keyspace (keyspace 0 of 3).
+    "so5_minimize" -> ((s, d) => {
+      import s.implicits._
+      pairs2(s, d).filter($"src" % 3 === 0)
+        .groupBy($"src")
+        .agg(sum(when($"dst" % 3 === 0, 1L).otherwise(0L)).as("n_edges"))
+        .orderBy($"src")
+    })
+  )
+
+  private def bspStepSql(in: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vertex, max(label) AS label FROM (
+       |    SELECT vertex, label FROM $in
+       |    UNION ALL
+       |    SELECT p.src AS vertex, l.label FROM pairs2 p
+       |    JOIN $in l ON p.dst = l.vertex)
+       |  GROUP BY vertex)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "a2_edge_hist" -> (CTE +
+      """, d2 AS (SELECT src, count(*) AS degree FROM dedup GROUP BY src)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n FROM d2
+        |GROUP BY degree ORDER BY degree""".stripMargin),
+    "a3_frequency" -> (CTE +
+      """SELECT src AS vertex, CAST(count(*) AS BIGINT) AS freq FROM pairs2
+        |GROUP BY src ORDER BY vertex""".stripMargin),
+    "a4_counts" -> (CTE +
+      """, d2 AS (SELECT src, count(*) AS degree FROM dedup GROUP BY src)
+        |SELECT CAST(count(*) AS BIGINT) AS vertices,
+        |       round(sum(1.0/(1.0+degree)), 6) AS est_groups FROM d2""".stripMargin),
+    "a5_count_pool" -> (CTE +
+      """, pool AS (SELECT src, greatest(src, max(dst)) AS rep
+        |            FROM dedup GROUP BY src)
+        |SELECT CAST(count(*) AS BIGINT) AS members,
+        |       CAST(sum(CASE WHEN rep = src THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS representatives
+        |FROM pool""".stripMargin),
+    "a6_grouped_reduce" -> (CTE +
+      """SELECT dst AS key, max(src) AS rep FROM dedup
+        |GROUP BY dst ORDER BY key""".stripMargin),
+    "a8_dedup_merge" -> (CTE +
+      """, bothf AS (SELECT * FROM feedA UNION ALL SELECT * FROM feedB)
+        |SELECT src, dst, version, pb, vendor, wts AS ts FROM (
+        |  SELECT src, dst, version, pb, vendor,
+        |         max(ts) OVER (PARTITION BY src, dst) AS wts,
+        |         row_number() OVER (PARTITION BY src, dst
+        |           ORDER BY version DESC, pb DESC, vendor DESC, ts DESC) AS rn
+        |  FROM bothf) WHERE rn = 1
+        |ORDER BY src, dst""".stripMargin),
+    "a10_f1" -> (CTE +
+      """, model AS (
+        |  SELECT DISTINCT src,
+        |         CASE WHEN vendor % 5 = 0 THEN dst + 2 ELSE dst END AS dst
+        |  FROM dedup WHERE pb > 0),
+        |valid AS (SELECT DISTINCT src, dst FROM dedup),
+        |common AS (SELECT DISTINCT m.src FROM (SELECT DISTINCT src FROM model) m
+        |           JOIN (SELECT DISTINCT src FROM valid) v USING (src)),
+        |mc AS (SELECT * FROM model WHERE src IN (SELECT src FROM common)),
+        |vc AS (SELECT * FROM valid WHERE src IN (SELECT src FROM common)),
+        |stats AS (SELECT
+        |  (SELECT count(*) FROM mc JOIN vc USING (src, dst)) AS tp,
+        |  (SELECT count(*) FROM mc) AS nm,
+        |  (SELECT count(*) FROM vc) AS nv)
+        |SELECT round(tp * 1.0 / nm, 6) AS precision,
+        |       round(tp * 1.0 / nv, 6) AS recall,
+        |       round(2.0 * (tp*1.0/nm) * (tp*1.0/nv)
+        |             / ((tp*1.0/nm) + (tp*1.0/nv)), 6) AS f1
+        |FROM stats""".stripMargin),
+    "a13_cutoff" -> (CTE +
+      """, hist AS (SELECT degree, count(*) AS nv FROM deg GROUP BY degree),
+        |tot AS (SELECT sum(nv) AS total FROM hist),
+        |cum AS (SELECT degree, sum(nv) OVER (ORDER BY degree) AS c FROM hist),
+        |thr AS (SELECT min(degree) AS t FROM cum, tot
+        |        WHERE c >= total * 0.95),
+        |heavy AS (SELECT vertex FROM deg, thr WHERE degree > t),
+        |kept AS (SELECT * FROM pairs2
+        |         WHERE src NOT IN (SELECT vertex FROM heavy)
+        |           AND dst NOT IN (SELECT vertex FROM heavy))
+        |SELECT CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_kept_pairs,
+        |       CAST((SELECT count(*) FROM heavy) AS BIGINT) AS n_heavy_vertices""".stripMargin),
+    "g1_reverse" -> (CTE +
+      "SELECT src, dst FROM pairs2 ORDER BY src, dst"),
+    "g2_from_pairs" -> (CTE +
+      """SELECT src, CAST(count(*) AS BIGINT) AS degree,
+        |       min(dst) AS min_dst, max(dst) AS max_dst
+        |FROM dedup GROUP BY src ORDER BY src""".stripMargin),
+    "g3_bsp_step" -> (CTE +
+      """, l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM pairs2),
+        |""".stripMargin + bspStepSql("l0", "l1") +
+      "\nSELECT vertex, label FROM l1 ORDER BY vertex"),
+    "g4_bsp_iter3" -> (CTE +
+      """, l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM pairs2),
+        |""".stripMargin +
+      bspStepSql("l0", "l1") + ",\n" + bspStepSql("l1", "l2") + ",\n" +
+      bspStepSql("l2", "l3") +
+      "\nSELECT vertex, label FROM l3 ORDER BY vertex"),
+    "g5_expand" -> (CTE +
+      """, seeds AS (SELECT o_orderkey*2 AS key, o_orderkey*2 AS rep
+        |             FROM orders WHERE o_totalprice > 9000.0)
+        |SELECT key, max(rep) AS rep FROM (
+        |  SELECT key, rep FROM seeds
+        |  UNION ALL
+        |  SELECT p.dst AS key, s.rep FROM pairs2 p JOIN seeds s ON p.src = s.key)
+        |GROUP BY key ORDER BY key""".stripMargin),
+    "g6_inner_expand" -> (CTE +
+      """, seeds AS (SELECT o_orderkey*2 AS key, o_orderkey*2 AS rep
+        |             FROM orders WHERE o_totalprice > 9000.0),
+        |ex AS (SELECT key, max(rep) AS rep FROM (
+        |  SELECT key, rep FROM seeds
+        |  UNION ALL
+        |  SELECT p.dst AS key, s.rep FROM pairs2 p JOIN seeds s ON p.src = s.key)
+        |GROUP BY key)
+        |SELECT key, rep FROM ex WHERE key IN (SELECT key FROM seeds)
+        |ORDER BY key""".stripMargin),
+    "g7_profile" -> (CTE +
+      """, seeds AS (SELECT o_orderkey*2 AS key, o_orderkey*2 AS rep
+        |             FROM orders WHERE o_totalprice > 9000.0),
+        |ex AS (SELECT key, max(rep) AS rep FROM (
+        |  SELECT key, rep FROM seeds
+        |  UNION ALL
+        |  SELECT p.dst AS key, s.rep FROM pairs2 p JOIN seeds s ON p.src = s.key)
+        |GROUP BY key)
+        |SELECT key, rep, o_totalprice FROM ex
+        |JOIN orders ON key = o_orderkey*2
+        |ORDER BY key""".stripMargin),
+    "g8_remove_vertex" -> (CTE +
+      """, v AS (SELECT dst AS vv FROM dedup GROUP BY dst
+        |         ORDER BY count(*) DESC, dst DESC LIMIT 1)
+        |SELECT src, CAST(sum(CASE WHEN dst <> (SELECT vv FROM v)
+        |                          THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+        |FROM dedup WHERE src <> (SELECT vv FROM v)
+        |GROUP BY src ORDER BY src""".stripMargin),
+    "g9_net_view" -> (CTE +
+      """SELECT src, CAST(count(*) AS BIGINT) AS n_k1, max(dst) AS max_dst
+        |FROM dedup WHERE dst % 3 = 1
+        |GROUP BY src ORDER BY src""".stripMargin),
+    "w2_max_connected" -> (CTE +
+      """SELECT src, max(dst) AS max_dst
+        |FROM dedup WHERE dst % 3 = 2
+        |GROUP BY src ORDER BY src""".stripMargin),
+    "w3_flatten" -> (CTE +
+      """SELECT src, greatest(src, max(dst)) AS rep FROM dedup
+        |GROUP BY src ORDER BY src""".stripMargin),
+    "so1_union_combine" -> (CTE +
+      """, bothf AS (SELECT * FROM feedA UNION ALL SELECT * FROM feedB)
+        |SELECT src, dst, pb FROM (
+        |  SELECT src, dst, pb,
+        |         row_number() OVER (PARTITION BY src, dst
+        |           ORDER BY version DESC, pb DESC, vendor DESC, ts DESC) AS rn
+        |  FROM bothf) WHERE rn = 1
+        |ORDER BY src, dst""".stripMargin),
+    "so5_minimize" -> (CTE +
+      """SELECT src, CAST(sum(CASE WHEN dst % 3 = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_edges
+        |FROM pairs2 WHERE src % 3 = 0
+        |GROUP BY src ORDER BY src""".stripMargin)
+  )
+}
