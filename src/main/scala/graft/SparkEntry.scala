@@ -38,7 +38,9 @@ object SparkEntry {
     operators.Aggs.queries ++
     operators.Windows.queries ++
     operators.SetOps.queries ++
-    graph.GraphQueries.queries
+    graph.GraphQueries.queries ++
+    write.WriteQueries.queries ++
+    functions.CodecQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +51,7 @@ object SparkEntry {
     operators.Aggs.oracles ++
     operators.Windows.oracles ++
     operators.SetOps.oracles ++
-    graph.GraphQueries.oracles
+    graph.GraphQueries.oracles ++
+    write.WriteQueries.oracles ++
+    functions.CodecQueries.oracles
 }

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the key/EP codecs (SURVEY.md §2.7).
+  *
+  * These are the reference's `Serde`/`KeySpace`/`EP` codec surface
+  * (Serde.scala:6-13, KeySpace.scala:46-181, EP.scala:51-79) as native
+  * expressions: registered in the session's FunctionRegistry so they
+  * compose with the whole relational layer (`expr("graft_key_space(k)")`).
+  * eval-based (CodegenFallback) — they sit in projection position on
+  * key-width data, not in hot aggregation loops; promoting the key
+  * codecs to `doGenCode` is a known optimization if a profile demands.
+  */
+object GraftExpressions {
+
+  case class ParseLongRadix10(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.parseLongRadix10(v.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class UnhexLong(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.bytesToLongBE(ByteCodec.fromHex(v.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class LongBE(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.longToBytesBE(v.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class BELong(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.bytesToLongBE(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class UuidToBytes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.uuidToBytes(v.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class BytesToUuid(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(ByteCodec.bytesToUuid(v.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class Crc16(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.crc16(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class EncodeKey(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(space: Any, value: Any): Any =
+      ByteCodec.encodeKey(space.asInstanceOf[Int].toShort,
+        value.asInstanceOf[Array[Byte]])
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  case class KeySpaceOf(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.keySpaceOf(v.asInstanceOf[Array[Byte]]).toInt
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class KeyValueOf(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.keyValueOf(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class EpPack(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any, p: Any, ven: Any): Any =
+      ByteCodec.packEp(v.asInstanceOf[Int], p.asInstanceOf[Double],
+        ven.asInstanceOf[Int])
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+  }
+
+  case class EpProbability(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.epProbability(v.asInstanceOf[Int])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class EpVendor(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.epVendor(v.asInstanceOf[Int])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class EpVersion(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.epVersion(v.asInstanceOf[Int])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_parse_long" -> (e => ParseLongRadix10(e.head)),
+    "graft_unhex_long" -> (e => UnhexLong(e.head)),
+    "graft_long_be"    -> (e => LongBE(e.head)),
+    "graft_be_long"    -> (e => BELong(e.head)),
+    "graft_uuid_bytes" -> (e => UuidToBytes(e.head)),
+    "graft_bytes_uuid" -> (e => BytesToUuid(e.head)),
+    "graft_crc16"      -> (e => Crc16(e.head)),
+    "graft_encode_key" -> (e => EncodeKey(e(0), e(1))),
+    "graft_key_space"  -> (e => KeySpaceOf(e.head)),
+    "graft_key_value"  -> (e => KeyValueOf(e.head)),
+    "graft_ep_pack"    -> (e => EpPack(e(0), e(1), e(2))),
+    "graft_ep_prob"    -> (e => EpProbability(e.head)),
+    "graft_ep_vendor"  -> (e => EpVendor(e.head)),
+    "graft_ep_version" -> (e => EpVersion(e.head))
+  )
+
+  /** Register all codec functions in the session (idempotent). */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, b, "scala_udf")
+  }
+}

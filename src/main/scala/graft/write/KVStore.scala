@@ -1,0 +1,142 @@
+package graft.write
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cell-level KV table with the reference's storage semantics
+  * (HBaseTable.scala:100-352, HBaseRDD.scala:39-42) re-expressed on
+  * parquet:
+  *
+  *  - a table is an append-only log of CELLS
+  *    `(key, family, qualifier, value, ts, tomb)` — exactly HBase's
+  *    (row, cf, qual, value, timestamp) plus tombstone markers;
+  *  - reads resolve latest-version-wins per (key, family, qualifier)
+  *    with `setMaxVersions(1)` semantics (HBaseRDD.scala:40) and HBase
+  *    delete semantics: a tombstone masks every cell at or below its ts
+  *    (`tomb` = 'row' | 'family' | 'cell', HBaseTable.scala:181-212);
+  *  - `compact()` is the bulk path (HBaseTable.scala:234-352): resolve,
+  *    range-partition + sort by key (repartitionByRange +
+  *    sortWithinPartitions ≙ the HFile shuffle,
+  *    HBaseTable.scala:219-242), rewrite, swap.
+  *
+  * Scale notes: appends are cheap (no read-modify-write at write time —
+  * the reference's BufferedMutator analogue); resolution cost is one
+  * hash aggregation keyed by (key,family,qualifier), so periodic
+  * compaction bounds read amplification exactly like HBase memstore
+  * flush + compaction does. At 100 TB the compacted form is key-sorted
+  * parquet → merge-joinable and range-prunable.
+  */
+class KVTable(val spark: SparkSession, val path: String) {
+  import KVTable._
+
+  private def logDir = s"$path/log"
+
+  def exists: Boolean = new java.io.File(logDir).exists()
+
+  /** Raw cell log (all versions + tombstones). */
+  def cells: DataFrame =
+    if (exists) spark.read.schema(CELL_SCHEMA_DDL).parquet(logDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(CELL_SCHEMA_DDL))
+
+  /** M1/M2 `update`/`put` (HBaseTable.scala:100-155): append new cells;
+    * no read required (upsert-by-log). */
+  def put(newCells: DataFrame): Unit =
+    conform(newCells).write.mode(SaveMode.Append).parquet(logDir)
+
+  /** M4 `delete` (HBaseTable.scala:181-212): row / family / cell
+    * granularity tombstones. Pass qualifier=null+family=null for whole
+    * row, qualifier=null for whole family. */
+  def delete(marks: DataFrame, ts: Long): Unit = {
+    val tomb = marks
+      .withColumn("tomb",
+        when(col("family").isNull, lit("row"))
+          .when(col("qualifier").isNull, lit("family"))
+          .otherwise(lit("cell")))
+      .withColumn("value", lit(null).cast("string"))
+      .withColumn("ts", lit(ts))
+    put(tomb)
+  }
+
+  /** A11/M3 `increment` (HBaseTable.scala:157-179): read-merge-write of
+    * counter deltas; zero deltas skipped like the reference. */
+  def increment(deltas: DataFrame, ts: Long): Unit = {
+    val current = resolved()
+      .select(col("key"), col("family"), col("qualifier"),
+        col("value").cast("long").as("cur"))
+    val merged = deltas.filter(col("delta") =!= 0)
+      .groupBy(col("key"), col("family"), col("qualifier"))
+      .agg(sum(col("delta")).as("delta"))
+      .join(current, Seq("key", "family", "qualifier"), "left_outer")
+      .select(col("key"), col("family"), col("qualifier"),
+        (coalesce(col("cur"), lit(0L)) + col("delta")).cast("string").as("value"),
+        lit(ts).as("ts"), lit(null).cast("string").as("tomb"))
+    put(merged)
+  }
+
+  /** Latest-wins live-cell view (the read path every query sees). */
+  def resolved(): DataFrame = resolve(cells)
+
+  /** M5-M7 bulk path: resolve + key-sorted rewrite + atomic-ish swap.
+    * At scale: one range shuffle, sorted output, old log dropped. */
+  def compact(numRanges: Int = 8): Unit = {
+    val tmp = s"$path/compacting"
+    resolved()
+      .withColumn("tomb", lit(null).cast("string"))
+      .repartitionByRange(numRanges, col("key"))
+      .sortWithinPartitions(col("key"), col("family"), col("qualifier"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new java.io.File(logDir)
+    KVTable.deleteRecursively(fs)
+    new java.io.File(tmp).renameTo(fs)
+  }
+}
+
+object KVTable {
+  val CELL_SCHEMA_DDL =
+    "key BIGINT, family STRING, qualifier STRING, value STRING, ts BIGINT, tomb STRING"
+
+  def apply(spark: SparkSession, path: String, wipe: Boolean = false): KVTable = {
+    if (wipe) deleteRecursively(new java.io.File(path))
+    new KVTable(spark, path)
+  }
+
+  private[write] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
+  private[write] def conform(df: DataFrame): DataFrame =
+    df.select(col("key").cast("long"), col("family").cast("string"),
+      col("qualifier").cast("string"), col("value").cast("string"),
+      col("ts").cast("long"),
+      (if (df.columns.contains("tomb")) col("tomb") else lit(null))
+        .cast("string").as("tomb"))
+
+  /** HBase read semantics: per (key,family,qualifier) the latest
+    * non-tombstone cell wins, unless masked by a row/family/cell
+    * tombstone at or above its ts (maxVersions=1 + delete markers). */
+  def resolve(cells: DataFrame): DataFrame = {
+    val rowDel = cells.filter(col("tomb") === "row")
+      .groupBy(col("key")).agg(max(col("ts")).as("row_del_ts"))
+    val famDel = cells.filter(col("tomb") === "family")
+      .groupBy(col("key"), col("family")).agg(max(col("ts")).as("fam_del_ts"))
+    val cellDel = cells.filter(col("tomb") === "cell")
+      .groupBy(col("key"), col("family"), col("qualifier"))
+      .agg(max(col("ts")).as("cell_del_ts"))
+    val w = Window.partitionBy(col("key"), col("family"), col("qualifier"))
+      .orderBy(col("ts").desc)
+    cells.filter(col("tomb").isNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(rowDel, Seq("key"), "left_outer")
+      .join(famDel, Seq("key", "family"), "left_outer")
+      .join(cellDel, Seq("key", "family", "qualifier"), "left_outer")
+      .filter(col("ts") > coalesce(col("row_del_ts"), lit(Long.MinValue)) &&
+              col("ts") > coalesce(col("fam_del_ts"), lit(Long.MinValue)) &&
+              col("ts") > coalesce(col("cell_del_ts"), lit(Long.MinValue)))
+      .select(col("key"), col("family"), col("qualifier"), col("value"), col("ts"))
+  }
+}

@@ -1,0 +1,332 @@
+package graft.write
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+
+/** §2.8 mutation operators + §2.1 write sinks + §2.10 streaming merge
+  * (SURVEY.md). Every mutation is exercised against the KVTable cell
+  * store and the final table state is oracle-checked relationally.
+  */
+object WriteQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def base(name: String) = s"/root/repo/target/graft_kv/$name"
+
+  /** part → F:size cells at ts. */
+  private def partCells(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.part(s, d).select($"p_partkey".as("key"), lit("F").as("family"),
+      lit("size").as("qualifier"), $"p_size".cast("string").as("value"),
+      lit(1L).as("ts"))
+  }
+
+  private def customerCents(s: SparkSession, d: String, ts: Long) = {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_custkey".as("key"), lit("F").as("family"),
+      lit("bal").as("qualifier"),
+      round($"c_acctbal" * 100).cast("long").cast("string").as("value"),
+      lit(ts).as("ts"))
+  }
+
+  private def ordersCells(s: SparkSession, d: String) = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    o.select($"o_orderkey".as("key"), lit("O").as("family"),
+        lit("status").as("qualifier"), $"o_orderstatus".as("value"),
+        lit(1L).as("ts"))
+      .unionByName(o.select($"o_orderkey".as("key"), lit("O").as("family"),
+        lit("cents").as("qualifier"),
+        round($"o_totalprice" * 100).cast("long").cast("string").as("value"),
+        lit(1L).as("ts")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // M1 `update` (HBaseTable.scala:100-122): typed single-column upsert;
+    // latest ts wins on read.
+    "m1_update" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m1"), wipe = true)
+      t.put(partCells(s, d))
+      t.put(Tables.part(s, d).filter($"p_type" === "ECONOMY")
+        .select($"p_partkey".as("key"), lit("F").as("family"),
+          lit("size").as("qualifier"),
+          ($"p_size" + 100).cast("string").as("value"), lit(2L).as("ts")))
+      t.resolved()
+        .select($"key", $"value".cast("long").as("size"))
+        .orderBy($"key")
+    }),
+
+    // M2 `put` with explicit timestamps (HBaseTable.scala:124-155):
+    // version order is the cell ts, not arrival order — a later write
+    // carrying an older ts loses.
+    "m2_put_versioned" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m2"), wipe = true)
+      t.put(customerCents(s, d, ts = 5L)) // arrives first, ts=5
+      t.put(Tables.customer(s, d).select($"c_custkey".as("key"), // stale write
+        lit("F").as("family"), lit("bal").as("qualifier"),
+        (round($"c_acctbal" * 100).cast("long") + 999L).cast("string").as("value"),
+        lit(3L).as("ts")))
+      t.put(Tables.customer(s, d).filter($"c_mktsegment" === "MACHINERY")
+        .select($"c_custkey".as("key"), lit("F").as("family"),
+          lit("bal").as("qualifier"),
+          (round($"c_acctbal" * 100).cast("long") + 111L).cast("string").as("value"),
+          lit(7L).as("ts")))
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
+    // M3/A11 `increment` (HBaseTable.scala:157-179): two rounds of
+    // counter deltas (zero deltas skipped), final counter per key.
+    "m3_increment" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m3"), wipe = true)
+      val ev = Tables.events(s, d).select($"user_id".as("key"),
+        lit("C").as("family"), lit("n").as("qualifier"),
+        round($"value" * 100).cast("long").as("delta"), $"event_id")
+      t.increment(ev.filter($"event_id" % 2 === 0), ts = 1L)
+      t.increment(ev.filter($"event_id" % 2 === 1), ts = 2L)
+      t.resolved()
+        .select($"key", $"value".cast("long").as("counter"))
+        .orderBy($"key")
+    }),
+
+    // M4 `delete` (HBaseTable.scala:181-212): row / family / cell
+    // tombstone granularity, applied by key%10 — surviving cell counts.
+    "m4_delete" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m4"), wipe = true)
+      val cust = Tables.customer(s, d)
+      t.put(customerCents(s, d, ts = 1L))
+      t.put(cust.select($"c_custkey".as("key"), lit("T").as("family"),
+        lit("seg").as("qualifier"), $"c_mktsegment".as("value"), lit(1L).as("ts")))
+      t.delete(cust.filter($"c_custkey" % 10 === 0).select($"c_custkey".as("key"),
+        lit(null).cast("string").as("family"),
+        lit(null).cast("string").as("qualifier")), ts = 2L)
+      t.delete(cust.filter($"c_custkey" % 10 === 1).select($"c_custkey".as("key"),
+        lit("F").as("family"), lit(null).cast("string").as("qualifier")), ts = 2L)
+      t.delete(cust.filter($"c_custkey" % 10 === 2).select($"c_custkey".as("key"),
+        lit("T").as("family"), lit("seg").as("qualifier")), ts = 2L)
+      t.resolved()
+        .groupBy($"key").agg(count(lit(1)).as("n_cells"))
+        .orderBy($"key")
+    }),
+
+    // M5 `bulkUpdate` (HBaseTable.scala:234-250): update batch then the
+    // bulk path — compact() = range-partition + sort + rewrite (the
+    // HFile shuffle, HBaseTable.scala:219-242).
+    "m5_bulk_update" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m5"), wipe = true)
+      t.put(Tables.part(s, d).select($"p_partkey".as("key"),
+        lit("F").as("family"), lit("cents").as("qualifier"),
+        round($"p_retailprice" * 100).cast("long").cast("string").as("value"),
+        lit(1L).as("ts")))
+      t.put(Tables.part(s, d).filter($"p_size" > 25)
+        .select($"p_partkey".as("key"), lit("F").as("family"),
+          lit("cents").as("qualifier"),
+          (round($"p_retailprice" * 100).cast("long") + 1000L).cast("string").as("value"),
+          lit(2L).as("ts")))
+      t.compact()
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
+    // M6 `bulkLoad` (HBaseTable.scala:252-269): raw family load from
+    // scratch through the sorted bulk path.
+    "m6_bulk_load" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m6"), wipe = true)
+      t.put(ordersCells(s, d))
+      t.compact()
+      t.resolved().groupBy($"key")
+        .agg(max(when($"qualifier" === "status", $"value")).as("status"),
+          max(when($"qualifier" === "cents", $"value")).cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
+    // M7 `bulkDelete` (HBaseTable.scala:271-294): row tombstones through
+    // the bulk path, then compaction physically drops the masked cells.
+    "m7_bulk_delete" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m7"), wipe = true)
+      t.put(ordersCells(s, d))
+      t.delete(Tables.orders(s, d).filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey".as("key"),
+          lit(null).cast("string").as("family"),
+          lit(null).cast("string").as("qualifier")), ts = 2L)
+      t.compact()
+      t.resolved().groupBy($"key")
+        .agg(max(when($"qualifier" === "status", $"value")).as("status"))
+        .orderBy($"key")
+    }),
+
+    // M8 table copy (HBaseAdminUtils.scala:146-176): scan → repartition →
+    // write to destination table, then aggregate the copy.
+    "m8_copy" -> ((s, d) => {
+      import s.implicits._
+      val src = KVTable(s, base("m8_src"), wipe = true)
+      src.put(ordersCells(s, d))
+      val dst = KVTable(s, base("m8_dst"), wipe = true)
+      dst.put(src.cells.repartition(8, $"key"))
+      dst.resolved().filter($"qualifier" === "cents")
+        .join(dst.resolved().filter($"qualifier" === "status")
+          .select($"key", $"value".as("status")), Seq("key"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"), sum($"value".cast("long")).as("sum_cents"))
+        .orderBy($"status")
+    }),
+
+    // M9 DDL (HBaseAdminUtils.scala:105-214): catalog create/insert/read.
+    "m9_ddl" -> ((s, d) => {
+      import s.implicits._
+      KVTable.deleteRecursively(new java.io.File("/root/repo/target/warehouse/graft_m9"))
+      s.sql("DROP TABLE IF EXISTS graft_m9")
+      s.sql("""CREATE TABLE graft_m9
+              |(n_nationkey INT, n_name STRING, n_regionkey INT)
+              |USING parquet""".stripMargin)
+      Tables.nation(s, d).createOrReplaceTempView("graft_m9_src")
+      s.sql("INSERT INTO graft_m9 SELECT * FROM graft_m9_src")
+      s.table("graft_m9").orderBy($"n_nationkey")
+    }),
+
+    // S8 buffered-mutator sink (HBaseTable.scala:100-122): plain upsert
+    // (append path, no bulk sort), latest-wins read.
+    "s8_upsert_sink" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("s8"), wipe = true)
+      t.put(customerCents(s, d, ts = 1L))
+      t.put(Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".as("key"), lit("F").as("family"),
+          lit("bal").as("qualifier"),
+          (round($"c_acctbal" * 100).cast("long") + 10000L).cast("string").as("value"),
+          lit(2L).as("ts")))
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
+    // S9 HFile bulk sink (HBaseTable.scala:234-352): range-partitioned,
+    // in-partition-sorted write — Spark's native sorted bulk write.
+    "s9_bulk_sink" -> ((s, d) => {
+      import s.implicits._
+      val path = "/root/repo/target/graft_bulk/s9"
+      Tables.lineitem(s, d)
+        .repartitionByRange(8, $"l_orderkey")
+        .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // §2.10: stream → foreachBatch merge into a KV table (S7 + M1) —
+    // the reference's socket-to-table pipeline as Structured Streaming.
+    "st1_stream_merge" -> ((s, d) => {
+      import s.implicits._
+      val stage = "/root/repo/target/graft_stream/st1"
+      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val t = KVTable(s, base("st1"), wipe = true)
+      val src = s.readStream.schema(Tables.events(s, d).schema).parquet(stage)
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          t.put(batch.select($"user_id".as("key"), lit("E").as("family"),
+            lit("last").as("qualifier"),
+            round($"value" * 100).cast("long").cast("string").as("value"),
+            $"ts"))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
+    // §2.10: windowed aggregation with watermark (beyond the reference's
+    // surface, built-in Structured Streaming).
+    "st2_stream_window" -> ((s, d) => {
+      import s.implicits._
+      val stage = "/root/repo/target/graft_stream/st2"
+      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val src = s.readStream.schema(Tables.events(s, d).schema).parquet(stage)
+        .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
+      val agg = src.withWatermark("tsc", "1 hour")
+        .groupBy(window($"tsc", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val sink = "st2_stream_window_sink"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(unix_timestamp($"window.start").as("hour_start"),
+          $"event_type", $"n")
+        .orderBy($"hour_start", $"event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m1_update" ->
+      """SELECT p_partkey AS key,
+        |       CAST(CASE WHEN p_type = 'ECONOMY' THEN p_size + 100
+        |                 ELSE p_size END AS BIGINT) AS size
+        |FROM part ORDER BY key""".stripMargin,
+    "m2_put_versioned" ->
+      """SELECT c_custkey AS key,
+        |       CAST(round(c_acctbal*100) AS BIGINT)
+        |         + CASE WHEN c_mktsegment = 'MACHINERY' THEN 111 ELSE 0 END
+        |         AS cents
+        |FROM customer ORDER BY key""".stripMargin,
+    "m3_increment" ->
+      """SELECT user_id AS key,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS counter
+        |FROM events GROUP BY user_id ORDER BY key""".stripMargin,
+    "m4_delete" ->
+      """SELECT c_custkey AS key,
+        |       CAST(CASE WHEN c_custkey % 10 IN (1, 2) THEN 1 ELSE 2 END
+        |            AS BIGINT) AS n_cells
+        |FROM customer WHERE c_custkey % 10 <> 0 ORDER BY key""".stripMargin,
+    "m5_bulk_update" ->
+      """SELECT p_partkey AS key,
+        |       CAST(round(p_retailprice*100) AS BIGINT)
+        |         + CASE WHEN p_size > 25 THEN 1000 ELSE 0 END AS cents
+        |FROM part ORDER BY key""".stripMargin,
+    "m6_bulk_load" ->
+      """SELECT o_orderkey AS key, o_orderstatus AS status,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |FROM orders ORDER BY key""".stripMargin,
+    "m7_bulk_delete" ->
+      """SELECT o_orderkey AS key, o_orderstatus AS status
+        |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY key""".stripMargin,
+    "m8_copy" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "m9_ddl" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "s8_upsert_sink" ->
+      """SELECT c_custkey AS key,
+        |       CAST(round(c_acctbal*100) AS BIGINT)
+        |         + CASE WHEN c_mktsegment = 'BUILDING' THEN 10000 ELSE 0 END
+        |         AS cents
+        |FROM customer ORDER BY key""".stripMargin,
+    "s9_bulk_sink" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "st1_stream_merge" ->
+      """SELECT user_id AS key, CAST(round(value*100) AS BIGINT) AS cents
+        |FROM (SELECT user_id, value,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY epoch_ns(ts) DESC) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY key""".stripMargin,
+    "st2_stream_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+  )
+}
