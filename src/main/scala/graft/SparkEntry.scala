@@ -40,7 +40,8 @@ object SparkEntry {
     operators.SetOps.queries ++
     graph.GraphQueries.queries ++
     write.WriteQueries.queries ++
-    functions.CodecQueries.queries
+    functions.CodecQueries.queries ++
+    llm.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     operators.SetOps.oracles ++
     graph.GraphQueries.oracles ++
     write.WriteQueries.oracles ++
-    functions.CodecQueries.oracles
+    functions.CodecQueries.oracles ++
+    llm.LlmQueries.oracles
 }

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Document deduplication suite (builder-prompt north-star).
+  *
+  * Scale design (100 TB corpus): the only all-pairs computation allowed
+  * is *within candidate buckets*. Exact dedup is one hash-groupBy;
+  * MinHash-LSH and SimHash produce band/chunk buckets so the candidate
+  * join is bucket-local (shuffle keyed by band value — uniform by
+  * construction since the keys are hashes); the exact-Jaccard verify
+  * runs only on candidates. The brute-force n-gram path here doubles as
+  * the verifier and as the small-corpus oracle-checkable baseline.
+  */
+object Dedup {
+
+  /** Exact dedup after normalization: one hash aggregation, keeps the
+    * minimum doc id per normalized-content group. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.withColumn("norm_hash", md5(lower(trim(col(textCol)))))
+      .groupBy(col("norm_hash"))
+      .agg(collect_list(col(idCol)).as("ids"),
+        min(col(idCol)).as("kept_id"), count(lit(1)).as("group_size"))
+      .select(explode(col("ids")).as(idCol), col("kept_id"), col("group_size"))
+
+  /** Distinct (doc, shingle) pairs. */
+  def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(words(col("text")), k)).as("s"))
+
+  /** Exact n-gram Jaccard similar pairs (shingle-join; at scale run it
+    * on LSH candidates only — see `minHashLsh`). */
+  def ngramJaccard(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
+    val sh = docShingles(docs, k).cache()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jacc") >= threshold)
+      .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
+  }
+
+  /** MinHash signatures: numHashes engine-portable hash functions
+    * h_i(s) = sharedHash(s || '#' || i), min per document. */
+  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
+      .withColumn("h", sharedHash(concat(col("s"), lit("#"), col("i"))))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+
+  /** MinHash + LSH banding: candidates share a band bucket; verified by
+    * exact Jaccard ≥ threshold. bands×rowsPerBand = numHashes. */
+  def minHashLsh(docs: DataFrame, threshold: Double,
+                 bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val sh = docShingles(docs, k).cache()
+    val sig = minHashSignatures(sh, bands * rowsPerBand)
+    val banded = sig.withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket",
+        concat_ws(",", slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand))))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+    // verify candidates with exact Jaccard (candidate-local, not all-pairs)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand.join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    common
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jacc") >= threshold)
+      .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
+  }
+
+  /** 60-bit SimHash over the document's distinct words. */
+  def simHashSignatures(docs: DataFrame, bits: Int = 60): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w"))
+      .withColumn("h", sharedHash(col("w")))
+      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
+      .withColumn("sgn",
+        when(expr("(h >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+        .as("sig"))
+
+  /** SimHash near-dup pairs: hamming(sig) ≤ maxDist, candidates via the
+    * pigeonhole chunk trick (maxDist+1 chunks — one must match). */
+  def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1 // 4 chunks of 15 bits over 60
+    val sigs = simHashSignatures(docs)
+    val chunked = sigs.withColumn("c", explode(sequence(lit(0), lit(chunks - 1))))
+      .withColumn("chunk", expr("(sig >> (15 * c)) & 32767"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("bit_count(x.sig ^ y.sig)").cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxDist)
+  }
+}

@@ -1,0 +1,328 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextOps._
+
+/** Training-data-pipeline operator queries (builder-prompt north-star):
+  * dedup ×5, similarity search ×2, text analysis ×4, multimodal ×1 —
+  * every one oracle-checked (the MinHash/SimHash hash functions are
+  * md5-derived specifically so DuckDB reproduces them bit-for-bit).
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SHARED_HASH_SQL = "('0x'||substr(md5(%s),1,15))::BIGINT"
+
+  private val DOC_CTE =
+    """WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+      |            FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM wt, range(1, 200) r(i) WHERE i + 2 <= len(w)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+      |""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: corpus = documents ∪ an uppercased copy (ids+100000);
+    // normalization (lower/trim) + one hash-groupBy finds every pair.
+    "llm_dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val corpus = docs.unionByName(
+        docs.select(($"doc_id" + 100000L).as("doc_id"), upper($"text").as("text")))
+      Dedup.exact(corpus).orderBy($"doc_id")
+    }),
+
+    // Exact word-3-gram Jaccard pairs ≥ 0.8 (shingle join).
+    "llm_dedup_ngram" -> ((s, d) => {
+      import s.implicits._
+      Dedup.ngramJaccard(Tables.documents(s, d), 0.8).orderBy($"da", $"db")
+    }),
+
+    // MinHash(16) + LSH(4 bands × 4 rows) candidates, exact-Jaccard
+    // verified ≥ 0.8 — the 100 TB-shaped path (bucket-local join).
+    "llm_dedup_minhash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minHashLsh(Tables.documents(s, d), 0.8).orderBy($"da", $"db")
+    }),
+
+    // 60-bit SimHash, hamming ≤ 3, pigeonhole-chunk candidates.
+    "llm_dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.simHashPairs(Tables.documents(s, d), 3).orderBy($"da", $"db")
+    }),
+
+    // Embedding-cosine near-dup pairs ≥ 0.5.
+    "llm_dedup_embcos" -> ((s, d) => {
+      import s.implicits._
+      Similarity.cosinePairs(Tables.embeddings(s, d), 0.5).orderBy($"va", $"vb")
+    }),
+
+    // Brute-force cosine top-3 for the query subset (vec_id % 25 = 0).
+    "llm_ann_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" % 25 === 0), 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Sign-LSH (4 hyperplanes) bucket-local top-2 — the ANN scale path.
+    "llm_ann_lsh" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter($"vec_id" % 25 === 0), 4, 2)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Language-ID by stopword scoring (alphabetical-first argmax).
+    "llm_lang_id" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", langId(words($"text")).as("predicted"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: token stats, stopword ratio, alpha ratio, score.
+    "llm_text_quality" -> ((s, d) => {
+      import s.implicits._
+      val w = words($"text")
+      val n = size(w).cast("long")
+      val nuniq = size(array_distinct(w)).cast("long")
+      val stopHits = size(filter(w,
+        x => array_contains(array(EN_STOP.map(lit): _*), x))).cast("long")
+      val letters = length(regexp_replace($"text", "[^a-z]", "")).cast("long")
+      val stopRatio = stopHits * 1.0 / n
+      val uniqRatio = nuniq * 1.0 / n
+      Tables.documents(s, d).select(
+        $"doc_id",
+        n.as("n_tokens"),
+        round(aggregate(transform(w, x => length(x).cast("long")), lit(0L), _ + _)
+          * 1.0 / n, 6).as("avg_token_len"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(letters * 1.0 / length($"text"), 6).as("alpha_ratio"),
+        round(lit(0.4) * least(lit(1.0), n / 50.0)
+          + lit(0.3) * (lit(1.0) - stopRatio)
+          + lit(0.3) * uniqRatio, 6).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Token counting: whitespace, regex word tokens, BPE-ish estimate.
+    "llm_token_count" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        size(words($"text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast("long")
+          .as("re_tokens"),
+        ceil(length($"text") / 4.0).cast("long").as("bpe_est"))
+        .orderBy($"doc_id")
+    }),
+
+    // Order-sensitive rolling-hash document fingerprint.
+    "llm_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", fingerprint(words($"text")).as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Multimodal plumbing: binary payloads decoded batch-wise per
+    // partition (decode itself is a deterministic stub — see Multimodal).
+    "llm_multimodal" -> ((s, d) => {
+      import s.implicits._
+      val blobs = Multimodal.blobTable(Tables.documents(s, d))
+        .as[Multimodal.BlobRow]
+      Multimodal.decode(blobs).toDF().orderBy($"doc_id")
+    })
+  )
+
+  private def h(x: String) = SHARED_HASH_SQL.format(x)
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT doc_id, doc_id AS kept_id, CAST(2 AS BIGINT) AS group_size
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 100000, doc_id, CAST(2 AS BIGINT) FROM documents
+        |ORDER BY 1""".stripMargin,
+    "llm_dedup_ngram" -> (DOC_CTE +
+      """, common AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(common*1.0/(ca.n+cb.n-common), 6) AS jacc
+        |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |WHERE common*1.0/(ca.n+cb.n-common) >= 0.8
+        |ORDER BY da, db""".stripMargin),
+    "llm_dedup_minhash" -> (DOC_CTE +
+      s""", mh AS (SELECT doc_id, i, min(${h("s || '#' || i")}) AS mh
+        |         FROM sh, range(16) r(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS b,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |common AS (SELECT da, db, count(*) AS common FROM cand
+        |           JOIN sh sa ON sa.doc_id = da
+        |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+        |           GROUP BY da, db)
+        |SELECT da, db, round(common*1.0/(ca.n+cb.n-common), 6) AS jacc
+        |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |WHERE common*1.0/(ca.n+cb.n-common) >= 0.8
+        |ORDER BY da, db""".stripMargin),
+    "llm_dedup_simhash" ->
+      (s"""WITH dw AS (SELECT DISTINCT doc_id, word FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        |  FROM documents)),
+        |hb AS (SELECT doc_id, ${h("word")} AS h FROM dw),
+        |bits AS (SELECT doc_id, b,
+        |                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |         FROM hb, range(60) r(b) GROUP BY doc_id, b),
+        |sg AS (SELECT doc_id,
+        |              sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+        |       FROM bits GROUP BY doc_id),
+        |ch AS (SELECT doc_id, c, (sig >> (15*c)) & 32767 AS chunk, sig
+        |       FROM sg, range(4) r(c)),
+        |pairs AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |                 CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hd
+        |          FROM ch x JOIN ch y ON x.c = y.c AND x.chunk = y.chunk
+        |            AND x.doc_id < y.doc_id)
+        |SELECT da, db, hd FROM pairs WHERE hd <= 3 ORDER BY da, db""".stripMargin),
+    "llm_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |d AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |             list_cosine_similarity(a.e, b.e) AS c
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, round(c, 6) AS cos FROM d WHERE c >= 0.5
+        |ORDER BY va, vb""".stripMargin,
+    "llm_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, n.vec_id AS nb_id,
+        |                  round(list_cosine_similarity(q.e, n.e), 6) AS cos
+        |           FROM e q JOIN e n ON n.vec_id <> q.vec_id
+        |           WHERE q.vec_id % 25 = 0)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |dt AS (SELECT vec_id, p,
+        |              sum((CASE WHEN ((p*2654435761 + j*40503) >> 7) & 1 = 1
+        |                        THEN 1.0 ELSE -1.0 END) * e[j+1]) AS dot
+        |       FROM e, range(4) rp(p), range(64) rj(j)
+        |       GROUP BY vec_id, p),
+        |bk AS (SELECT vec_id,
+        |              sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |                AS bucket
+        |       FROM dt GROUP BY vec_id),
+        |scored AS (SELECT q.vec_id AS query_id, n.vec_id AS nb_id,
+        |                  round(list_cosine_similarity(qe.e, ne.e), 6) AS cos
+        |           FROM bk q JOIN bk n ON q.bucket = n.bucket
+        |             AND n.vec_id <> q.vec_id
+        |           JOIN e qe ON qe.vec_id = q.vec_id
+        |           JOIN e ne ON ne.vec_id = n.vec_id
+        |           WHERE q.vec_id % 25 = 0)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    "llm_lang_id" ->
+      """WITH sc AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |            FROM documents),
+        |s2 AS (SELECT doc_id,
+        |  (CASE WHEN list_contains(w,'der') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'die') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'und') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'das') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'ein') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'in') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'ist') THEN 1 ELSE 0 END) AS s_de,
+        |  (CASE WHEN list_contains(w,'the') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'a') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'of') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'and') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'in') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'to') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'is') THEN 1 ELSE 0 END) AS s_en,
+        |  (CASE WHEN list_contains(w,'el') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'la') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'de') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'que') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'y') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'en') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'un') THEN 1 ELSE 0 END) AS s_es,
+        |  (CASE WHEN list_contains(w,'le') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'la') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'de') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'et') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'un') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'en') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'est') THEN 1 ELSE 0 END) AS s_fr,
+        |  (CASE WHEN list_contains(w,'的') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'是') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'不') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'了') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'在') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'人') THEN 1 ELSE 0 END +
+        |   CASE WHEN list_contains(w,'有') THEN 1 ELSE 0 END) AS s_zh
+        |  FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |        AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |        AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr
+        |        AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es
+        |        AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "llm_text_quality" ->
+      """WITH q AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |m AS (SELECT doc_id, text, len(w) AS n,
+        |             len(list_distinct(w)) AS nu,
+        |             list_sum(list_transform(w, x -> len(x))) AS toklen,
+        |             len(list_filter(w, x -> list_contains(
+        |               ['the','a','of','and','in','to','is'], x))) AS stopn,
+        |             len(regexp_replace(text, '[^a-z]', '', 'g')) AS letters
+        |      FROM q)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       round(toklen*1.0/n, 6) AS avg_token_len,
+        |       round(stopn*1.0/n, 6) AS stop_ratio,
+        |       round(letters*1.0/len(text), 6) AS alpha_ratio,
+        |       round(0.4*least(1.0, n/50.0) + 0.3*(1.0 - stopn*1.0/n)
+        |             + 0.3*(nu*1.0/n), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT)
+        |         AS re_tokens,
+        |       CAST(ceil(len(text)/4.0) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      (s"""SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(0::BIGINT,
+        |           list_transform(string_split(trim(text), ' '),
+        |             x -> ${h("x")} % 1000000007)),
+        |         (a, b) -> (a*31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    "llm_multimodal" ->
+      """SELECT doc_id,
+        |       ('0x'||substr(md5(text),1,2))::BIGINT AS width,
+        |       ('0x'||substr(md5(text),3,2))::BIGINT AS height,
+        |       CASE (('0x'||substr(md5(text),5,2))::INT % 3)
+        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder-prompt north-star).
+  *
+  * Baseline: brute-force cosine top-k (exact; O(Q·N) dot products — the
+  * verifier and small-N path). Scale path: sign-random-projection LSH —
+  * each vector lands in a bucket keyed by the sign pattern of `planes`
+  * pseudo-random ±1 hyperplanes, the candidate join is bucket-local, and
+  * recall is tuned by planes/probes. An IVF variant is the same shape
+  * with learned centroids instead of hyperplanes.
+  *
+  * All math in double precision with sequential (array-ordered)
+  * summation — deterministic and engine-portable for the oracle.
+  */
+object Similarity {
+
+  /** Sequential-dot-product cosine between two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, x) => s + x * x))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact brute-force top-k neighbors for the query subset. Ranking on
+    * round(cos, 6) with id tie-break → deterministic. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id").as("nb_id"), asDouble(col("embedding")).as("eb"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("ea"))
+    val scored = q.crossJoin(base)
+      .filter(col("query_id") =!= col("nb_id"))
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
+  }
+
+  /** Pseudo-random ±1 weight for (plane p, dimension j) — pure
+    * arithmetic so any engine reproduces it. */
+  def planeWeight(p: Column, j: Column): Column =
+    when(shiftright(p * 2654435761L + j * 40503L, 7).bitwiseAND(lit(1L)) === 1L,
+      lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-LSH bucket id from `planes` hyperplanes. */
+  def lshBuckets(emb: DataFrame, planes: Int): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("p", explode(sequence(lit(0), lit(planes - 1))))
+      .withColumn("j", explode(sequence(lit(0), lit(63))))
+      .withColumn("contrib",
+        planeWeight(col("p"), col("j")) * element_at(col("e"), col("j") + 1))
+      .groupBy(col("vec_id"), col("p")).agg(sum(col("contrib")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, p)")).otherwise(0L))
+        .as("bucket"))
+
+  /** Bucket-local ANN: top-k within the query's LSH bucket. */
+  def lshTopK(emb: DataFrame, queries: DataFrame, planes: Int, k: Int): DataFrame = {
+    val buckets = lshBuckets(emb, planes)
+    val base = emb.join(buckets, Seq("vec_id"))
+      .select(col("vec_id").as("nb_id"), asDouble(col("embedding")).as("eb"),
+        col("bucket"))
+    val q = queries.join(buckets, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("ea"),
+        col("bucket"))
+    val scored = q.join(base, Seq("bucket"))
+      .filter(col("query_id") =!= col("nb_id"))
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+    * Brute-force form; at scale restrict to LSH-bucket candidates. */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("va"), asDouble(col("embedding")).as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), asDouble(col("embedding")).as("eb"))
+    a.crossJoin(b).filter(col("va") < col("vb"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+  }
+}
