@@ -125,7 +125,14 @@ object GraphOps {
     * heavy-vertex set stays a DataFrame and is broadcast-anti-joined. */
   def cutoff(pairs: DataFrame, epsilon: Double = 0.05): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val degree = pairs.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("degree"))
+    import org.apache.spark.storage.StorageLevel
+    // pairs feeds both the degree computation and the final anti-join;
+    // degree feeds hist + heavy — persist both to avoid recompute across
+    // the threshold action and the result job.
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val degree = p.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hist = degree.groupBy(col("degree")).agg(count(lit(1)).as("nv"))
     val w = Window.orderBy(col("degree"))
     val total = hist.agg(sum(col("nv"))).first().getLong(0)
@@ -134,7 +141,7 @@ object GraphOps {
       .filter(col("cum") >= lit(total * (1.0 - epsilon)))
       .agg(min(col("degree"))).first().getLong(0)
     val heavy = degree.filter(col("degree") > threshold)
-    val kept = pairs
+    val kept = p
       .join(broadcast(heavy.select(col("vertex").as("src"))), Seq("src"), "left_anti")
       .join(broadcast(heavy.select(col("vertex").as("dst"))), Seq("dst"), "left_anti")
     (kept, heavy)
@@ -150,9 +157,18 @@ object GraphOps {
       .select(col("src"), col("dst")).distinct()
     val v = validation.join(broadcast(commonKeys), Seq("src"), "left_semi")
       .select(col("src"), col("dst")).distinct()
-    val tp = m.join(v, Seq("src", "dst"), "left_semi").count().toDouble
-    val fp = m.count().toDouble - tp
-    val fn = v.count().toDouble - tp
+    // single job: full-outer join of the two edge sets → one global agg
+    val row = m.withColumn("in_m", lit(1L))
+      .join(v.withColumn("in_v", lit(1L)), Seq("src", "dst"), "full_outer")
+      .agg(sum(coalesce(col("in_m"), lit(0L))).as("nm"),
+        sum(coalesce(col("in_v"), lit(0L))).as("nv"),
+        sum(coalesce(col("in_m"), lit(0L)) * coalesce(col("in_v"), lit(0L)))
+          .as("tp"))
+      .first()
+    val (nm, nv, tp) = (row.getLong(0).toDouble, row.getLong(1).toDouble,
+      row.getLong(2).toDouble)
+    val fp = nm - tp
+    val fn = nv - tp
     val precision = if (tp + fp > 0) tp / (tp + fp) else 0.0
     val recall = if (tp + fn > 0) tp / (tp + fn) else 0.0
     val f = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0

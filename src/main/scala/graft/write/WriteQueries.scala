@@ -173,11 +173,12 @@ object WriteQueries {
       src.put(ordersCells(s, d))
       val dst = KVTable(s, base("m8_dst"), wipe = true)
       dst.put(src.cells.repartition(8, $"key"))
-      dst.resolved().filter($"qualifier" === "cents")
-        .join(dst.resolved().filter($"qualifier" === "status")
-          .select($"key", $"value".as("status")), Seq("key"))
+      // one pass: pivot the two qualifiers per key, then aggregate
+      dst.resolved().groupBy($"key")
+        .agg(max(when($"qualifier" === "status", $"value")).as("status"),
+          max(when($"qualifier" === "cents", $"value")).cast("long").as("cents"))
         .groupBy($"status")
-        .agg(count(lit(1)).as("n"), sum($"value".cast("long")).as("sum_cents"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
         .orderBy($"status")
     }),
 

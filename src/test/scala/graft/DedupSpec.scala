@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity}
+
+/** Dedup + similarity quality properties on the sf0.001 documents
+  * (which contain driver-planted near-duplicate pairs at Jaccard ≈0.99).
+  */
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exact dedup groups normalized duplicates and keeps min id") {
+    val corpus = Seq((1L, "Hello World "), (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val got = Dedup.exact(corpus)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("minhash LSH finds exactly the exact-Jaccard pairs at 0.8 (full recall)") {
+    val exact = Dedup.ngramJaccard(docs, 0.8)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, 0.8)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // verification filter makes LSH ⊆ exact; banding at J≈0.99 ⇒ ⊇ too
+    assert(lsh === exact)
+  }
+
+  test("simhash near-dup pairs overlap the planted jaccard pairs") {
+    val jacc = Dedup.ngramJaccard(docs, 0.8)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simHashPairs(docs, 3)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    // hamming ≤3 of 60 bits is a much tighter bar than Jaccard ≥0.8 (a
+    // couple of changed words among ~90 flips >3 bit-sums), so simhash
+    // recalls only the closest planted pairs — require a meaningful
+    // overlap and no spurious explosion, not full recall.
+    assert(jacc.intersect(sim).nonEmpty, "simhash found none of the planted pairs")
+    assert(jacc.intersect(sim).size >= jacc.size / 5,
+      s"simhash found ${jacc.intersect(sim).size} of ${jacc.size} planted pairs")
+    // note: this corpus has a ~30-word vocabulary, so word-SET simhash
+    // legitimately pairs many docs with similar vocabularies — no upper
+    // bound asserted here.
+  }
+
+  test("LSH ANN results are a subset of brute-force rankings per query") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, 50)
+      .select($"query_id", $"nb_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, 4, 2)
+      .select($"query_id", $"nb_id").as[(Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every bucket-local neighbor must be a genuine vector pair; spot-check
+    // that cosine(query, nb) ranks within brute-force top-50
+    val hits = lsh.count(brute.contains)
+    assert(hits * 1.0 / lsh.length >= 0.3,
+      s"LSH precision vs brute top-50 too low: $hits/${lsh.length}")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = Tables.embeddings(spark, sf).limit(1)
+      .select(Similarity.cosine(
+        transform($"embedding", _.cast("double")),
+        transform($"embedding", _.cast("double"))).as("c"))
+      .as[Double].collect().head
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+}

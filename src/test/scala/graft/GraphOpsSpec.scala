@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+import graft.graph.GraphOps.Edge
+
+/** Graph operator semantics on a hand-crafted graph (AGraph.scala
+  * behaviors: dedup-combine, BSP convergence, expand, f1). */
+class GraphOpsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("deduplicate keeps max (version,pb,vendor) payload and max ts") {
+    val pairs = Seq(
+      Edge(1, 2, 1, 10, 5, 100), Edge(1, 2, 1, 20, 3, 50),
+      Edge(1, 2, 1, 20, 2, 300), Edge(3, 4, 2, 1, 1, 7)).toDF()
+    val got = GraphOps.deduplicate(pairs).as[Edge].collect()
+      .map(e => (e.src, e.dst) -> e).toMap
+    assert(got((1L, 2L)).pb === 20)
+    assert(got((1L, 2L)).vendor === 3) // (1,20,3) beats (1,20,2) and (1,10,5)
+    assert(got((1L, 2L)).ts === 300)   // ts = max over all duplicates
+    assert(got((3L, 4L)).version === 2)
+  }
+
+  test("CombineEdge aggregator agrees with the declarative dedup") {
+    val edges = Seq(
+      Edge(1, 2, 1, 10, 5, 100), Edge(1, 2, 1, 20, 3, 50),
+      Edge(1, 2, 1, 20, 2, 300), Edge(3, 4, 2, 1, 1, 7))
+    val viaAgg = edges.toDS().groupByKey(e => (e.src, e.dst))
+      .agg(GraphOps.CombineEdge.toColumn.name("e"))
+      .map(_._2).collect().map(e => (e.src, e.dst) -> e).toMap
+    val viaDecl = GraphOps.deduplicate(edges.toDF()).as[Edge].collect()
+      .map(e => (e.src, e.dst) -> e).toMap
+    assert(viaAgg === viaDecl)
+  }
+
+  test("bspIterate converges to per-component max label") {
+    // two components: {1,2,3} (max 3) and {10,11} (max 11), chain 1-2-3
+    val pairs = GraphOps.reverse(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+    val labels0 = pairs.select($"src".as("vertex")).distinct()
+      .withColumn("label", $"vertex")
+    // diameter 2 ⇒ 2 steps reach the fixpoint
+    val got = GraphOps.bspIterate(labels0, pairs, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 11L, 11L -> 11L))
+  }
+
+  test("expand pushes pool reps to neighbors with max-reduce") {
+    val pairs = GraphOps.reverse(Seq((1L, 2L)).toDF("src", "dst"))
+    val pool = Seq((1L, 5L), (2L, 9L)).toDF("key", "rep")
+    val got = GraphOps.expand(pool, pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 9L, 2L -> 9L)) // 2's rep 9 flows to 1
+  }
+
+  test("f1 on known model/validation sets") {
+    def net(e: (Long, Long)*) = e.map { case (s, d2) => Edge(s, d2, 1, 1, 1, 1) }
+      .toDF()
+    // validation: 1→{2,3}; model: 1→{2,4} ⇒ TP=1 FP=1 FN=1 ⇒ P=R=F1=0.5
+    val f = GraphOps.f1(net((1L, 2L), (1L, 4L)), net((1L, 2L), (1L, 3L)))
+      .as[(Double, Double, Double)].collect().head
+    assert(f === ((0.5, 0.5, 0.5)))
+  }
+
+  test("cutoff removes only pairs touching above-threshold vertices") {
+    // star around 99 (degree 6) + sparse chain; epsilon .05 cuts the hub
+    val star = (1L to 6L).map(i => (99L, i))
+    val chain = Seq((200L, 201L), (202L, 203L), (204L, 205L), (206L, 207L),
+      (208L, 209L), (210L, 211L), (212L, 213L))
+    val pairs = GraphOps.reverse((star ++ chain).toDF("src", "dst"))
+    val (kept, heavy) = GraphOps.cutoff(pairs, 0.05)
+    assert(heavy.select($"vertex").as[Long].collect().toSet === Set(99L))
+    val keptPairs = kept.select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(!keptPairs.exists(p => p._1 == 99L || p._2 == 99L))
+    assert(keptPairs.size === chain.size * 2)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions — the 100 TB story is in the physical plan:
+  * filters/projections must reach the parquet scan, small-side joins
+  * must broadcast, chained filters must fuse into one scan.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("s1 scan: predicate pushed to parquet, columns pruned") {
+    val plan = SparkEntry.queries("s1_scan_pushdown")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("GreaterThan(l_extendedprice,5000.0)"), plan.take(2000))
+    // projection pruning: untouched columns never reach the scan
+    assert(!plan.contains("l_shipdate"))
+    assert(!plan.contains("l_returnflag"))
+  }
+
+  test("p10: three chained filters fuse into a single scan's filter stack") {
+    val qe = SparkEntry.queries("p10_filter_fusion")(spark, sf).queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 1)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThan(l_quantity,10.0)"), pushed)
+    assert(pushed.contains("GreaterThan(l_discount,0.03)"), pushed)
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+  }
+
+  test("j2 lookup join broadcasts the key set (big side never shuffles)") {
+    val plan = SparkEntry.queries("j2_lookup_join")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("j9 profile join broadcasts the dimension table") {
+    val plan = SparkEntry.queries("j9_profile_join")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("j3 honors the merge hint (sort-merge join, the range-scan analogue)") {
+    val plan = SparkEntry.queries("j3_merge_join")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("w6 topk plans as TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("w6_topk")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+}
