@@ -134,7 +134,44 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Sequential dot product over two array<double> columns — a tight
+    * compiled loop instead of per-element higher-order-function lambda
+    * dispatch (the ANN hot path does O(N²/bucket) of these). Summation
+    * order matches `aggregate(zip_with(...))` exactly, so results are
+    * bit-identical to the declarative form and the DuckDB oracle. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** Euclidean norm of an array<double> column (same loop shape). */
+  case class VecNorm(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var s = 0.0
+      var i = 0
+      while (i < x.numElements()) { val v = x.getDouble(i); s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot"        -> (e => DotProduct(e(0), e(1))),
+    "graft_vec_norm"   -> (e => VecNorm(e.head)),
     "graft_parse_long" -> (e => ParseLongRadix10(e.head)),
     "graft_unhex_long" -> (e => UnhexLong(e.head)),
     "graft_long_be"    -> (e => LongBE(e.head)),

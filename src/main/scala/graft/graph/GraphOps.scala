@@ -101,10 +101,14 @@ object GraphOps {
     * with lineage cut each round — at scale this is checkpoint cadence;
     * localCheckpoint keeps the loop's plan from growing exponentially. */
   def bspIterate(labels0: DataFrame, pairs: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // pairs is re-joined every superstep — materialize it once
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = labels0
     for (_ <- 1 to steps) {
-      labels = bspStep(labels, pairs).localCheckpoint(eager = true)
+      labels = bspStep(labels, p).localCheckpoint(eager = true)
     }
+    p.unpersist()
     labels
   }
 

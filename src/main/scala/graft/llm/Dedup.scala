@@ -46,11 +46,15 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
   }
 
-  /** MinHash signatures: numHashes engine-portable hash functions
-    * h_i(s) = sharedHash(s || '#' || i), min per document. */
+  /** MinHash signatures: one md5 per shingle, then numHashes derived
+    * hash functions h_i(s) = (h0·(2i+1) + i·999983) mod P — 16× fewer
+    * digest computations than hashing per-i, still engine-portable
+    * (the same arithmetic runs in the DuckDB oracle). */
   def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h", sharedHash(concat(col("s"), lit("#"), col("i"))))
+    sh.withColumn("h0", pmod(sharedHash(col("s")), lit(1000000007L)))
+      .withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
+      .withColumn("h",
+        pmod(col("h0") * (col("i") * 2 + 1) + col("i") * 999983L, lit(1000000007L)))
       .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
       .groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),

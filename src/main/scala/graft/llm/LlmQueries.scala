@@ -157,8 +157,10 @@ object LlmQueries {
         |WHERE common*1.0/(ca.n+cb.n-common) >= 0.8
         |ORDER BY da, db""".stripMargin),
     "llm_dedup_minhash" -> (DOC_CTE +
-      s""", mh AS (SELECT doc_id, i, min(${h("s || '#' || i")}) AS mh
-        |         FROM sh, range(16) r(i) GROUP BY doc_id, i),
+      s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((h0 * (i*2+1) + i*999983) % 1000000007) AS mh
+        |       FROM sh0, range(16) r(i) GROUP BY doc_id, i),
         |bands AS (SELECT doc_id, i // 4 AS b,
         |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
         |          FROM mh GROUP BY doc_id, i // 4),

@@ -29,18 +29,21 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (s, x) => s + x * x))
+  /** Native tight-loop dot product / norm (GraftExpressions.DotProduct,
+    * VecNorm) — same sequential summation as aggregate(zip_with(...)),
+    * bit-identical results, ~an order of magnitude less per-element
+    * overhead than interpreted higher-order lambdas. Referenced through
+    * the function registry (registered per session). */
+  private def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** (id, e, norm) with norms computed once — at N vectors the pairwise
     * stage then does one dot product per pair instead of three array
     * reductions (3× less work in the O(N²)/bucketed hot path). */
-  private def prepared(emb: DataFrame, idAlias: String): DataFrame =
+  private def prepared(emb: DataFrame, idAlias: String): DataFrame = {
+    graft.functions.GraftExpressions.register(emb.sparkSession)
     emb.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("e"))
-      .withColumn("nrm", norm(col("e")))
+      .withColumn("nrm", expr("graft_vec_norm(e)"))
+  }
 
   /** Exact brute-force top-k neighbors for the query subset. Ranking on
     * round(cos, 6) with id tie-break → deterministic. */
@@ -52,7 +55,7 @@ object Similarity {
     val scored = q.crossJoin(base)
       .filter(col("query_id") =!= col("nb_id"))
       .withColumn("cos",
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nb_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -91,7 +94,7 @@ object Similarity {
     val scored = q.join(base, Seq("bucket"))
       .filter(col("query_id") =!= col("nb_id"))
       .withColumn("cos",
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nb_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -107,7 +110,7 @@ object Similarity {
     val b = prepared(emb, "vb")
       .select(col("vb"), col("e").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("va") < col("vb"))
-      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("cos", dotExpr("ea", "eb") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
   }
