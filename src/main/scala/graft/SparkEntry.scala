@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Aggs.queries ++
     operators.Windows.queries ++
     operators.SetOps.queries ++
+    operators.Analytics.queries ++
     graph.GraphQueries.queries ++
     write.WriteQueries.queries ++
     functions.CodecQueries.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
     operators.Aggs.oracles ++
     operators.Windows.oracles ++
     operators.SetOps.oracles ++
+    operators.Analytics.oracles ++
     graph.GraphQueries.oracles ++
     write.WriteQueries.oracles ++
     functions.CodecQueries.oracles ++

@@ -153,10 +153,11 @@ object GraphQueries {
         .orderBy($"src")
     }),
 
-    // G3 one BSP superstep (AGraph.scala:88-93).
+    // G3 one BSP superstep (AGraph.scala:88-93). pairs feed both the
+    // vertex set and the join — persist to compute the dedup once.
     "g3_bsp_step" -> ((s, d) => {
       import s.implicits._
-      val p2 = pairs2(s, d)
+      val p2 = pairs2(s, d).persist()
       val labels0 = p2.select($"src".as("vertex")).distinct()
         .withColumn("label", $"vertex")
       bspStep(labels0, p2).orderBy($"vertex")

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Headline analytical queries (TPC-H-flavored) plus grouping-set /
+  * windowed-frame capabilities the reference lacks entirely
+  * (SURVEY.md §2.4/2.5 notes) but our engine exposes natively — part of
+  * the "complete engine" surface and the benchmark's realistic load.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-flavored pricing summary: one scan, one hash agg.
+    "tpch_q1" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 4).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("sum_disc_price"),
+          round(avg($"l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // TPC-H Q3-flavored: two joins narrowing to a top-10 revenue list —
+    // the small dimension side broadcasts, revenue agg is map-side
+    // partial, top-k is TakeOrdered.
+    "tpch_q3" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5-flavored: star join across 5 tables, dims broadcast.
+    "tpch_q5" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, d)),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"n_name".asc)
+    }),
+
+    // ROLLUP (absent in the reference; native here).
+    "an_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // CUBE.
+    "an_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // Frame-based running window (absent in the reference).
+    "an_running_sum" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .select($"o_custkey", $"o_orderkey",
+          round(sum($"o_totalprice").over(w), 2).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ntile bucketing.
+    "an_ntile" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables.customer(s, d)
+        .select($"c_custkey", ntile(10).over(w).cast("long").as("decile"))
+        .orderBy($"c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "an_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "an_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "an_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |         AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "an_ntile" ->
+      """SELECT c_custkey,
+        |       CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+        |            AS BIGINT) AS decile
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}
