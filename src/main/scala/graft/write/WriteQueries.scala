@@ -267,6 +267,18 @@ object WriteQueries {
         .select(unix_timestamp($"window.start").as("hour_start"),
           $"event_type", $"n")
         .orderBy($"hour_start", $"event_type")
+    }),
+
+    // §2.10: stateful sessionization via flatMapGroupsWithState —
+    // closed sessions (4h inactivity gap) per user; the open tail stays
+    // in state and is not emitted.
+    "st3_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val stage = "/root/repo/target/graft_stream/st3"
+      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      graft.streaming.Sessionize
+        .run(s, stage, Tables.events(s, d).schema, gapSec = 14400L)
+        .orderBy($"user_id", $"session_start")
     })
   )
 
@@ -328,6 +340,26 @@ object WriteQueries {
     "st2_stream_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "st3_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+        |                  CAST(round(value*100) AS BIGINT) AS cents, event_id
+        |           FROM events),
+        |x AS (SELECT user_id, sec, cents, event_id,
+        |             CASE WHEN lag(sec) OVER w IS NULL
+        |                    OR sec - lag(sec) OVER w > 14400 THEN 1 ELSE 0 END
+        |               AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |s AS (SELECT user_id, sec, cents,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x),
+        |g AS (SELECT user_id, sid, min(sec) AS session_start,
+        |             CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(cents) AS BIGINT) AS sum_cents
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n_events, sum_cents FROM g
+        |WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
