@@ -138,9 +138,12 @@ object GraftExpressions {
     * compiled loop instead of per-element higher-order-function lambda
     * dispatch (the ANN hot path does O(N²/bucket) of these). Summation
     * order matches `aggregate(zip_with(...))` exactly, so results are
-    * bit-identical to the declarative form and the DuckDB oracle. */
+    * bit-identical to the declarative form and the DuckDB oracle.
+    * Full `doGenCode` so the pairwise stage stays inside whole-stage
+    * codegen (preference order: native Expression > UDF — SURVEY §7.3).
+    */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -151,13 +154,29 @@ object GraftExpressions {
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
       s
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(l, r)
   }
 
   /** Euclidean norm of an array<double> column (same loop shape). */
   case class VecNorm(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any): Any = {
       val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -166,10 +185,26 @@ object GraftExpressions {
       while (i < x.numElements()) { val v = x.getDouble(i); s += v * v; i += 1 }
       math.sqrt(s)
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val v = ctx.freshName("v")
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = $a.getDouble($i);
+           |  $s += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot"        -> (e => DotProduct(e(0), e(1))),
     "graft_vec_norm"   -> (e => VecNorm(e.head)),
     "graft_parse_long" -> (e => ParseLongRadix10(e.head)),
@@ -189,7 +224,7 @@ object GraftExpressions {
   )
 
   /** Register all codec functions in the session (idempotent). */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
+  def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, b, "scala_udf")
   }
