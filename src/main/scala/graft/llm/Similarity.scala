@@ -102,6 +102,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN: vectors are bucketed by their nearest
+    * centroid; a query searches only its top-`nprobe` centroid buckets.
+    * Centroids here are a deterministic stride-sample of the corpus
+    * (`vec_id % stride == 0`) — at scale they'd come from k-means, but
+    * the index/search shape (C-way assignment join, bucket-local
+    * scoring) is identical. Complements `lshTopK`: IVF adapts to the
+    * data distribution, LSH is data-independent. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, stride: Int,
+              k: Int, nprobe: Int = 1): DataFrame = {
+    val cents = prepared(emb.filter(col("vec_id") % stride === 0), "cent_id")
+      .select(col("cent_id"), col("e").as("ec"), col("nrm").as("nc"))
+    def assign(df: DataFrame, idCol: String, probes: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("csim", dotExpr("e", "ec") / (col("nrm") * col("nc")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
+        .drop("ec", "nc", "csim", "r")
+    }
+    val base = assign(prepared(emb, "nb_id"), "nb_id", 1)
+      .select(col("nb_id"), col("e").as("eb"), col("nrm").as("nb"), col("cent_id"))
+    val q = assign(prepared(queries, "query_id"), "query_id", nprobe)
+      .select(col("query_id"), col("e").as("ea"), col("nrm").as("na"),
+        col("cent_id"))
+    val scored = q.join(base, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nb_id"))
+      .withColumn("cos",
+        round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
     * Brute-force form; at scale restrict to LSH-bucket candidates. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {

@@ -62,6 +62,20 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"LSH precision vs brute top-50 too low: $hits/${lsh.length}")
   }
 
+  test("IVF ANN: bucket-local results never beat brute force, structure holds") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, 1)
+      .select($"query_id", $"cos").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, queries, stride = 25, k = 3, nprobe = 2)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall { case (q, _, nb, _) => q != nb })
+    // an approximate index can only do as well as exact search
+    assert(ivf.filter(_._2 == 1L).forall { case (q, _, _, c) => c <= brute(q) })
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Tables.embeddings(spark, sf).limit(1)
       .select(Similarity.cosine(
