@@ -112,6 +112,34 @@ object GraphOps {
     labels
   }
 
+  /** Delta-frontier BSP: identical fixpoint trajectory to `bspIterate`,
+    * but each superstep only pushes labels that CHANGED in the previous
+    * one — the incremental-join pattern (SURVEY §7.4 risk 4, the
+    * reference's fill-style memoization). On real graphs the frontier
+    * collapses after a few supersteps, so late iterations join a small
+    * delta against the network instead of every vertex. */
+  def bspIterateDelta(labels0: DataFrame, pairs: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = labels0.localCheckpoint(eager = true)
+    var frontier = labels
+    for (_ <- 1 to steps) {
+      val pushed = p
+        .join(frontier.withColumnRenamed("vertex", "dst"), Seq("dst"))
+        .groupBy(col("src").as("vertex")).agg(max(col("label")).as("cand"))
+      val next = labels
+        .join(pushed, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          greatest(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (coalesce(col("cand"), col("label")) > col("label")).as("changed"))
+        .localCheckpoint(eager = true)
+      frontier = next.filter(col("changed")).select(col("vertex"), col("label"))
+      labels = next.select(col("vertex"), col("label"))
+    }
+    p.unpersist()
+    labels
+  }
+
   /** G5 `expand` (AGraph.scala:234-245): pool (key, rep) pushes reps to
     * neighbors, then max-reduce — one transitive-closure step. Left-outer:
     * keys without edges keep their rep. */

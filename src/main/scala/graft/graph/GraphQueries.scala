@@ -170,7 +170,7 @@ object GraphQueries {
       val p2 = pairs2(s, d)
       val labels0 = p2.select($"src".as("vertex")).distinct()
         .withColumn("label", $"vertex")
-      bspIterate(labels0, p2, 3).orderBy($"vertex")
+      bspIterateDelta(labels0, p2, 3).orderBy($"vertex")
     }),
 
     // G5 `expand` (AGraph.scala:234-245): transitive-closure step from a

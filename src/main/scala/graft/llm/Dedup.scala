@@ -46,26 +46,29 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
   }
 
-  /** MinHash signatures: one md5 per shingle, then numHashes derived
-    * hash functions h_i(s) = (h0·(2i+1) + i·999983) mod P — 16× fewer
-    * digest computations than hashing per-i, still engine-portable
-    * (the same arithmetic runs in the DuckDB oracle). */
-  def minHashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.withColumn("h0", pmod(sharedHash(col("s")), lit(1000000007L)))
-      .withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h",
-        pmod(col("h0") * (col("i") * 2 + 1) + col("i") * 999983L, lit(1000000007L)))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+  /** MinHash signatures, computed entirely inside one codegen'd
+    * projection: one md5 per shingle (h0), then numHashes derived hash
+    * functions h_i = (h0·(2i+1) + i·999983) mod P, min-reduced over the
+    * document's shingle array. No explode, no shuffle — the per-doc
+    * work is array math, which is exactly what survives a 100 TB corpus
+    * (signature building is embarrassingly row-local). Values are
+    * identical to the group-min formulation the DuckDB oracle runs. */
+  def minHashSignatures(docs: DataFrame, numHashes: Int, k: Int = 3): DataFrame = {
+    val P = 1000000007L
+    docs.select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+      .withColumn("harr", transform(col("sh"), s => pmod(sharedHash(s), lit(P))))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("harr"),
+          h => pmod(h * (i * 2 + 1) + i * 999983L, lit(P))))).as("sig"))
+  }
 
   /** MinHash + LSH banding: candidates share a band bucket; verified by
     * exact Jaccard ≥ threshold. bands×rowsPerBand = numHashes. */
   def minHashLsh(docs: DataFrame, threshold: Double,
                  bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val sh = docShingles(docs, k).cache()
-    val sig = minHashSignatures(sh, bands * rowsPerBand)
+    val sig = minHashSignatures(docs, bands * rowsPerBand, k)
     val banded = sig.withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
         concat_ws(",", slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand))))

@@ -46,6 +46,22 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 11L, 11L -> 11L))
   }
 
+  test("delta-frontier BSP matches the simple iteration step for step") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(p => p._1 != p._2)
+    val pairs = GraphOps.reverse(edges.toDF("src", "dst")).distinct()
+    val labels0 = pairs.select($"src".as("vertex")).distinct()
+      .withColumn("label", $"vertex")
+    for (steps <- Seq(1, 2, 4)) {
+      val simple = GraphOps.bspIterate(labels0, pairs, steps)
+        .as[(Long, Long)].collect().toMap
+      val delta = GraphOps.bspIterateDelta(labels0, pairs, steps)
+        .as[(Long, Long)].collect().toMap
+      assert(delta === simple, s"diverged at steps=$steps")
+    }
+  }
+
   test("expand pushes pool reps to neighbors with max-reduce") {
     val pairs = GraphOps.reverse(Seq((1L, 2L)).toDF("src", "dst"))
     val pool = Seq((1L, 5L), (2L, 9L)).toDF("key", "rep")
