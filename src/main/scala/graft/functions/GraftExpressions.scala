@@ -204,7 +204,98 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** MinHash signature from a pre-hashed shingle array: for each of
+    * `numHashes` derived hash functions h_i = (h0·(2i+1) + i·999983)
+    * mod P, the min over the array — one compiled loop per row instead
+    * of numHashes interpreted lambda sweeps. Arithmetic matches the
+    * DuckDB oracle's group-min formulation exactly. */
+  case class MinHashSig(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    private val P = 1000000007L
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(arr: Any, n: Any): Any = {
+      val harr = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val num = n.asInstanceOf[Int]
+      val out = new Array[Long](num)
+      var i = 0
+      while (i < num) {
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < harr.numElements()) {
+          val h = (harr.getLong(j) * (2 * i + 1) + i * 999983L) % P
+          if (h < mn) mn = h
+          j += 1
+        }
+        out(i) = mn
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** Sign-LSH bucket id: for each of `planes` pseudo-random ±1
+    * hyperplanes (weight(p,j) from ((p·2654435761 + j·40503) >> 7) & 1),
+    * the sign of the dot product contributes one bucket bit. One pass
+    * over the vector per row — replaces a double-explode + two
+    * aggregations. Same arithmetic as the DuckDB oracle. */
+  case class LshBucket(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(arr: Any, p: Any): Any = {
+      val e = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val planes = p.asInstanceOf[Int]
+      var bucket = 0L
+      var pi = 0
+      while (pi < planes) {
+        var dot = 0.0
+        var j = 0
+        while (j < e.numElements()) {
+          val w = if ((((pi * 2654435761L + j * 40503L) >> 7) & 1L) == 1L) 1.0 else -1.0
+          dot += w * e.getDouble(j)
+          j += 1
+        }
+        if (dot > 0) bucket |= 1L << pi
+        pi += 1
+      }
+      bucket
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
+  /** SimHash signature over an array of word hashes: bit b of the
+    * result is set when Σ over words of ±1 (by bit b of the word hash)
+    * is positive. `bits` ≤ 63. One pass per row. */
+  case class SimHashSig(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(arr: Any, b: Any): Any = {
+      val hs = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val bits = b.asInstanceOf[Int]
+      var sig = 0L
+      var bit = 0
+      while (bit < bits) {
+        var v = 0L
+        var j = 0
+        while (j < hs.numElements()) {
+          v += (if (((hs.getLong(j) >> bit) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
+        if (v > 0) sig |= 1L << bit
+        bit += 1
+      }
+      sig
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_sig" -> (e => MinHashSig(e(0), e(1))),
+    "graft_lsh_bucket"  -> (e => LshBucket(e(0), e(1))),
+    "graft_simhash_sig" -> (e => SimHashSig(e(0), e(1))),
     "graft_dot"        -> (e => DotProduct(e(0), e(1))),
     "graft_vec_norm"   -> (e => VecNorm(e.head)),
     "graft_parse_long" -> (e => ParseLongRadix10(e.head)),

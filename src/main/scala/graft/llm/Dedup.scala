@@ -55,12 +55,11 @@ object Dedup {
     * identical to the group-min formulation the DuckDB oracle runs. */
   def minHashSignatures(docs: DataFrame, numHashes: Int, k: Int = 3): DataFrame = {
     val P = 1000000007L
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
       .withColumn("harr", transform(col("sh"), s => pmod(sharedHash(s), lit(P))))
-      .select(col("doc_id"), transform(
-        sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("harr"),
-          h => pmod(h * (i * 2 + 1) + i * 999983L, lit(P))))).as("sig"))
+      .select(col("doc_id"),
+        expr(s"graft_minhash_sig(harr, $numHashes)").as("sig"))
   }
 
   /** MinHash + LSH banding: candidates share a band bucket; verified by
@@ -68,10 +67,14 @@ object Dedup {
   def minHashLsh(docs: DataFrame, threshold: Double,
                  bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val sh = docShingles(docs, k).cache()
-    val sig = minHashSignatures(docs, bands * rowsPerBand, k)
+    // cache() is load-bearing: without it Catalyst's CollapseProject
+    // inlines the signature expression into every band/join branch and
+    // recomputes shingles+md5 per hash index per side.
+    val sig = minHashSignatures(docs, bands * rowsPerBand, k).cache()
     val banded = sig.withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
         concat_ws(",", slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand))))
+      .cache()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -89,18 +92,16 @@ object Dedup {
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
   }
 
-  /** 60-bit SimHash over the document's distinct words. */
-  def simHashSignatures(docs: DataFrame, bits: Int = 60): DataFrame =
+  /** 60-bit SimHash over the document's distinct words — word hashes
+    * via one md5 each, then a single native pass builds the signature
+    * (GraftExpressions.SimHashSig); no explode, no shuffle. */
+  def simHashSignatures(docs: DataFrame, bits: Int = 60): DataFrame = {
+    graft.functions.GraftExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-        explode(array_distinct(words(col("text")))).as("w"))
-      .withColumn("h", sharedHash(col("w")))
-      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("sgn",
-        when(expr("(h >> b) & 1") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("sgn")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-        .as("sig"))
+        transform(array_distinct(words(col("text"))), w => sharedHash(w))
+          .as("hs"))
+      .select(col("doc_id"), expr(s"graft_simhash_sig(hs, $bits)").as("sig"))
+  }
 
   /** SimHash near-dup pairs: hamming(sig) ≤ maxDist, candidates via the
     * pigeonhole chunk trick (maxDist+1 chunks — one must match). */

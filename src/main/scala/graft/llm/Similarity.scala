@@ -69,17 +69,13 @@ object Similarity {
     when(shiftright(p * 2654435761L + j * 40503L, 7).bitwiseAND(lit(1L)) === 1L,
       lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign-LSH bucket id from `planes` hyperplanes. */
-  def lshBuckets(emb: DataFrame, planes: Int): DataFrame =
+  /** Sign-LSH bucket id from `planes` hyperplanes — one native pass per
+    * vector (GraftExpressions.LshBucket), no explode/aggregation. */
+  def lshBuckets(emb: DataFrame, planes: Int): DataFrame = {
+    graft.functions.GraftExpressions.register(emb.sparkSession)
     emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("p", explode(sequence(lit(0), lit(planes - 1))))
-      .withColumn("j", explode(sequence(lit(0), lit(63))))
-      .withColumn("contrib",
-        planeWeight(col("p"), col("j")) * element_at(col("e"), col("j") + 1))
-      .groupBy(col("vec_id"), col("p")).agg(sum(col("contrib")).as("dot"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, p)")).otherwise(0L))
-        .as("bucket"))
+      .select(col("vec_id"), expr(s"graft_lsh_bucket(e, $planes)").as("bucket"))
+  }
 
   /** Bucket-local ANN: top-k within the query's LSH bucket. */
   def lshTopK(emb: DataFrame, queries: DataFrame, planes: Int, k: Int): DataFrame = {
