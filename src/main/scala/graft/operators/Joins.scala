@@ -32,6 +32,21 @@ object Joins {
     present.unionByName(missing.select(in.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** Salted equi-join for skewed keys: the big side spreads each key
+    * over `salts` shuffle partitions deterministically; the small side
+    * is replicated `salts`× so every salted partition still finds its
+    * match. Use when one key dominates a shuffle (AQE's skew-join
+    * split covers SMJ; this helper covers hash-partitioned paths and
+    * makes the technique explicit). Inner-join semantics. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
