@@ -127,6 +127,25 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // End-to-end corpus filter: the composition a real training-data
+    // pipeline runs — drop near-duplicates (keep the lower doc_id of
+    // each Jaccard≥0.8 pair), then keep docs that pass quality and
+    // token-count gates. One shingle-join + per-row expressions.
+    "llm_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val dupLosers = Dedup.ngramJaccard(docs, 0.8)
+        .select($"db".as("doc_id")).distinct()
+      docs.join(dupLosers, Seq("doc_id"), "left_anti")
+        .withColumn("w", words($"text"))
+        .withColumn("n", size($"w").cast("long"))
+        .withColumn("uniq_ratio", size(array_distinct($"w")) * 1.0 / $"n")
+        .filter($"n" >= 20 && $"n" <= 95 && $"uniq_ratio" >= 0.25)
+        .select($"doc_id", $"lang", $"n",
+          round($"uniq_ratio", 6).as("uniq_ratio"))
+        .orderBy($"doc_id")
+    }),
+
     // Multimodal plumbing: binary payloads decoded batch-wise per
     // partition (decode itself is a deterministic stub — see Multimodal).
     "llm_multimodal" -> ((s, d) => {
@@ -319,6 +338,24 @@ object LlmQueries {
         |             x -> ${h("x")} % 1000000007)),
         |         (a, b) -> (a*31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
+    "llm_pipeline" -> (DOC_CTE +
+      """, common AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT db AS doc_id FROM common
+        |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |  WHERE common*1.0/(ca.n+cb.n-common) >= 0.8),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, string_split(trim(d.text), ' ') AS w
+        |  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM losers))
+        |SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n,
+        |       round(len(list_distinct(w))*1.0/len(w), 6) AS uniq_ratio
+        |FROM kept
+        |WHERE len(w) >= 20 AND len(w) <= 95
+        |  AND len(list_distinct(w))*1.0/len(w) >= 0.25
+        |ORDER BY doc_id""".stripMargin),
     "llm_multimodal" ->
       """SELECT doc_id,
         |       ('0x'||substr(md5(text),1,2))::BIGINT AS width,

@@ -50,6 +50,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("tpch_q5 star join broadcasts all three dimension tables") {
+    val plan = SparkEntry.queries("tpch_q5")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, plan:\n${plan.take(1500)}")
+  }
+
   test("w6 topk plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("w6_topk")(spark, sf)
       .queryExecution.sparkPlan.toString
