@@ -25,9 +25,17 @@ object Dedup {
         min(col(idCol)).as("kept_id"), count(lit(1)).as("group_size"))
       .select(explode(col("ids")).as(idCol), col("kept_id"), col("group_size"))
 
+  /** Single-file sources arrive as one input partition (one row group);
+    * hashing/shingling is CPU-bound per row, so fan the rows out across
+    * the executors before the heavy projection. At 100 TB inputs are
+    * many-partition to begin with and this is a no-op choice. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct (doc, shingle) pairs. */
   def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(words(col("text")), k)).as("s"))
+    spread(docs).select(col("doc_id"),
+      explode(shingles(words(col("text")), k)).as("s"))
 
   /** Exact n-gram Jaccard similar pairs (shingle-join; at scale run it
     * on LSH candidates only — see `minHashLsh`). */
@@ -56,7 +64,7 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, numHashes: Int, k: Int = 3): DataFrame = {
     val P = 1000000007L
     graft.functions.GraftExpressions.register(docs.sparkSession)
-    docs.select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+    spread(docs).select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
       .withColumn("harr", transform(col("sh"), s => pmod(sharedHash(s), lit(P))))
       .select(col("doc_id"),
         expr(s"graft_minhash_sig(harr, $numHashes)").as("sig"))
@@ -97,7 +105,7 @@ object Dedup {
     * (GraftExpressions.SimHashSig); no explode, no shuffle. */
   def simHashSignatures(docs: DataFrame, bits: Int = 60): DataFrame = {
     graft.functions.GraftExpressions.register(docs.sparkSession)
-    docs.select(col("doc_id"),
+    spread(docs).select(col("doc_id"),
         transform(array_distinct(words(col("text"))), w => sharedHash(w))
           .as("hs"))
       .select(col("doc_id"), expr(s"graft_simhash_sig(hs, $bits)").as("sig"))

@@ -41,7 +41,10 @@ object Similarity {
     * reductions (3× less work in the O(N²)/bucketed hot path). */
   private def prepared(emb: DataFrame, idAlias: String): DataFrame = {
     graft.functions.GraftExpressions.register(emb.sparkSession)
-    emb.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("e"))
+    // single-file sources arrive as one partition; fan out so the
+    // pairwise stage parallelizes (no-op at real scale)
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", expr("graft_vec_norm(e)"))
   }
 
