@@ -98,6 +98,28 @@ object Analytics {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // PIVOT: orders long→wide on status (native relational pivot).
+    "an_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .pivot($"o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select($"o_orderpriority", $"F", $"O", $"P")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Exact percentiles / median (continuous interpolation).
+    "an_percentiles" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(round(median($"l_extendedprice"), 4).as("p50"),
+          round(percentile($"l_extendedprice", lit(0.9)), 4).as("p90"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ntile bucketing.
     "an_ntile" -> ((s, d) => {
       import s.implicits._
@@ -164,6 +186,18 @@ object Analytics {
         |         AS running_total
         |FROM orders WHERE o_custkey < 100
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "an_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",
+        |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O",
+        |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "an_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "an_ntile" ->
       """SELECT c_custkey,
         |       CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
