@@ -23,7 +23,8 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
 
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
