@@ -16,14 +16,18 @@ import TextOps._
   */
 object Dedup {
 
-  /** Exact dedup after normalization: one hash aggregation, keeps the
-    * minimum doc id per normalized-content group. */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.withColumn("norm_hash", md5(lower(trim(col(textCol)))))
-      .groupBy(col("norm_hash"))
-      .agg(collect_list(col(idCol)).as("ids"),
-        min(col(idCol)).as("kept_id"), count(lit(1)).as("group_size"))
-      .select(explode(col("ids")).as(idCol), col("kept_id"), col("group_size"))
+  /** Exact dedup after normalization: aggregate (min id, count) per
+    * content hash, then join the ids back — no per-group array, so a
+    * pathological group (billions of identical docs) never materializes
+    * on one row. Two hash shuffles on the same key. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol),
+      md5(lower(trim(col(textCol)))).as("norm_hash"))
+    val groups = hashed.groupBy(col("norm_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, Seq("norm_hash"))
+      .select(col(idCol), col("kept_id"), col("group_size"))
+  }
 
   /** Single-file sources arrive as one input partition (one row group);
     * hashing/shingling is CPU-bound per row, so fan the rows out across
@@ -38,9 +42,24 @@ object Dedup {
       explode(shingles(words(col("text")), k)).as("s"))
 
   /** Exact n-gram Jaccard similar pairs (shingle-join; at scale run it
-    * on LSH candidates only — see `minHashLsh`). */
-  def ngramJaccard(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
-    val sh = docShingles(docs, k).cache()
+    * on LSH candidates only — see `minHashLsh`).
+    *
+    * `maxShingleDocFreq`: a shingle appearing in more than this many
+    * documents ("stop-shingle") is excluded from the candidate join —
+    * at corpus scale hot shingles dominate join fan-out quadratically
+    * while contributing almost nothing to high-Jaccard pairs. 0 = off
+    * (exact semantics, the oracle-checked default). */
+  def ngramJaccard(docs: DataFrame, threshold: Double, k: Int = 3,
+                   maxShingleDocFreq: Long = 0L): DataFrame = {
+    val all = docShingles(docs, k)
+    val sh0 =
+      if (maxShingleDocFreq <= 0) all
+      else {
+        val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq).select(col("s"))
+        all.join(hot, Seq("s"), "left_anti")
+      }
+    val sh = sh0.cache()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -72,17 +91,28 @@ object Dedup {
 
   /** MinHash + LSH banding: candidates share a band bucket; verified by
     * exact Jaccard ≥ threshold. bands×rowsPerBand = numHashes. */
+  /** `maxBucketSize`: band buckets holding more than this many docs are
+    * skipped (0 = off). A degenerate bucket (e.g. boilerplate-heavy
+    * corpora) would otherwise cost |bucket|² in the candidate join;
+    * capping trades recall on exactly those low-signal collisions for
+    * bounded work — the standard LSH-at-scale guardrail. */
   def minHashLsh(docs: DataFrame, threshold: Double,
-                 bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+                 bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
+                 maxBucketSize: Long = 0L): DataFrame = {
     val sh = docShingles(docs, k).cache()
     // cache() is load-bearing: without it Catalyst's CollapseProject
     // inlines the signature expression into every band/join branch and
     // recomputes shingles+md5 per hash index per side.
     val sig = minHashSignatures(docs, bands * rowsPerBand, k).cache()
-    val banded = sig.withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
+    val banded0 = sig.withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
         concat_ws(",", slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand))))
-      .cache()
+    val banded = (if (maxBucketSize <= 0) banded0 else {
+      val hot = banded0.groupBy(col("b"), col("bucket"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+        .select(col("b"), col("bucket"))
+      banded0.join(hot, Seq("b", "bucket"), "left_anti")
+    }).cache()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
