@@ -51,6 +51,14 @@ object TextOps {
     }
   }
 
+  /** Character trigrams of a document (lowercased, space-normalized). */
+  def charTrigrams(text: Column): Column = {
+    val t = lower(trim(text))
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(0))),
+      i => t.substr(i, lit(3))))
+  }
+
   /** Rolling polynomial fingerprint over the token stream:
     * fold((acc*31 + h(w)) mod P) — order-sensitive document identity. */
   def fingerprint(w: Column): Column = {

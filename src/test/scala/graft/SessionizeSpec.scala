@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Ev, Session}
+
+/** Stateful sessionization across MULTIPLE micro-batches: the open-tail
+  * session must ride the group state between batches and close (emit)
+  * only when a later batch brings a gap — or never, if it stays open.
+  */
+class SessionizeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("open session carries across micro-batches and closes on a gap") {
+    val dir = "/root/repo/target/graft_stream_test/sessions"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+
+    // batch 1: user 1 events at t=0,100 (one open session)
+    Seq(Ev(1L, 0L, 10L, 0L), Ev(1L, 100L, 20L, 1L)).toDF()
+      .coalesce(1).write.parquet(s"$dir/b1")
+    // batch 2 (arrives later): t=200 extends the session; t=10000 opens
+    // a new one -> the first session (3 events) must emit
+    Seq(Ev(1L, 200L, 30L, 2L), Ev(1L, 10000L, 40L, 3L)).toDF()
+      .coalesce(1).write.parquet(s"$dir/b2")
+    // move files into the watch dir with ordered names
+    val watch = s"$dir/watch"; new java.io.File(watch).mkdirs()
+    def moveParts(src: String, dst: String): Unit =
+      new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          f.renameTo(new java.io.File(s"$watch/$dst$i.parquet")): Unit
+        }
+    moveParts(s"$dir/b1", "a_batch1_")
+    moveParts(s"$dir/b2", "b_batch2_")
+
+    val src = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(watch)
+      .as[Ev]
+    val sink = "sessionize_spec_sink"
+    val q = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        Sessionize.sessionFn(1800L))
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table(sink).as[Session].collect().toSet
+    // only the first session closed: events at 0,100,200 (gap to 10000)
+    assert(got === Set(Session(1L, 0L, 3L, 60L)),
+      s"got $got — state did not carry across batches correctly")
+  }
+}
