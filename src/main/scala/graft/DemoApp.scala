@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runnable end-to-end demo (DemoSimpleApp.scala:16-107 +
+  * DemoGraphApp.scala:17-67 parity in the reference): builds a typed KV
+  * table and a property graph from the testdata, runs the signature
+  * flows of each layer, prints compact results.
+  *
+  * Usage: sbt "runMain graft.DemoApp [sfDir]"
+  */
+object DemoApp {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    // --- demo_simple flow: typed KV table, select/filter/join ---------
+    val kv = write.KVTable(spark, "/root/repo/target/graft_demo/simple",
+      wipe = true)
+    kv.put(Tables.part(spark, d).select($"p_partkey".as("key"),
+      lit("F").as("family"), lit("size").as("qualifier"),
+      $"p_size".cast("string").as("value"), lit(1L).as("ts")))
+    kv.put(Tables.part(spark, d)
+      .select($"p_partkey".as("key"), explode(split($"p_name", " ")).as("q"))
+      .select($"key", lit("T").as("family"), $"q".as("qualifier"),
+        lit("").as("value"), lit(1L).as("ts")))
+    val t = new table.TypedTable(kv)
+    println("== typed select F:size > 40 ==")
+    t.select(table.TLong("F", "size")).filter($"F_size" > 40)
+      .orderBy($"key").show(5, truncate = false)
+    println("== tags containing 'red' ==")
+    t.select(table.TTags("T")).filter(array_contains($"T", "red"))
+      .orderBy($"key").show(5, truncate = false)
+
+    // --- demo_graph flow: pairs → dedup net → flatten/expand ----------
+    val pairs = graph.GraphQueries.pairs2(spark, d)
+    println("== degree histogram ==")
+    pairs.groupBy($"src").count().groupBy($"count".as("degree"))
+      .agg(count(lit(1)).as("vertices")).orderBy($"degree").show(5)
+    println("== one BSP superstep (top labels) ==")
+    val labels0 = pairs.select($"src".as("vertex")).distinct()
+      .withColumn("label", $"vertex")
+    graph.GraphOps.bspStep(labels0, pairs)
+      .orderBy($"label".desc).show(5)
+
+    // --- training-data flow: dedup + quality --------------------------
+    println("== near-duplicate pairs (minhash versus exact) ==")
+    llm.Dedup.minHashLsh(Tables.documents(spark, d), 0.8)
+      .orderBy($"da").show(5)
+
+    spark.stop()
+  }
+}
