@@ -90,8 +90,9 @@ object Dedup {
   }
 
   /** MinHash + LSH banding: candidates share a band bucket; verified by
-    * exact Jaccard ≥ threshold. bands×rowsPerBand = numHashes. */
-  /** `maxBucketSize`: band buckets holding more than this many docs are
+    * exact Jaccard ≥ threshold. bands×rowsPerBand = numHashes.
+    *
+    * `maxBucketSize`: band buckets holding more than this many docs are
     * skipped (0 = off). A degenerate bucket (e.g. boilerplate-heavy
     * corpora) would otherwise cost |bucket|² in the candidate join;
     * capping trades recall on exactly those low-signal collisions for
