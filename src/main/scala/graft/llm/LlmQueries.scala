@@ -160,11 +160,15 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" ->
-      """SELECT doc_id, doc_id AS kept_id, CAST(2 AS BIGINT) AS group_size
-        |FROM documents
-        |UNION ALL
-        |SELECT doc_id + 100000, doc_id, CAST(2 AS BIGINT) FROM documents
-        |ORDER BY 1""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, upper(text) FROM documents),
+        |h AS (SELECT doc_id, md5(lower(trim(text))) AS nh FROM corpus),
+        |g AS (SELECT nh, min(doc_id) AS kept_id,
+        |             CAST(count(*) AS BIGINT) AS group_size
+        |      FROM h GROUP BY nh)
+        |SELECT h.doc_id, g.kept_id, g.group_size
+        |FROM h JOIN g USING (nh) ORDER BY h.doc_id""".stripMargin,
     "llm_dedup_ngram" -> (DOC_CTE +
       """, common AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
