@@ -121,18 +121,24 @@ object GraphOps {
   def bspIterateDelta(labels0: DataFrame, pairs: DataFrame, steps: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = labels0.localCheckpoint(eager = true)
-    var frontier = labels
-    for (_ <- 1 to steps) {
+    var labels = labels0
+    var frontier = labels0
+    for (step <- 1 to steps) {
       val pushed = p
         .join(frontier.withColumnRenamed("vertex", "dst"), Seq("dst"))
         .groupBy(col("src").as("vertex")).agg(max(col("label")).as("cand"))
-      val next = labels
+      var next = labels
         .join(pushed, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           greatest(col("label"), coalesce(col("cand"), col("label"))).as("label"),
           (coalesce(col("cand"), col("label")) > col("label")).as("changed"))
-        .localCheckpoint(eager = true)
+      // persist (lazy cache) each round so labels+frontier share one
+      // materialization; cut lineage with an eager checkpoint only every
+      // few supersteps — plans stay bounded without paying a blocking
+      // write per round.
+      next =
+        if (step % 4 == 0) next.localCheckpoint(eager = true)
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
       frontier = next.filter(col("changed")).select(col("vertex"), col("label"))
       labels = next.select(col("vertex"), col("label"))
     }
