@@ -146,6 +146,23 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Multimodal frame sampling + feature extraction: a 64-byte fake
+    // "video" per doc sliced into 16-byte frames, every 2nd frame kept,
+    // features derived per frame (stubbed encoder — see Multimodal).
+    "llm_frames" -> ((s, d) => {
+      import s.implicits._
+      val blobs = Tables.documents(s, d).select($"doc_id",
+        unhex(concat(md5($"text"), md5(concat($"text", lit("a"))),
+          md5(concat($"text", lit("b"))), md5(concat($"text", lit("c")))))
+          .as("payload"))
+      Multimodal.extractFeatures(
+          Multimodal.frameSample(blobs, frameBytes = 16, stride = 2))
+        .select($"doc_id", $"frame_idx",
+          conv(hex($"frame").substr(1, 2), 16, 10).cast("long").as("lead_byte"),
+          round(element_at($"features", 1), 6).as("f1"))
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // Multimodal plumbing: binary payloads decoded batch-wise per
     // partition (decode itself is a deterministic stub — see Multimodal).
     "llm_multimodal" -> ((s, d) => {
@@ -360,6 +377,16 @@ object LlmQueries {
         |WHERE len(w) >= 20 AND len(w) <= 95
         |  AND len(list_distinct(w))*1.0/len(w) >= 0.25
         |ORDER BY doc_id""".stripMargin),
+    "llm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, 0 AS fi, ('0x'||substr(md5(text),1,2))::BIGINT AS lb
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, ('0x'||substr(md5(text||'b'),1,2))::BIGINT
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx, lb AS lead_byte,
+        |       round(lb/255.0, 6) AS f1
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id,
         |       ('0x'||substr(md5(text),1,2))::BIGINT AS width,

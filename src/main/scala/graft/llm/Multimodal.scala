@@ -45,4 +45,28 @@ object Multimodal {
   def blobTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), unhex(md5(col("text"))).as("payload"),
       length(col("text")).cast("long").as("payload_src_chars"))
+
+  /** Frame sampling over an opaque "video" payload: slice the binary
+    * into fixed-size frames, keep every `stride`-th one, one output row
+    * per sampled frame. The slicing is pure column algebra (substr on
+    * binary + posexplode), so it parallelizes per row and never
+    * materializes the un-sampled frames. */
+  def frameSample(blobs: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    blobs
+      .withColumn("n_frames", floor(length(col("payload")) / frameBytes).cast("int"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+          lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)).as("frame"))
+
+  /** Feature-extraction stub: a fixed-width float vector derived from
+    * the frame bytes (deterministic fake — a real deployment calls an
+    * image/audio encoder here; schema and batching stay identical). */
+  def extractFeatures(frames: DataFrame, dims: Int = 4): DataFrame =
+    frames.withColumn("features", transform(
+      sequence(lit(1), lit(dims)),
+      i => conv(hex(col("frame")).substr(i, lit(2)), 16, 10).cast("long")
+        / 255.0))
 }
