@@ -29,7 +29,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets log-truncated when 100+ query timings share one line —
+    // persist the full JSON to a file as the durable record.
+    val out = new java.io.File("target/bench.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out)
+    try w.println(json) finally w.close()
+    println(json)
     spark.stop()
   }
 }

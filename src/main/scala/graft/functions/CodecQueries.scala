@@ -72,16 +72,45 @@ object CodecQueries {
       import s.implicits._
       withFns(s)
       import org.apache.spark.sql.expressions.Window
+      // Order-parity check without a global single-task window: bin by
+      // o_orderkey range (constant bin count), count adjacent byte-order
+      // inversions inside each bin via a PARTITIONED window, then check
+      // bin boundaries on the constant-size per-bin summary (driver
+      // side, like cutoff's threshold). Zero total ⟺ unsigned-lex
+      // byte order == numeric order over the whole table.
       val enc = Tables.orders(s, d)
         .select($"o_orderkey", expr("graft_long_be(o_orderkey)").as("kb"))
-      enc
-        .withColumn("rank_num",
-          row_number().over(Window.orderBy($"o_orderkey")).cast("long"))
-        .withColumn("rank_bin",
-          row_number().over(Window.orderBy($"kb")).cast("long"))
-        .agg(count(lit(1)).as("n"),
-          sum(when($"rank_num" === $"rank_bin", 0L).otherwise(1L))
-            .as("order_mismatches"))
+      val stats = enc.agg(min($"o_orderkey"), max($"o_orderkey"),
+        count(lit(1))).first()
+      val n = stats.getLong(2)
+      if (n == 0) {
+        Seq((0L, 0L)).toDF("n", "order_mismatches")
+      } else {
+        val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+        val nbins = 256L
+        val binned = enc.withColumn("bin",
+          if (hi == lo) lit(0L)
+          else least(floor(($"o_orderkey" - lo) * (nbins.toDouble / (hi - lo))),
+            lit(nbins - 1))).cache()
+        val wBin = Window.partitionBy($"bin").orderBy($"o_orderkey")
+        val bounds = binned.groupBy($"bin").agg(
+            min_by($"kb", $"o_orderkey").as("first_kb"),
+            max_by($"kb", $"o_orderkey").as("last_kb"))
+          .collect()
+          .map(r => (r.getLong(0), r.getAs[Array[Byte]](1),
+            r.getAs[Array[Byte]](2)))
+          .sortBy(_._1)
+        val boundaryMm = bounds.sliding(2).count {
+          case Array((_, _, lastA), (_, firstB, _)) =>
+            java.util.Arrays.compareUnsigned(lastA, firstB) >= 0
+          case _ => false
+        }.toLong
+        binned
+          .withColumn("prev_kb", lag($"kb", 1).over(wBin))
+          .agg(count(lit(1)).as("n"),
+            (sum(when($"prev_kb".isNotNull && $"kb" <= $"prev_kb", 1L)
+              .otherwise(0L)) + lit(boundaryMm)).as("order_mismatches"))
+      }
     }),
 
     // F6: crc16-salted composite key round trip ([salt][space][value],

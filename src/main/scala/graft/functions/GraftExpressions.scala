@@ -265,6 +265,39 @@ object GraftExpressions {
       copy(l, r)
   }
 
+  /** Sign-LSH bucket with a plane-index offset: same arithmetic as
+    * [[LshBucket]] but hyperplane ids run offset..offset+planes-1, so a
+    * multi-band scheme (band b → offset b·planes) gets independent
+    * hyperplane sets per band. A pair is a candidate if it collides in
+    * ANY band — the MinHash-LSH band construction applied to sign-LSH,
+    * which is what keeps recall high at moderate cosine. */
+  case class LshBucketAt(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(arr: Any, p: Any, off: Any): Any = {
+      val e = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val planes = p.asInstanceOf[Int]
+      val offset = off.asInstanceOf[Int]
+      var bucket = 0L
+      var pi = 0
+      while (pi < planes) {
+        val gp = offset + pi
+        var dot = 0.0
+        var j = 0
+        while (j < e.numElements()) {
+          val w = if ((((gp * 2654435761L + j * 40503L) >> 7) & 1L) == 1L) 1.0 else -1.0
+          dot += w * e.getDouble(j)
+          j += 1
+        }
+        if (dot > 0) bucket |= 1L << pi
+        pi += 1
+      }
+      bucket
+    }
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+  }
+
   /** SimHash signature over an array of word hashes: bit b of the
     * result is set when Σ over words of ±1 (by bit b of the word hash)
     * is positive. `bits` ≤ 63. One pass per row. */
@@ -295,6 +328,7 @@ object GraftExpressions {
   private[functions] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_sig" -> (e => MinHashSig(e(0), e(1))),
     "graft_lsh_bucket"  -> (e => LshBucket(e(0), e(1))),
+    "graft_lsh_bucket_at" -> (e => LshBucketAt(e(0), e(1), e(2))),
     "graft_simhash_sig" -> (e => SimHashSig(e(0), e(1))),
     "graft_dot"        -> (e => DotProduct(e(0), e(1))),
     "graft_vec_norm"   -> (e => VecNorm(e.head)),

@@ -188,21 +188,31 @@ object GraphOps {
   /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two
     * edge sets restricted to keys present in both networks, then one
     * global reduce → precision/recall/F1. */
-  def f1(model: DataFrame, validation: DataFrame): DataFrame = {
+  /** The distributed part of f1: (|M|, |V|, |M∩V|) in one job —
+    * full-outer join of the two restricted edge sets → one global agg.
+    * No broadcast hints anywhere: commonKeys is unbounded (every vertex
+    * present in both networks), so a forced broadcast OOMs at 100 TB;
+    * AQE broadcasts only when a side actually fits (mirrors the
+    * reference's own TODO on its driver-side key collect,
+    * AGraph.scala:305). Exposed for PlanSpec's no-forced-broadcast
+    * assertion. */
+  private[graft] def f1Counts(model: DataFrame, validation: DataFrame): DataFrame = {
     val commonKeys = model.select(col("src")).distinct()
       .join(validation.select(col("src")).distinct(), Seq("src"), "left_semi")
-    val m = model.join(broadcast(commonKeys), Seq("src"), "left_semi")
+    val m = model.join(commonKeys, Seq("src"), "left_semi")
       .select(col("src"), col("dst")).distinct()
-    val v = validation.join(broadcast(commonKeys), Seq("src"), "left_semi")
+    val v = validation.join(commonKeys, Seq("src"), "left_semi")
       .select(col("src"), col("dst")).distinct()
-    // single job: full-outer join of the two edge sets → one global agg
-    val row = m.withColumn("in_m", lit(1L))
+    m.withColumn("in_m", lit(1L))
       .join(v.withColumn("in_v", lit(1L)), Seq("src", "dst"), "full_outer")
       .agg(sum(coalesce(col("in_m"), lit(0L))).as("nm"),
         sum(coalesce(col("in_v"), lit(0L))).as("nv"),
         sum(coalesce(col("in_m"), lit(0L)) * coalesce(col("in_v"), lit(0L)))
           .as("tp"))
-      .first()
+  }
+
+  def f1(model: DataFrame, validation: DataFrame): DataFrame = {
+    val row = f1Counts(model, validation).first()
     val (nm, nv, tp) = (row.getLong(0).toDouble, row.getLong(1).toDouble,
       row.getLong(2).toDouble)
     val fp = nm - tp

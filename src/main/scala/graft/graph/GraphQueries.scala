@@ -65,9 +65,12 @@ object GraphQueries {
     // A2: out-degree histogram (AGraph.scala:66, HGraphTable.scala:86-88).
     "a2_edge_hist" -> ((s, d) => {
       import s.implicits._
-      fromPairs(feedA(s, d))
-        .groupBy(size($"edges").cast("long").as("degree"))
-        .agg(count(lit(1)).as("n"))
+      // Degree straight off the deduplicated pair list — the NETWORK
+      // adjacency-array form (fromPairs) would materialize an unbounded
+      // per-row array on super-nodes just to take its size.
+      deduplicate(feedA(s, d))
+        .groupBy($"src").agg(count(lit(1)).as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n"))
         .orderBy($"degree")
     }),
 
@@ -245,11 +248,11 @@ object GraphQueries {
     // a keyspace, in-memory variant (keyspace 2).
     "w2_max_connected" -> ((s, d) => {
       import s.implicits._
-      fromPairs(feedA(s, d))
-        .select($"src",
-          filter($"edges", e => pmod(e("dst"), lit(3)) === 2).as("es"))
-        .filter(size($"es") > 0)
-        .select($"src", array_max($"es.dst").as("max_dst"))
+      // Scalar max per vertex — filter + groupBy.max on the pair list,
+      // no collect_list adjacency array (same super-node hazard as a2).
+      deduplicate(feedA(s, d))
+        .filter(pmod($"dst", lit(3)) === 2)
+        .groupBy($"src").agg(max($"dst").as("max_dst"))
         .orderBy($"src")
     }),
 

@@ -53,10 +53,16 @@ object LlmQueries {
       Dedup.simHashPairs(Tables.documents(s, d), 3).orderBy($"da", $"db")
     }),
 
-    // Embedding-cosine near-dup pairs ≥ 0.5.
+    // Embedding-cosine near-dup pairs ≥ 0.5 — multi-band sign-LSH
+    // candidates (14 bands × 4 planes; cos 0.5 is a weak angular signal,
+    // so recall needs many bands — real near-dup corpora at cos ≥ 0.9
+    // get away with far fewer), exact-cosine verified. The brute-force
+    // crossJoin form survives only as the test-suite verifier
+    // (SimilaritySpec).
     "llm_dedup_embcos" -> ((s, d) => {
       import s.implicits._
-      Similarity.cosinePairs(Tables.embeddings(s, d), 0.5).orderBy($"va", $"vb")
+      Similarity.lshCosinePairs(Tables.embeddings(s, d), 0.5, planes = 4,
+        bands = 14).orderBy($"va", $"vb")
     }),
 
     // Brute-force cosine top-3 for the query subset (vec_id % 25 = 0).
@@ -130,21 +136,12 @@ object LlmQueries {
     // End-to-end corpus filter: the composition a real training-data
     // pipeline runs — drop near-duplicates (keep the lower doc_id of
     // each Jaccard≥0.8 pair), then keep docs that pass quality and
-    // token-count gates. One shingle-join + per-row expressions.
-    "llm_pipeline" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val dupLosers = Dedup.ngramJaccard(docs, 0.8)
-        .select($"db".as("doc_id")).distinct()
-      docs.join(dupLosers, Seq("doc_id"), "left_anti")
-        .withColumn("w", words($"text"))
-        .withColumn("n", size($"w").cast("long"))
-        .withColumn("uniq_ratio", size(array_distinct($"w")) * 1.0 / $"n")
-        .filter($"n" >= 20 && $"n" <= 95 && $"uniq_ratio" >= 0.25)
-        .select($"doc_id", $"lang", $"n",
-          round($"uniq_ratio", 6).as("uniq_ratio"))
-        .orderBy($"doc_id")
-    }),
+    // token-count gates. The dedup stage runs on MinHash-LSH candidates
+    // (bounded bucket-local join — the 100 TB shape), not the exact
+    // all-shingle join; `exactDedup = true` flips back to the exact
+    // path for small-corpus verification (PipelineSpec asserts both
+    // agree on the testdata).
+    "llm_pipeline" -> ((s, d) => pipeline(s, d, exactDedup = false)),
 
     // Multimodal frame sampling + feature extraction: a 64-byte fake
     // "video" per doc sliced into 16-byte frames, every 2nd frame kept,
@@ -172,6 +169,27 @@ object LlmQueries {
       Multimodal.decode(blobs).toDF().orderBy($"doc_id")
     })
   )
+
+  /** The llm_pipeline body, parameterized by dedup strategy:
+    * `exactDedup = false` (the registered default) finds near-dup pairs
+    * via MinHash-LSH candidates; `true` runs the exact all-shingle join
+    * (small-corpus verifier — PipelineSpec asserts both agree). */
+  def pipeline(s: SparkSession, d: String, exactDedup: Boolean): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val dupPairs =
+      if (exactDedup) Dedup.ngramJaccard(docs, 0.8)
+      else Dedup.minHashLsh(docs, 0.8)
+    val dupLosers = dupPairs.select($"db".as("doc_id")).distinct()
+    docs.join(dupLosers, Seq("doc_id"), "left_anti")
+      .withColumn("w", words($"text"))
+      .withColumn("n", size($"w").cast("long"))
+      .withColumn("uniq_ratio", size(array_distinct($"w")) * 1.0 / $"n")
+      .filter($"n" >= 20 && $"n" <= 95 && $"uniq_ratio" >= 0.25)
+      .select($"doc_id", $"lang", $"n",
+        round($"uniq_ratio", 6).as("uniq_ratio"))
+      .orderBy($"doc_id")
+  }
 
   private def h(x: String) = SHARED_HASH_SQL.format(x)
 
@@ -235,9 +253,21 @@ object LlmQueries {
         |SELECT da, db, hd FROM pairs WHERE hd <= 3 ORDER BY da, db""".stripMargin),
     "llm_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |d AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-        |             list_cosine_similarity(a.e, b.e) AS c
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |dt AS (SELECT vec_id, b, p,
+        |              sum((CASE WHEN (((b*4+p)*2654435761 + j*40503) >> 7)
+        |                             & 1 = 1
+        |                        THEN 1.0 ELSE -1.0 END) * e[j+1]) AS dot
+        |       FROM e, range(14) rb(b), range(4) rp(p), range(64) rj(j)
+        |       GROUP BY vec_id, b, p),
+        |bk AS (SELECT vec_id, b,
+        |              sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        |                AS bucket
+        |       FROM dt GROUP BY vec_id, b),
+        |cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+        |         FROM bk x JOIN bk y ON x.b = y.b AND x.bucket = y.bucket
+        |           AND x.vec_id < y.vec_id),
+        |d AS (SELECT va, vb, list_cosine_similarity(a.e, b.e) AS c
+        |      FROM cand JOIN e a ON a.vec_id = va JOIN e b ON b.vec_id = vb)
         |SELECT va, vb, round(c, 6) AS cos FROM d WHERE c >= 0.5
         |ORDER BY va, vb""".stripMargin,
     "llm_ann_topk" ->
@@ -360,10 +390,20 @@ object LlmQueries {
         |         (a, b) -> (a*31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
     "llm_pipeline" -> (DOC_CTE +
-      """, common AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
+      s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((h0 * (i*2+1) + i*999983) % 1000000007) AS mh
+        |       FROM sh0, range(16) r(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS b,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |common AS (SELECT da, db, count(*) AS common FROM cand
+        |           JOIN sh sa ON sa.doc_id = da
+        |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+        |           GROUP BY da, db),
         |losers AS (
         |  SELECT DISTINCT db AS doc_id FROM common
         |  JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id

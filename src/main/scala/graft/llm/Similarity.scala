@@ -48,9 +48,26 @@ object Similarity {
       .withColumn("nrm", expr("graft_vec_norm(e)"))
   }
 
+  /** Hard cap on the corpus side of any brute-force (all-pairs) path.
+    * The exact forms are verifiers/small-N baselines ONLY — O(N²) work
+    * is a scale-killer, so they refuse to run past this size rather
+    * than silently melt a cluster; the bucketed paths (`lshTopK`,
+    * `ivfTopK`, `lshCosinePairs`) are the production shape. */
+  val BruteForceMaxRows = 1000000L
+
+  private def guardBruteForce(df: DataFrame, what: String): Unit = {
+    // limit(cap+1).count() touches at most cap+1 rows — cheap vs the O(N²)
+    // job it gates.
+    val n = df.limit((BruteForceMaxRows + 1).toInt).count()
+    require(n <= BruteForceMaxRows,
+      s"$what is an exact all-pairs baseline capped at $BruteForceMaxRows rows; " +
+        s"use the LSH/IVF bucketed variant at scale")
+  }
+
   /** Exact brute-force top-k neighbors for the query subset. Ranking on
     * round(cos, 6) with id tie-break → deterministic. */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    guardBruteForce(emb, "bruteForceTopK")
     val base = prepared(emb, "nb_id")
       .select(col("nb_id"), col("e").as("eb"), col("nrm").as("nb"))
     val q = prepared(queries, "query_id")
@@ -137,8 +154,11 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
-    * Brute-force form; at scale restrict to LSH-bucket candidates. */
+    * Brute-force form — the exact VERIFIER for [[lshCosinePairs]] and the
+    * test-suite baseline, size-capped; the bucketed form is the
+    * production entry. */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    guardBruteForce(emb, "cosinePairs")
     val a = prepared(emb, "va")
       .select(col("va"), col("e").as("ea"), col("nrm").as("na"))
     val b = prepared(emb, "vb")
@@ -147,5 +167,36 @@ object Similarity {
       .withColumn("cos", dotExpr("ea", "eb") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("va"), col("vb"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs via multi-band sign-LSH — the
+    * 100 TB-shaped path: candidates are pairs colliding in ANY of
+    * `bands` independent `planes`-bit sign-LSH buckets (band b uses
+    * hyperplanes b·planes..(b+1)·planes-1), then each candidate is
+    * verified with the exact cosine. Join cost is bucket-local
+    * (Σ bucket² per band), never all-pairs; recall rises with bands
+    * exactly like MinHash-LSH banding. Deterministic hyperplanes →
+    * engine-portable (the DuckDB oracle replicates the banding). */
+  def lshCosinePairs(emb: DataFrame, threshold: Double,
+                     planes: Int = 4, bands: Int = 6): DataFrame = {
+    val prep = prepared(emb, "vec_id")
+    val bandIds = (0 until bands).map(lit(_))
+    val bucketed = prep
+      .select(col("vec_id"), col("e"), col("nrm"),
+        explode(array(bandIds: _*)).as("band"))
+      .withColumn("bucket",
+        expr(s"graft_lsh_bucket_at(e, $planes, cast(band * $planes as int))"))
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("vec_id").as("va"), col("e").as("ea"), col("nrm").as("na"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("vec_id").as("vb"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dotExpr("ea", "eb") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("va"), col("vb"))        // dedup multi-band collisions
+      .agg(round(first(col("cos")), 6).as("cos"))
+      .select(col("va"), col("vb"), col("cos"))
   }
 }

@@ -120,13 +120,56 @@ object Analytics {
         .orderBy($"l_returnflag")
     }),
 
-    // ntile bucketing.
+    // ntile bucketing — scalable two-pass form. A bare
+    // `ntile(k).over(Window.orderBy(...))` plans a SINGLE task holding
+    // the whole table (worse than a full shuffle at 100 TB). Instead:
+    // (1) bin rows by value range (constant bin count, monotone with
+    // the sort order); (2) rank inside each bin with a PARTITIONED
+    // window; (3) add per-bin offsets (bin histogram = constant-size
+    // driver aggregate, like cutoff's threshold); (4) exact ntile
+    // bucket from the global rank in integer arithmetic. Result is
+    // bit-identical to ntile(k) — the oracle keeps the ntile SQL.
     "an_ntile" -> ((s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal".desc, $"c_custkey".asc)
-      Tables.customer(s, d)
-        .select($"c_custkey", ntile(10).over(w).cast("long").as("decile"))
-        .orderBy($"c_custkey")
+      val k = 10
+      val nbins = 256
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", $"c_acctbal".cast("double").as("c_acctbal"))
+      val stats = cust.agg(min($"c_acctbal"), max($"c_acctbal"),
+        count(lit(1))).first()
+      val n = stats.getLong(2)
+      if (n == 0) {
+        cust.select($"c_custkey", lit(0L).as("decile")).limit(0)
+      } else {
+        val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+        // bin ascending in acctbal; global order is acctbal DESC, so
+        // bins are consumed in descending id order.
+        val binned = cust.withColumn("bin",
+          if (hi == lo) lit(0L)
+          else least(floor(($"c_acctbal" - lo) / (hi - lo) * nbins),
+            lit(nbins - 1L)))
+        val histo = binned.groupBy($"bin").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(-_._1)
+        var acc = 0L
+        val offs = histo.map { case (b, c) => val o = acc; acc += c; (b, o) }
+        val offDf = offs.toSeq.toDF("bin", "off")
+        val wBin = Window.partitionBy($"bin")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        val ranked = binned
+          .withColumn("rn", row_number().over(wBin).cast("long"))
+          .join(broadcast(offDf), Seq("bin"))
+          .withColumn("r", $"rn" + $"off")
+        val q = n / k
+        val m = n % k
+        val cut = m * (q + 1)
+        val decile =
+          if (q == 0) expr("r")
+          else expr(s"CASE WHEN r <= $cut THEN (r + $q) DIV ${q + 1} " +
+            s"ELSE $m + (r - $cut + ${q - 1}) DIV $q END")
+        ranked.select($"c_custkey", decile.cast("long").as("decile"))
+          .orderBy($"c_custkey")
+      }
     })
   )
 

@@ -126,8 +126,12 @@ object KVTable {
     val cellDel = cells.filter(col("tomb") === "cell")
       .groupBy(col("key"), col("family"), col("qualifier"))
       .agg(max(col("ts")).as("cell_del_ts"))
+    // ts desc + value desc: a TOTAL order within the version group, so
+    // two cells written at the same (key,family,qualifier,ts) resolve to
+    // a stable winner across runs (the reference's KeyValueOrdering is
+    // total for the same reason, HBaseTable.scala:219-232).
     val w = Window.partitionBy(col("key"), col("family"), col("qualifier"))
-      .orderBy(col("ts").desc)
+      .orderBy(col("ts").desc, col("value").desc_nulls_last)
     cells.filter(col("tomb").isNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")

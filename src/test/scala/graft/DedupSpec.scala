@@ -76,6 +76,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(ivf.filter(_._2 == 1L).forall { case (q, _, _, c) => c <= brute(q) })
   }
 
+  test("LSH cosine pairs are a verified subset of brute-force pairs") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    // low threshold so both paths return pairs at sf0.001 (max planted
+    // cosine there is < 0.5)
+    val brute = Similarity.cosinePairs(emb, 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.lshCosinePairs(emb, 0.4, planes = 4, bands = 14)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(lsh.nonEmpty, "banded LSH found no candidate pairs")
+    // exact-cosine verification makes LSH ⊆ brute force, bit-identical cos
+    assert(lsh.subsetOf(brute), s"LSH produced non-pairs: ${lsh.diff(brute)}")
+  }
+
+  test("llm_pipeline minhash dedup stage agrees with the exact path") {
+    val viaMinhash = llm.LlmQueries.pipeline(spark, sf, exactDedup = false)
+      .collect().toSeq
+    val viaExact = llm.LlmQueries.pipeline(spark, sf, exactDedup = true)
+      .collect().toSeq
+    assert(viaMinhash.nonEmpty)
+    assert(viaMinhash === viaExact)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Tables.embeddings(spark, sf).limit(1)
       .select(Similarity.cosine(

@@ -62,4 +62,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
+
+  test("f1's semi-joins carry no forced broadcast hint (AQE decides)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val other = Seq((1L, 2L), (2L, 4L)).toDF("src", "dst")
+    val hints = graft.graph.GraphOps.f1Counts(edges, other)
+      .queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.nonEmpty)
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"forced join hints present: $hints")
+  }
+
+  test("llm_dedup_embcos plans bucket-local joins, never a cartesian product") {
+    val plan = SparkEntry.queries("llm_dedup_embcos")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("a2/w2 scalar graph stats avoid collect_list adjacency arrays") {
+    for (q <- Seq("a2_edge_hist", "w2_max_connected")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("collect_list"), s"$q materializes adjacency arrays")
+    }
+  }
+
+  test("no registered query plans an unpartitioned (single-task) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global Window.orderBy without partitionBy in: $offenders")
+  }
 }

@@ -45,6 +45,23 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolved().count() === 0)
   }
 
+  test("identical-ts cells resolve to a stable winner across repeated runs") {
+    // Two cells at the same (key,family,qualifier,ts): the resolve order
+    // must be total (ts desc, value desc) so the winner never flips
+    // between runs — mirror of the reference's total KeyValueOrdering
+    // (HBaseTable.scala:219-232).
+    val t = KVTable(spark, "/root/repo/target/graft_kv_test/ties", wipe = true)
+    t.put(Seq((1L, "f", "q", "alpha", 5L), (1L, "f", "q", "zeta", 5L),
+      (2L, "f", "q", "zeta", 5L), (2L, "f", "q", "alpha", 5L))
+      .toDF("key", "family", "qualifier", "value", "ts"))
+    val winners = (1 to 3).map { _ =>
+      t.resolved().orderBy($"key")
+        .select($"key", $"value").as[(Long, String)].collect().toSeq
+    }
+    assert(winners.head === Seq((1L, "zeta"), (2L, "zeta")))
+    assert(winners.distinct.size === 1, s"nondeterministic resolve: $winners")
+  }
+
   test("single-document corpus produces no pairs, keeps itself") {
     val one = Seq((7L, "only one document here with some words")).toDF("doc_id", "text")
     assert(llm.Dedup.ngramJaccard(one, 0.5).count() === 0)
