@@ -32,14 +32,52 @@ class KVTable(val spark: SparkSession, val path: String) {
 
   private def logDir = s"$path/log"
 
-  def exists: Boolean = new java.io.File(logDir).exists()
+  /** Catalog identity of the compacted state — derived from the path so
+    * each table path owns exactly one bucketed table. */
+  val tableName: String = "graft_kv_" + path.replaceAll("[^A-Za-z0-9]+", "_")
+    .replaceAll("^_+|_+$", "").toLowerCase
 
-  /** Raw cell log (all versions + tombstones). */
-  def cells: DataFrame =
-    if (exists) spark.read.schema(CELL_SCHEMA_DDL).parquet(logDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(CELL_SCHEMA_DDL))
+  private def logExists: Boolean = new java.io.File(logDir).exists()
+
+  private def bucketMeta = new java.io.File(s"$path/compacted/_graft_buckets.txt")
+
+  /** The session catalog is in-memory: a compacted table written by a
+    * previous session has files + a bucket-count marker on disk but no
+    * catalog entry — re-register it (CLUSTERED BY matching the layout)
+    * so its partitioning stays visible to Catalyst across sessions. */
+  private def compactedExists: Boolean = {
+    if (!spark.catalog.tableExists(tableName) && bucketMeta.exists()) {
+      val n = {
+        val src = scala.io.Source.fromFile(bucketMeta)
+        try src.mkString.trim.toInt finally src.close()
+      }
+      spark.sql(
+        s"""CREATE TABLE $tableName ($CELL_SCHEMA_DDL) USING parquet
+           |CLUSTERED BY (key) SORTED BY (key, family, qualifier)
+           |INTO $n BUCKETS LOCATION '$path/compacted'""".stripMargin)
+    }
+    spark.catalog.tableExists(tableName)
+  }
+
+  def exists: Boolean = logExists || compactedExists
+
+  private def emptyCells: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    org.apache.spark.sql.types.StructType.fromDDL(CELL_SCHEMA_DDL))
+
+  /** Raw cell log: compacted bucketed table (key-clustered, key-sorted —
+    * Catalyst sees hashpartitioning(key) and plans key joins/groupBys
+    * downstream of `resolved()` with NO Exchange, the analogue of the
+    * reference advertising its RegionPartitioner, HBaseRDD.scala:26)
+    * unioned with post-compaction appends (the memstore analogue). */
+  def cells: DataFrame = (compactedExists, logExists) match {
+    case (true, true) =>
+      spark.table(tableName)
+        .unionByName(spark.read.schema(CELL_SCHEMA_DDL).parquet(logDir))
+    case (true, false) => spark.table(tableName)
+    case (false, true) => spark.read.schema(CELL_SCHEMA_DDL).parquet(logDir)
+    case _ => emptyCells
+  }
 
   /** M1/M2 `update`/`put` (HBaseTable.scala:100-155): append new cells;
     * no read required (upsert-by-log). */
@@ -79,18 +117,38 @@ class KVTable(val spark: SparkSession, val path: String) {
   /** Latest-wins live-cell view (the read path every query sees). */
   def resolved(): DataFrame = resolve(cells)
 
-  /** M5-M7 bulk path: resolve + key-sorted rewrite + atomic-ish swap.
-    * At scale: one range shuffle, sorted output, old log dropped. */
-  def compact(numRanges: Int = 8): Unit = {
+  /** M5-M7 bulk path: resolve + bucketed, key-sorted rewrite as a
+    * catalog table + swap. One hash shuffle on the key, sorted output —
+    * the HFile-pipeline shape — and, crucially, a layout Catalyst can
+    * SEE: the bucketed scan reports hashpartitioning(key, numBuckets),
+    * so every downstream key join / groupBy / resolve-window plans with
+    * zero Exchange (the reference's RegionPartitioner advertisement,
+    * RegionPartitioner.scala:12-68). Two compacted tables with the same
+    * bucket count join co-located, shuffle-free on either side. */
+  def compact(numBuckets: Int = 8): Unit = {
     val tmp = s"$path/compacting"
+    // materialize first: the new state derives from the table being
+    // overwritten (Spark refuses to overwrite a table it is reading)
     resolved()
       .withColumn("tomb", lit(null).cast("string"))
-      .repartitionByRange(numRanges, col("key"))
-      .sortWithinPartitions(col("key"), col("family"), col("qualifier"))
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new java.io.File(logDir)
-    KVTable.deleteRecursively(fs)
-    new java.io.File(tmp).renameTo(fs)
+    spark.read.schema(CELL_SCHEMA_DDL).parquet(tmp)
+      .repartition(numBuckets, col("key")) // align tasks with buckets: one file per bucket
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "key")
+      .sortBy("key", "family", "qualifier")
+      .option("path", s"$path/compacted")
+      .saveAsTable(tableName)
+    val w = new java.io.PrintWriter(bucketMeta)
+    try w.print(numBuckets) finally w.close()
+    KVTable.deleteRecursively(new java.io.File(logDir))
+    KVTable.deleteRecursively(new java.io.File(tmp))
+  }
+
+  /** Drop all state (log + compacted table + files). */
+  def drop(): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    KVTable.deleteRecursively(new java.io.File(path))
   }
 }
 
@@ -99,8 +157,9 @@ object KVTable {
     "key BIGINT, family STRING, qualifier STRING, value STRING, ts BIGINT, tomb STRING"
 
   def apply(spark: SparkSession, path: String, wipe: Boolean = false): KVTable = {
-    if (wipe) deleteRecursively(new java.io.File(path))
-    new KVTable(spark, path)
+    val t = new KVTable(spark, path)
+    if (wipe) t.drop()
+    t
   }
 
   private[write] def deleteRecursively(f: java.io.File): Unit = {

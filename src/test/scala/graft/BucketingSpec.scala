@@ -48,4 +48,31 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(got === exp)
   }
+
+  test("two compacted KV tables join on key with zero Exchange (and " +
+      "resolve itself plans shuffle-free off the bucketed layout)") {
+    import graft.write.KVTable
+    val a = KVTable(spark, "/root/repo/target/graft_kv_test/cojoin_a", wipe = true)
+    val b = KVTable(spark, "/root/repo/target/graft_kv_test/cojoin_b", wipe = true)
+    val base = Tables.orders(spark, sf)
+    a.put(base.select($"o_orderkey".as("key"), lit("f").as("family"),
+      lit("st").as("qualifier"), $"o_orderstatus".as("value"), lit(1L).as("ts")))
+    b.put(base.select($"o_orderkey".as("key"), lit("f").as("family"),
+      lit("pr").as("qualifier"), $"o_totalprice".cast("string").as("value"),
+      lit(1L).as("ts")))
+    a.compact()
+    b.compact()
+    // the compacted bucketed scan reports hashpartitioning(key): the
+    // resolve window (key,family,qualifier), the tombstone joins AND the
+    // cross-table key join are all satisfied by it — no Exchange anywhere
+    val joined = a.resolved().select($"key", $"value".as("status"))
+      .join(b.resolved().select($"key", $"value".as("price")), Seq("key"))
+    // no SHUFFLE exchange anywhere (BroadcastExchange is fine — that's
+    // AQE choosing broadcast for the small tombstone sides, not a shuffle)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"compacted KV join still shuffles:\n${plan.take(3000)}")
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+    assert(joined.count() === base.count())
+  }
 }
