@@ -125,11 +125,14 @@ class KVTable(val spark: SparkSession, val path: String) {
     * zero Exchange (the reference's RegionPartitioner advertisement,
     * RegionPartitioner.scala:12-68). Two compacted tables with the same
     * bucket count join co-located, shuffle-free on either side. */
-  def compact(numBuckets: Int = 8): Unit = {
+  def compact(numBuckets: Int = 8): Unit =
+    writeCompacted(resolved(), numBuckets)
+
+  private def writeCompacted(state: DataFrame, numBuckets: Int): Unit = {
     val tmp = s"$path/compacting"
     // materialize first: the new state derives from the table being
     // overwritten (Spark refuses to overwrite a table it is reading)
-    resolved()
+    state
       .withColumn("tomb", lit(null).cast("string"))
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.schema(CELL_SCHEMA_DDL).parquet(tmp)
@@ -145,12 +148,81 @@ class KVTable(val spark: SparkSession, val path: String) {
     KVTable.deleteRecursively(new java.io.File(tmp))
   }
 
+  /** Async bulk-load completion (reference `completeAsync`,
+    * HBaseTable.scala:316-344): compaction on a background thread so the
+    * writer can continue appending to the log while the heavy rewrite
+    * runs. Spark jobs are thread-safe per session; the returned future
+    * completes when the bucketed table is swapped in. */
+  def compactAsync(numBuckets: Int = 8)(
+      implicit ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global)
+      : scala.concurrent.Future[Unit] =
+    scala.concurrent.Future(compact(numBuckets))
+
+  // --- family descriptors (reference HBaseAdminUtils.scala:86-103:
+  // per-family TTL / compression / bloom / maxVersions) ---------------
+
+  private def familyMeta = new java.io.File(s"$path/_families.json")
+
+  /** Declare per-family properties. maxVersions is fixed at 1 by the
+    * read path (setMaxVersions(1) parity); compression/bloom are
+    * recorded as intent (parquet brings its own codec + min/max
+    * pruning); ttlSeconds is enforced: expired cells are masked at read
+    * time and physically dropped at compaction. */
+  def setFamilies(descs: Seq[FamilyDescriptor]): Unit = {
+    familyMeta.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(familyMeta)
+    try descs.foreach(fd =>
+      w.println(s"${fd.family}\t${fd.ttlSeconds}\t${fd.compression}\t${fd.bloom}"))
+    finally w.close()
+  }
+
+  def families: Seq[FamilyDescriptor] =
+    if (!familyMeta.exists()) Seq.empty
+    else {
+      val src = scala.io.Source.fromFile(familyMeta)
+      try src.getLines().filter(_.nonEmpty).map { l =>
+        val f = l.split("\t")
+        FamilyDescriptor(f(0), f(1).toLong, f(2), f(3).toBoolean)
+      }.toList finally src.close()
+    }
+
+  /** TTL mask: cells of a TTL'd family older than (now - ttl) are dead.
+    * Applied as a read filter (HBase masks expired cells at read time
+    * too); compactAt() drops them physically. */
+  private def ttlFilter(df: DataFrame, nowTs: Long): DataFrame = {
+    val ttls = families.filter(_.ttlSeconds != Long.MaxValue)
+    if (ttls.isEmpty) df
+    else {
+      val cutoffs = ttls.map(fd => fd.family -> (nowTs - fd.ttlSeconds))
+        .foldLeft(lit(Long.MinValue)) { case (acc, (fam, cut)) =>
+          when(col("family") === fam, lit(cut)).otherwise(acc)
+        }
+      df.filter(col("ts") > cutoffs)
+    }
+  }
+
+  /** Latest-wins view with TTL enforcement as of `nowTs`. */
+  def resolvedAt(nowTs: Long): DataFrame = resolve(ttlFilter(cells, nowTs))
+
+  /** Compaction that also physically expires TTL'd cells (the
+    * reference's major-compaction TTL semantics). */
+  def compactAt(nowTs: Long, numBuckets: Int = 8): Unit =
+    writeCompacted(resolvedAt(nowTs), numBuckets)
+
   /** Drop all state (log + compacted table + files). */
   def drop(): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     KVTable.deleteRecursively(new java.io.File(path))
   }
 }
+
+/** Per-family storage properties (HBaseAdminUtils.scala:86-103 parity).
+  * ttlSeconds = Long.MaxValue means no expiry. */
+case class FamilyDescriptor(family: String,
+                            ttlSeconds: Long = Long.MaxValue,
+                            compression: String = "snappy",
+                            bloom: Boolean = true)
 
 object KVTable {
   val CELL_SCHEMA_DDL =
