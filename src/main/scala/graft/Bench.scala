@@ -13,22 +13,33 @@ object Bench {
     // warmup (different sfDir → different plans) shares no data with
     // the timed run.
     val warmDir = "/root/testdata/sf0.001"
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Queries must not interfere: several operators cache/checkpoint
+    // intermediates internally, and leaked blocks from query A evicting
+    // query B's shuffle data taxes B's measured time. Sweep every block
+    // between queries so each number is independent, and iterate in
+    // sorted name order so any residual interference is reproducible.
+    def sweepCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmDir != sfDir) {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
       // best of two timed passes: JIT/GC jitter on a shared box swings
       // single runs ±25%; the min is the reproducible steady-state time
       val times = (1 to 2).map { _ =>
+        sweepCaches()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      sweepCaches()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout gets log-truncated when 100+ query timings share one line —

@@ -88,10 +88,12 @@ object CodecQueries {
       } else {
         val (lo, hi) = (stats.getLong(0), stats.getLong(1))
         val nbins = 256L
+        // no cache: binned is scanned twice (bounds + the final agg) but
+        // is a cheap scan-side projection — recompute beats a leaked block
         val binned = enc.withColumn("bin",
           if (hi == lo) lit(0L)
           else least(floor(($"o_orderkey" - lo) * (nbins.toDouble / (hi - lo))),
-            lit(nbins - 1))).cache()
+            lit(nbins - 1)))
         val wBin = Window.partitionBy($"bin").orderBy($"o_orderkey")
         val bounds = binned.groupBy($"bin").agg(
             min_by($"kb", $"o_orderkey").as("first_kb"),

@@ -123,6 +123,12 @@ object GraphOps {
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = labels0
     var frontier = labels0
+    // Sliding persist window: each round is materialized eagerly (labels
+    // + frontier share the one computation), then the PREVIOUS round's
+    // blocks are freed — at most two rounds are ever resident, instead
+    // of one leaked persist per superstep. Lineage is cut with an eager
+    // checkpoint every few rounds so plans stay bounded on long runs.
+    var prev: Option[DataFrame] = None
     for (step <- 1 to steps) {
       val pushed = p
         .join(frontier.withColumnRenamed("vertex", "dst"), Seq("dst"))
@@ -132,17 +138,21 @@ object GraphOps {
         .select(col("vertex"),
           greatest(col("label"), coalesce(col("cand"), col("label"))).as("label"),
           (coalesce(col("cand"), col("label")) > col("label")).as("changed"))
-      // persist (lazy cache) each round so labels+frontier share one
-      // materialization; cut lineage with an eager checkpoint only every
-      // few supersteps — plans stay bounded without paying a blocking
-      // write per round.
       next =
         if (step % 4 == 0) next.localCheckpoint(eager = true)
-        else next.persist(StorageLevel.MEMORY_AND_DISK)
+        else {
+          val n = next.persist(StorageLevel.MEMORY_AND_DISK)
+          n.count()
+          n
+        }
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
       frontier = next.filter(col("changed")).select(col("vertex"), col("label"))
       labels = next.select(col("vertex"), col("label"))
     }
     p.unpersist()
+    // the final round's blocks back the returned DataFrame; they are
+    // released when the caller's session sweeps (Bench does) or on GC.
     labels
   }
 
@@ -157,20 +167,11 @@ object GraphOps {
       .groupBy(col("key")).agg(max(col("rep")).as("rep"))
   }
 
-  /** A13 `cutoff` (AGraph.scala:98-113), distributed: degree histogram →
-    * cumulative vertex-mass fraction → smallest degree covering 1-ε →
-    * drop pairs touching vertices above it. No driver-side collect: the
-    * heavy-vertex set stays a DataFrame and is broadcast-anti-joined. */
-  def cutoff(pairs: DataFrame, epsilon: Double = 0.05): (DataFrame, DataFrame) = {
+  /** (1−ε)-mass degree threshold from a per-vertex degree relation: the
+    * histogram is one row per DISTINCT degree (driver-small), so the
+    * cumulative window and the two scalar actions are cheap. */
+  private def heavyVertices(degree: DataFrame, epsilon: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
-    // pairs feeds both the degree computation and the final anti-join;
-    // degree feeds hist + heavy — persist both to avoid recompute across
-    // the threshold action and the result job.
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    val degree = p.groupBy(col("src").as("vertex"))
-      .agg(count(lit(1)).as("degree"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val hist = degree.groupBy(col("degree")).agg(count(lit(1)).as("nv"))
     val w = Window.orderBy(col("degree"))
     val total = hist.agg(sum(col("nv"))).first().getLong(0)
@@ -178,11 +179,46 @@ object GraphOps {
       .withColumn("cum", sum(col("nv")).over(w))
       .filter(col("cum") >= lit(total * (1.0 - epsilon)))
       .agg(min(col("degree"))).first().getLong(0)
-    val heavy = degree.filter(col("degree") > threshold)
-    val kept = p
-      .join(broadcast(heavy.select(col("vertex").as("src"))), Seq("src"), "left_anti")
-      .join(broadcast(heavy.select(col("vertex").as("dst"))), Seq("dst"), "left_anti")
+    degree.filter(col("degree") > threshold)
+  }
+
+  /** A13 `cutoff` (AGraph.scala:98-113), distributed: degree histogram →
+    * cumulative vertex-mass fraction → smallest degree covering 1-ε →
+    * drop pairs touching vertices above it. No driver-side collect, and
+    * no broadcast hint on the anti-joins: `heavy` is up to ε·|V| rows —
+    * unbounded at scale — so AQE decides (it broadcasts when the set
+    * actually fits, the common case). `pairs` is scanned by both the
+    * degree side and the final anti-joins; callers running multiple
+    * actions should persist it — see [[cutoffCounts]]. */
+  def cutoff(pairs: DataFrame, epsilon: Double = 0.05): (DataFrame, DataFrame) = {
+    val degree = pairs.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"))
+    val heavy = heavyVertices(degree, epsilon)
+    val kept = pairs
+      .join(heavy.select(col("vertex").as("src")), Seq("src"), "left_anti")
+      .join(heavy.select(col("vertex").as("dst")), Seq("dst"), "left_anti")
     (kept, heavy)
+  }
+
+  /** Materializing form of [[cutoff]] (the a13 query): persists the
+    * twice-scanned relations for the multi-action computation and frees
+    * them before returning — no cached blocks outlive the call. */
+  def cutoffCounts(pairs: DataFrame, epsilon: Double = 0.05): (Long, Long) = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val degree = p.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val heavy = heavyVertices(degree, epsilon)
+      val kept = p
+        .join(heavy.select(col("vertex").as("src")), Seq("src"), "left_anti")
+        .join(heavy.select(col("vertex").as("dst")), Seq("dst"), "left_anti")
+      (kept.count(), heavy.count())
+    } finally {
+      degree.unpersist(false)
+      p.unpersist(false)
+    }
   }
 
   /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two

@@ -120,13 +120,19 @@ object GraphQueries {
     }),
 
     // A10 `f1` (AGraph.scala:307-326), fully distributed; the model net
-    // perturbs some destinations so FP/FN are both non-trivial.
+    // perturbs some destinations so FP/FN are both non-trivial. Both
+    // nets derive from dedupA — one cached materialization instead of
+    // two full dedup shuffles; f1 acts eagerly, so the cache is freed
+    // before returning.
     "a10_f1" -> ((s, d) => {
       import s.implicits._
-      val model = dedupA(s, d).filter($"pb" > 0)
-        .withColumn("dst",
-          when($"vendor" % 5 === 0, $"dst" + 2).otherwise($"dst"))
-      f1(model, dedupA(s, d))
+      val dd = dedupA(s, d).persist()
+      try {
+        val model = dd.filter($"pb" > 0)
+          .withColumn("dst",
+            when($"vendor" % 5 === 0, $"dst" + 2).otherwise($"dst"))
+        f1(model, dd)
+      } finally { dd.unpersist(false); () }
     }),
 
     // A13 `cutoff` (AGraph.scala:98-113): drop pairs touching vertices
@@ -134,9 +140,7 @@ object GraphQueries {
     // driver-side Set.
     "a13_cutoff" -> ((s, d) => {
       import s.implicits._
-      val (kept, heavy) = cutoff(pairs2(s, d), 0.05)
-      val nKept = kept.count()
-      val nHeavy = heavy.count()
+      val (nKept, nHeavy) = cutoffCounts(pairs2(s, d), 0.05)
       Seq((nKept, nHeavy)).toDF("n_kept_pairs", "n_heavy_vertices")
     }),
 
@@ -157,10 +161,13 @@ object GraphQueries {
     }),
 
     // G3 one BSP superstep (AGraph.scala:88-93). pairs feed both the
-    // vertex set and the join — persist to compute the dedup once.
+    // vertex set and the join; no persist — the result is lazy, so a
+    // cache here would outlive the call (r2's leak). The cost is one
+    // recompute of the cheap dedup shuffle; long-lived callers that
+    // iterate should use bspIterate*, which manage their own lifecycle.
     "g3_bsp_step" -> ((s, d) => {
       import s.implicits._
-      val p2 = pairs2(s, d).persist()
+      val p2 = pairs2(s, d)
       val labels0 = p2.select($"src".as("vertex")).distinct()
         .withColumn("label", $"vertex")
       bspStep(labels0, p2).orderBy($"vertex")
@@ -262,18 +269,15 @@ object GraphQueries {
       GraphOps.flatten(fromPairs(feedA(s, d))).orderBy($"src")
     }),
 
-    // SO1 edge-set union with combine (AGraph.scala:126-211): two vendor
-    // feeds' adjacency arrays concatenated then merged by max payload.
+    // SO1 edge-set union with combine (AGraph.scala:126-211): the two
+    // vendor feeds unioned, then one EP-combine merge — ONE shuffle on
+    // (src, dst), the same shape as the oracle. The adjacency-array
+    // detour (fromPairs × 2 + full-outer + explode + re-dedup = 5
+    // shuffles and super-node arrays) lives on only as the NETWORK-union
+    // coverage case in GraphOpsSpec.
     "so1_union_combine" -> ((s, d) => {
       import s.implicits._
-      val a = fromPairs(feedA(s, d)).withColumnRenamed("edges", "ea")
-      val b = fromPairs(feedB(s, d)).withColumnRenamed("edges", "eb")
-      a.join(b, Seq("src"), "full_outer")
-        .select($"src", explode(concat(
-          coalesce($"ea", array()), coalesce($"eb", array()))).as("e"))
-        .select($"src", $"e.dst".as("dst"), $"e.version".as("version"),
-          $"e.pb".as("pb"), $"e.vendor".as("vendor"), $"e.ts".as("ts"))
-        .transform(deduplicate)
+      deduplicate(feedA(s, d).unionByName(feedB(s, d)))
         .select($"src", $"dst", $"pb")
         .orderBy($"src", $"dst")
     }),

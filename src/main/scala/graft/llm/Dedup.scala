@@ -31,10 +31,23 @@ object Dedup {
 
   /** Single-file sources arrive as one input partition (one row group);
     * hashing/shingling is CPU-bound per row, so fan the rows out across
-    * the executors before the heavy projection. At 100 TB inputs are
-    * many-partition to begin with and this is a no-op choice. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * the executors before the heavy projection. Conditional: an input
+    * that already has enough partitions (every real-scale corpus) passes
+    * through untouched — no round-robin shuffle, no parallelism shrink. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Materialization barrier: computes `result` once (so the cached
+    * intermediates actually pay off), then frees them — callers get a
+    * lineage-free DataFrame and the session keeps no leaked blocks from
+    * this job (the barrier's own blocks are the bounded result set). */
+  private def barrier(result: DataFrame, temps: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    temps.foreach(_.unpersist(false))
+    out
+  }
 
   /** Distinct (doc, shingle) pairs. */
   def docShingles(docs: DataFrame, k: Int = 3): DataFrame =
@@ -65,12 +78,13 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("common"))
-    common
+    val pairs = common
       .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jacc") >= threshold)
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
+    barrier(pairs, sh)
   }
 
   /** MinHash signatures, computed entirely inside one codegen'd
@@ -123,12 +137,13 @@ object Dedup {
     val common = cand.join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
-    common
+    val pairs = common
       .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
       .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jacc") >= threshold)
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
+    barrier(pairs, sh, sig, banded)
   }
 
   /** 60-bit SimHash over the document's distinct words — word hashes

@@ -81,12 +81,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
-  test("a2/w2 scalar graph stats avoid collect_list adjacency arrays") {
-    for (q <- Seq("a2_edge_hist", "w2_max_connected")) {
+  test("a2/w2/so1 scalar graph stats avoid collect_list adjacency arrays") {
+    for (q <- Seq("a2_edge_hist", "w2_max_connected", "so1_union_combine")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("collect_list"), s"$q materializes adjacency arrays")
     }
+  }
+
+  test("so1 union+combine plans exactly one shuffle (its oracle's shape)") {
+    val plan = SparkEntry.queries("so1_union_combine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one Exchange for the (src,dst) combine + the final presentation sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"so1 shuffles $exchanges times:\n${plan.take(2000)}")
+  }
+
+  test("cutoff's anti-joins carry no forced broadcast hint (AQE decides)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val star = (1L to 6L).map(i => (99L, i))
+    val chain = (200L to 212L by 2).map(i => (i, i + 1))
+    val pairs = graft.graph.GraphOps.reverse((star ++ chain).toDF("src", "dst"))
+    val (kept, _) = graft.graph.GraphOps.cutoff(pairs, 0.05)
+    val hints = kept.queryExecution.optimizedPlan.collect { case j: Join => j.hint }
+    assert(hints.nonEmpty)
+    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
+      s"forced join hints present: $hints")
+  }
+
+  test("dedup/similarity fan-out is conditional: wide inputs keep their partitioning") {
+    val docs = Tables.documents(spark, sf)
+      .repartition(8, $"doc_id") // already >= test parallelism (4)
+    val plan = graft.llm.Dedup.docShingles(docs)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("RoundRobinPartitioning"),
+      s"spread() round-robin-shuffled an already-wide input:\n${plan.take(1500)}")
+    val emb = Tables.embeddings(spark, sf).repartition(8, $"vec_id")
+    val planE = graft.llm.Similarity.lshCosinePairs(emb, 0.5, planes = 4, bands = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!planE.contains("RoundRobinPartitioning"),
+      s"prepared() round-robin-shuffled an already-wide input:\n${planE.take(1500)}")
   }
 
   test("no registered query plans an unpartitioned (single-task) window") {
