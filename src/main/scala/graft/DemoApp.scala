@@ -16,7 +16,7 @@ object DemoApp {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
 
     // --- demo_simple flow: typed KV table, select/filter/join ---------
-    val kv = write.KVTable(spark, "/root/repo/target/graft_demo/simple",
+    val kv = write.KVTable(spark, graft.RepoPaths.target("graft_demo/simple"),
       wipe = true)
     kv.put(Tables.part(spark, d).select($"p_partkey".as("key"),
       lit("F").as("family"), lit("size").as("qualifier"),

@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{RepoPaths, Tables}
 import GraphOps._
 
 /** Graph-shaped operator queries (SURVEY.md §2.4 A2-A13, §2.9 G1-G9,
@@ -238,7 +238,7 @@ object GraphQueries {
     // (HGraphTable.scala:69-83 — last qualifier in keyspace order).
     "g9_net_view" -> ((s, d) => {
       import s.implicits._
-      val path = "/root/repo/target/graft_net/g9"
+      val path = RepoPaths.target("graft_net/g9")
       fromPairs(feedA(s, d))
         .repartitionByRange(8, $"src").sortWithinPartitions($"src")
         .write.mode("overwrite").parquet(path)

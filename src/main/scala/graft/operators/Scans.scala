@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.Tables
+import graft.{RepoPaths, Tables}
 
 /** §2.1 scans / sources / sinks (SURVEY.md).
   *
@@ -61,7 +61,7 @@ object Scans {
     // which Kryo SequenceFiles are not).
     "s5_snapshot_roundtrip" -> ((s, d) => {
       import s.implicits._
-      val path = "/root/repo/target/graft_snapshots/s5"
+      val path = RepoPaths.target("graft_snapshots/s5")
       Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path).orderBy($"doc_id")
@@ -82,7 +82,7 @@ object Scans {
       import s.implicits._
       // File-stream source needs a directory: stage the events table into
       // one (models the landing dir a stream ingests at scale).
-      val stageDir = "/root/repo/target/graft_stream/events"
+      val stageDir = RepoPaths.target("graft_stream/events")
       Tables.events(s, d).write.mode("overwrite").parquet(stageDir)
       val schema = Tables.events(s, d).schema
       val src = s.readStream.schema(schema).parquet(stageDir)

@@ -33,9 +33,17 @@ class KVTable(val spark: SparkSession, val path: String) {
   private def logDir = s"$path/log"
 
   /** Catalog identity of the compacted state — derived from the path so
-    * each table path owns exactly one bucketed table. */
-  val tableName: String = "graft_kv_" + path.replaceAll("[^A-Za-z0-9]+", "_")
-    .replaceAll("^_+|_+$", "").toLowerCase
+    * each table path owns exactly one bucketed table. The slug alone is
+    * not injective (it collapses case and non-alphanumerics, so
+    * `/kv-a` and `/kv_A` would share a catalog entry and clobber each
+    * other's compacted state) — a hash of the raw path disambiguates. */
+  val tableName: String = {
+    val slug = path.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "").toLowerCase
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_kv_${slug}_$hash"
+  }
 
   private def logExists: Boolean = new java.io.File(logDir).exists()
 
@@ -117,6 +125,28 @@ class KVTable(val spark: SparkSession, val path: String) {
   /** Latest-wins live-cell view (the read path every query sees). */
   def resolved(): DataFrame = resolve(cells)
 
+  /** Data files of the log as of now — the compaction snapshot. Only
+    * these files feed the rewrite, and only these are deleted after the
+    * swap: a put() landing while compaction runs adds NEW part files,
+    * which survive into the next log untouched (no lost-write race with
+    * [[compactAsync]]). */
+  private def listLogFiles(): Seq[java.io.File] = {
+    val d = new java.io.File(logDir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith(".") && !f.getName.startsWith("_")).toSeq
+  }
+
+  /** Cell view pinned to an explicit log-file snapshot (compaction's
+    * read side; `cells` itself re-lists the directory on every call). */
+  private def cellsFrom(logFiles: Seq[java.io.File]): DataFrame = {
+    val logDf =
+      if (logFiles.isEmpty) emptyCells
+      else spark.read.schema(CELL_SCHEMA_DDL)
+        .parquet(logFiles.map(_.getPath): _*)
+    if (compactedExists) spark.table(tableName).unionByName(logDf) else logDf
+  }
+
   /** M5-M7 bulk path: resolve + bucketed, key-sorted rewrite as a
     * catalog table + swap. One hash shuffle on the key, sorted output —
     * the HFile-pipeline shape — and, crucially, a layout Catalyst can
@@ -125,10 +155,13 @@ class KVTable(val spark: SparkSession, val path: String) {
     * zero Exchange (the reference's RegionPartitioner advertisement,
     * RegionPartitioner.scala:12-68). Two compacted tables with the same
     * bucket count join co-located, shuffle-free on either side. */
-  def compact(numBuckets: Int = 8): Unit =
-    writeCompacted(resolved(), numBuckets)
+  def compact(numBuckets: Int = 8): Unit = {
+    val snapshot = listLogFiles()
+    writeCompacted(KVTable.resolve(cellsFrom(snapshot)), numBuckets, snapshot)
+  }
 
-  private def writeCompacted(state: DataFrame, numBuckets: Int): Unit = {
+  private def writeCompacted(state: DataFrame, numBuckets: Int,
+                             snapshotLogFiles: Seq[java.io.File]): Unit = {
     val tmp = s"$path/compacting"
     // materialize first: the new state derives from the table being
     // overwritten (Spark refuses to overwrite a table it is reading)
@@ -144,7 +177,13 @@ class KVTable(val spark: SparkSession, val path: String) {
       .saveAsTable(tableName)
     val w = new java.io.PrintWriter(bucketMeta)
     try w.print(numBuckets) finally w.close()
-    KVTable.deleteRecursively(new java.io.File(logDir))
+    // delete ONLY the snapshot's files (plus their checksum siblings) —
+    // never the directory: appends racing with this rewrite live as
+    // other part files in the same directory and must survive.
+    snapshotLogFiles.foreach { f =>
+      new java.io.File(f.getParentFile, "." + f.getName + ".crc").delete()
+      f.delete()
+    }
     KVTable.deleteRecursively(new java.io.File(tmp))
   }
 
@@ -207,8 +246,11 @@ class KVTable(val spark: SparkSession, val path: String) {
 
   /** Compaction that also physically expires TTL'd cells (the
     * reference's major-compaction TTL semantics). */
-  def compactAt(nowTs: Long, numBuckets: Int = 8): Unit =
-    writeCompacted(resolvedAt(nowTs), numBuckets)
+  def compactAt(nowTs: Long, numBuckets: Int = 8): Unit = {
+    val snapshot = listLogFiles()
+    writeCompacted(KVTable.resolve(ttlFilter(cellsFrom(snapshot), nowTs)),
+      numBuckets, snapshot)
+  }
 
   /** Drop all state (log + compacted table + files). */
   def drop(): Unit = {

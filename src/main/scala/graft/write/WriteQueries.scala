@@ -3,7 +3,7 @@ package graft.write
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.Tables
+import graft.{RepoPaths, Tables}
 
 /** §2.8 mutation operators + §2.1 write sinks + §2.10 streaming merge
   * (SURVEY.md). Every mutation is exercised against the KVTable cell
@@ -12,7 +12,7 @@ import graft.Tables
 object WriteQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  private def base(name: String) = s"/root/repo/target/graft_kv/$name"
+  private def base(name: String) = graft.RepoPaths.target(s"graft_kv/$name")
 
   /** part → F:size cells at ts. */
   private def partCells(s: SparkSession, d: String) = {
@@ -185,7 +185,7 @@ object WriteQueries {
     // M9 DDL (HBaseAdminUtils.scala:105-214): catalog create/insert/read.
     "m9_ddl" -> ((s, d) => {
       import s.implicits._
-      KVTable.deleteRecursively(new java.io.File("/root/repo/target/warehouse/graft_m9"))
+      KVTable.deleteRecursively(new java.io.File(RepoPaths.target("warehouse/graft_m9")))
       s.sql("DROP TABLE IF EXISTS graft_m9")
       s.sql("""CREATE TABLE graft_m9
               |(n_nationkey INT, n_name STRING, n_regionkey INT)
@@ -193,6 +193,27 @@ object WriteQueries {
       Tables.nation(s, d).createOrReplaceTempView("graft_m9_src")
       s.sql("INSERT INTO graft_m9 SELECT * FROM graft_m9_src")
       s.table("graft_m9").orderBy($"n_nationkey")
+    }),
+
+    // M10 family TTL (HBaseAdminUtils.scala:86-103): cells of a TTL'd
+    // family expire relative to "now" — masked at read (resolvedAt) and
+    // physically dropped by compactAt, so the plain resolved() view
+    // afterwards proves storage-level expiry end-to-end.
+    "m10_ttl" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m10"), wipe = true)
+      t.setFamilies(Seq(FamilyDescriptor("E", ttlSeconds = 21600L)))
+      t.put(Tables.events(s, d).select($"user_id".as("key"),
+        lit("E").as("family"), lit("last").as("qualifier"),
+        round($"value" * 100).cast("long").cast("string").as("value"),
+        expr("ts DIV 1000000000").as("ts")))
+      // "now" = newest event second (deterministic per dataset)
+      val now = Tables.events(s, d)
+        .agg(max(expr("ts DIV 1000000000"))).first().getLong(0)
+      t.compactAt(now)
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
     }),
 
     // S8 buffered-mutator sink (HBaseTable.scala:100-122): plain upsert
@@ -215,7 +236,7 @@ object WriteQueries {
     // in-partition-sorted write — Spark's native sorted bulk write.
     "s9_bulk_sink" -> ((s, d) => {
       import s.implicits._
-      val path = "/root/repo/target/graft_bulk/s9"
+      val path = RepoPaths.target("graft_bulk/s9")
       Tables.lineitem(s, d)
         .repartitionByRange(8, $"l_orderkey")
         .sortWithinPartitions($"l_orderkey", $"l_linenumber")
@@ -229,7 +250,7 @@ object WriteQueries {
     // the reference's socket-to-table pipeline as Structured Streaming.
     "st1_stream_merge" -> ((s, d) => {
       import s.implicits._
-      val stage = "/root/repo/target/graft_stream/st1"
+      val stage = RepoPaths.target("graft_stream/st1")
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
       val t = KVTable(s, base("st1"), wipe = true)
       val src = s.readStream.schema(Tables.events(s, d).schema).parquet(stage)
@@ -251,7 +272,7 @@ object WriteQueries {
     // surface, built-in Structured Streaming).
     "st2_stream_window" -> ((s, d) => {
       import s.implicits._
-      val stage = "/root/repo/target/graft_stream/st2"
+      val stage = RepoPaths.target("graft_stream/st2")
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
       val src = s.readStream.schema(Tables.events(s, d).schema).parquet(stage)
         .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
@@ -274,7 +295,7 @@ object WriteQueries {
     // in state and is not emitted.
     "st3_sessionize" -> ((s, d) => {
       import s.implicits._
-      val stage = "/root/repo/target/graft_stream/st3"
+      val stage = RepoPaths.target("graft_stream/st3")
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
       graft.streaming.Sessionize
         .run(s, stage, Tables.events(s, d).schema, gapSec = 14400L)
@@ -322,6 +343,18 @@ object WriteQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     "m9_ddl" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "m10_ttl" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+        |                  CAST(round(value*100) AS BIGINT) AS cents
+        |           FROM events),
+        |m AS (SELECT max(sec) AS mx FROM e),
+        |r AS (SELECT user_id, sec, cents,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY sec DESC, CAST(cents AS VARCHAR) DESC) AS rn
+        |      FROM e)
+        |SELECT user_id AS key, cents FROM r
+        |WHERE rn = 1 AND sec > (SELECT mx FROM m) - 21600
+        |ORDER BY key""".stripMargin,
     "s8_upsert_sink" ->
       """SELECT c_custkey AS key,
         |       CAST(round(c_acctbal*100) AS BIGINT)

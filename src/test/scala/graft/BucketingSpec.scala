@@ -20,8 +20,8 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File("/root/repo/target/warehouse/graft_b_orders"))
-    rm(new java.io.File("/root/repo/target/warehouse/graft_b_lineitem"))
+    rm(new java.io.File(targetPath("warehouse/graft_b_orders")))
+    rm(new java.io.File(targetPath("warehouse/graft_b_lineitem")))
     Tables.orders(spark, sf).write
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_b_orders")
@@ -52,8 +52,8 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
   test("two compacted KV tables join on key with zero Exchange (and " +
       "resolve itself plans shuffle-free off the bucketed layout)") {
     import graft.write.KVTable
-    val a = KVTable(spark, "/root/repo/target/graft_kv_test/cojoin_a", wipe = true)
-    val b = KVTable(spark, "/root/repo/target/graft_kv_test/cojoin_b", wipe = true)
+    val a = KVTable(spark, targetPath("graft_kv_test/cojoin_a"), wipe = true)
+    val b = KVTable(spark, targetPath("graft_kv_test/cojoin_b"), wipe = true)
     val base = Tables.orders(spark, sf)
     a.put(base.select($"o_orderkey".as("key"), lit("f").as("family"),
       lit("st").as("qualifier"), $"o_orderstatus".as("value"), lit(1L).as("ts")))

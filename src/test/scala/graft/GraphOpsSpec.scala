@@ -78,6 +78,29 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(f === ((0.5, 0.5, 0.5)))
   }
 
+  test("NETWORK-form union (adjacency arrays) equals direct pair union+combine") {
+    // so1's production path is the direct `deduplicate(a ∪ b)` (one
+    // shuffle); the reference's NETWORK union concatenates adjacency
+    // arrays per src then re-merges (AGraph.scala:126-211). Both must
+    // agree — this is the coverage case for the array form.
+    val a = Seq(Edge(1, 2, 1, 10, 5, 100), Edge(1, 3, 1, 7, 2, 40)).toDF()
+    val b = Seq(Edge(1, 2, 1, 20, 3, 50), Edge(4, 5, 2, 1, 1, 7)).toDF()
+    val viaNetwork = {
+      val na = GraphOps.fromPairs(a).withColumnRenamed("edges", "ea")
+      val nb = GraphOps.fromPairs(b).withColumnRenamed("edges", "eb")
+      val exploded = na.join(nb, Seq("src"), "full_outer")
+        .select($"src", explode(concat(
+          coalesce($"ea", array()), coalesce($"eb", array()))).as("e"))
+        .select($"src", $"e.dst".as("dst"), $"e.version".as("version"),
+          $"e.pb".as("pb"), $"e.vendor".as("vendor"), $"e.ts".as("ts"))
+      GraphOps.deduplicate(exploded)
+    }
+    val viaPairs = GraphOps.deduplicate(a.unionByName(b))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[Edge].collect().map(e => (e.src, e.dst) -> e).toMap
+    assert(asMap(viaNetwork) === asMap(viaPairs))
+  }
+
   test("cutoff removes only pairs touching above-threshold vertices") {
     // star around 99 (degree 6) + sparse chain; epsilon .05 cuts the hub
     val star = (1L to 6L).map(i => (99L, i))

@@ -59,7 +59,7 @@ class KVModelSpec extends AnyFunSuite with SparkSpec {
         .groupBy(o => (o._1.key, o._1.family, o._1.qualifier, o._1.ts, o._1.tomb))
         .map(_._2.head).toList.sortBy(_._2).map(_._1)
       val t = KVTable(spark,
-        s"/root/repo/target/graft_kv_test/model_${deduped.hashCode.abs}",
+        targetPath(s"graft_kv_test/model_${deduped.hashCode.abs}"),
         wipe = true)
       val puts = deduped.filter(_.tomb.isEmpty)
         .map(o => (o.key, o.family, o.qualifier, s"v${o.key}_${o.ts}", o.ts))

@@ -13,7 +13,7 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     rows.toDF("key", "family", "qualifier", "value", "ts")
 
   private def fresh(name: String) =
-    KVTable(spark, s"/root/repo/target/graft_kv_test/$name", wipe = true)
+    KVTable(spark, targetPath(s"graft_kv_test/$name"), wipe = true)
 
   test("latest ts wins regardless of write order") {
     val t = fresh("latest")
@@ -74,5 +74,75 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     assert(after === Set((1L, "v2")))
     // physical: only live cells remain in the log
     assert(t.cells.count() === 1)
+  }
+
+  test("family descriptors round-trip through the metadata file") {
+    val t = fresh("fams")
+    val descs = Seq(
+      write.FamilyDescriptor("F", ttlSeconds = 100L, compression = "zstd",
+        bloom = false),
+      write.FamilyDescriptor("T")) // defaults: no TTL, snappy, bloom
+    t.setFamilies(descs)
+    assert(t.families === descs)
+    // re-opening the same path sees the same descriptors (disk-backed)
+    assert(KVTable(spark, t.path).families === descs)
+  }
+
+  test("resolvedAt masks cells older than their family's TTL") {
+    val t = fresh("ttlmask")
+    t.setFamilies(Seq(write.FamilyDescriptor("F", ttlSeconds = 10L)))
+    t.put(cells((1L, "F", "a", "old", 100L), (2L, "F", "a", "live", 95L),
+      (3L, "T", "a", "eternal", 1L)))
+    // now=107: cutoff is 97 — key 1 (ts 100) lives, key 2 (ts 95) expired;
+    // family T has no TTL so its ancient cell survives.
+    val live = t.resolvedAt(107L).select($"key", $"value")
+      .as[(Long, String)].collect().toSet
+    assert(live === Set((1L, "old"), (3L, "eternal")))
+    // untimed view still sees everything (TTL is an explicit read choice)
+    assert(t.resolved().count() === 3)
+  }
+
+  test("compactAt physically drops TTL-expired cells; compact keeps them") {
+    val t = fresh("ttlcompact")
+    t.setFamilies(Seq(write.FamilyDescriptor("F", ttlSeconds = 10L)))
+    t.put(cells((1L, "F", "a", "expired", 1L), (2L, "F", "a", "fresh", 99L)))
+    t.compactAt(nowTs = 100L)
+    // the expired cell is gone from STORAGE, not just masked
+    assert(t.cells.select($"key").as[Long].collect().toSet === Set(2L))
+    assert(t.resolved().select($"value").as[String].collect().toSeq
+      === Seq("fresh"))
+  }
+
+  test("compactAsync completes while appends land; racing put survives") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    val t = fresh("async")
+    t.put(cells((1L, "F", "a", "v1", 1L)))
+    // Deterministic race: snapshot-then-delete must only touch the files
+    // present when compaction STARTED. Run the compaction future and
+    // append concurrently; whichever interleaving occurs, the racing put
+    // must survive into the resolved view (the reference's completeAsync
+    // contract, HBaseTable.scala:316-344).
+    val fut = t.compactAsync()
+    t.put(cells((2L, "F", "a", "racing", 2L)))
+    Await.result(fut, 2.minutes)
+    val keys = t.resolved().select($"key").as[Long].collect().toSet
+    assert(keys.contains(2L), "append racing with compaction was lost")
+    assert(keys === Set(1L, 2L))
+    // and the next compaction folds the racing put into the bucketed state
+    t.compact()
+    assert(t.resolved().select($"key").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("distinct paths that slug identically get distinct catalog tables") {
+    val a = KVTable(spark, targetPath("graft_kv_test/case-x"), wipe = true)
+    val b = KVTable(spark, targetPath("graft_kv_test/case_X"), wipe = true)
+    assert(a.tableName !== b.tableName)
+    a.put(cells((1L, "F", "a", "from-a", 1L)))
+    b.put(cells((2L, "F", "a", "from-b", 1L)))
+    a.compact(); b.compact()
+    assert(a.resolved().select($"key").as[Long].collect().toSeq === Seq(1L))
+    assert(b.resolved().select($"key").as[Long].collect().toSeq === Seq(2L))
+    a.drop(); b.drop()
   }
 }

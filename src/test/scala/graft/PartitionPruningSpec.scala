@@ -12,7 +12,7 @@ class PartitionPruningSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   test("filter on the partition column prunes at planning time") {
-    val path = "/root/repo/target/graft_part/events_by_type"
+    val path = targetPath("graft_part/events_by_type")
     Tables.events(spark, sf).write.mode("overwrite")
       .partitionBy("event_type").parquet(path)
     val q = spark.read.parquet(path)

@@ -9,7 +9,7 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   test("compacted KV table serves key-range queries with pushed filters") {
-    val t = KVTable(spark, "/root/repo/target/graft_kv_test/ranged", wipe = true)
+    val t = KVTable(spark, targetPath("graft_kv_test/ranged"), wipe = true)
     t.put(Tables.orders(spark, sf).select($"o_orderkey".as("key"),
       lit("O").as("family"), lit("s").as("qualifier"),
       $"o_orderstatus".as("value"), lit(1L).as("ts")))
@@ -38,7 +38,7 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     val emptyEdges = Seq.empty[graph.GraphOps.Edge].toDF()
     assert(graph.GraphOps.fromPairs(emptyEdges).count() === 0)
 
-    val t = KVTable(spark, "/root/repo/target/graft_kv_test/empty", wipe = true)
+    val t = KVTable(spark, targetPath("graft_kv_test/empty"), wipe = true)
     assert(t.resolved().count() === 0) // read before any write
     t.increment(Seq.empty[(Long, String, String, Long)]
       .toDF("key", "family", "qualifier", "delta"), ts = 1L)
@@ -50,7 +50,7 @@ class RobustnessSpec extends AnyFunSuite with SparkSpec {
     // must be total (ts desc, value desc) so the winner never flips
     // between runs — mirror of the reference's total KeyValueOrdering
     // (HBaseTable.scala:219-232).
-    val t = KVTable(spark, "/root/repo/target/graft_kv_test/ties", wipe = true)
+    val t = KVTable(spark, targetPath("graft_kv_test/ties"), wipe = true)
     t.put(Seq((1L, "f", "q", "alpha", 5L), (1L, "f", "q", "zeta", 5L),
       (2L, "f", "q", "zeta", 5L), (2L, "f", "q", "alpha", 5L))
       .toDF("key", "family", "qualifier", "value", "ts"))

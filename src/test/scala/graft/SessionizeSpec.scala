@@ -14,7 +14,7 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
   test("open session carries across micro-batches and closes on a gap") {
-    val dir = "/root/repo/target/graft_stream_test/sessions"
+    val dir = targetPath("graft_stream_test/sessions")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit

@@ -32,7 +32,7 @@ class SocketStreamSpec extends AnyFunSuite with SparkSpec {
     feeder.setDaemon(true)
     feeder.start()
 
-    val t = KVTable(spark, "/root/repo/target/graft_kv_test/socket", wipe = true)
+    val t = KVTable(spark, targetPath("graft_kv_test/socket"), wipe = true)
     val src = spark.readStream.format("socket")
       .option("host", "127.0.0.1").option("port", port).load()
     val q = src.writeStream.outputMode("append")

@@ -30,7 +30,7 @@ class TypedTableSpec extends AnyFunSuite with SparkSpec {
   }
 
   private lazy val table: TypedTable = {
-    val kv = KVTable(spark, "/root/repo/target/graft_kv_test/demo_simple",
+    val kv = KVTable(spark, targetPath("graft_kv_test/demo_simple"),
       wipe = true)
     val rows = demo.toDF()
     kv.put(rows.select($"key", lit("F").as("family"), lit("width").as("qualifier"),
@@ -79,7 +79,7 @@ class TypedTableSpec extends AnyFunSuite with SparkSpec {
 
   test("typed update flows through latest-wins read") {
     // separate table — keeps the shared fixture immutable for other tests
-    val kv2 = KVTable(spark, "/root/repo/target/graft_kv_test/demo_simple_upd",
+    val kv2 = KVTable(spark, targetPath("graft_kv_test/demo_simple_upd"),
       wipe = true)
     demo.toDF().createOrReplaceTempView("demo_rows")
     kv2.put(spark.sql(
