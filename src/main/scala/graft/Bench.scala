@@ -22,7 +22,11 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: regex over query names, for single-query iteration
+    val nameFilter = args.headOption.map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+    val results = selected.map { case (name, fn) =>
       if (warmDir != sfDir) {
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }

@@ -126,7 +126,10 @@ object GraphQueries {
     // before returning.
     "a10_f1" -> ((s, d) => {
       import s.implicits._
-      val dd = dedupA(s, d).persist()
+      // cache only the columns both branches need — f1Counts touches just
+      // (src,dst) and the model perturbation adds (pb,vendor); caching
+      // the full edge row would spill 2× the bytes for nothing at scale
+      val dd = dedupA(s, d).select($"src", $"dst", $"pb", $"vendor").persist()
       try {
         val model = dd.filter($"pb" > 0)
           .withColumn("dst",

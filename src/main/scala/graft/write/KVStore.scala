@@ -45,7 +45,13 @@ class KVTable(val spark: SparkSession, val path: String) {
     s"graft_kv_${slug}_$hash"
   }
 
-  private def logExists: Boolean = new java.io.File(logDir).exists()
+  /** True only when the log holds DATA files. Spark's parquet commit
+    * leaves `_SUCCESS` (+ `.crc`) markers behind, and compaction deletes
+    * only the snapshot's data files — a bare directory-exists check
+    * would see the surviving markers and union an empty log leg onto
+    * every post-compaction read, erasing the bucketed scan's
+    * hashpartitioning(key) and re-introducing a full shuffle. */
+  private def logExists: Boolean = listLogFiles().nonEmpty
 
   private def bucketMeta = new java.io.File(s"$path/compacted/_graft_buckets.txt")
 
@@ -183,6 +189,14 @@ class KVTable(val spark: SparkSession, val path: String) {
     snapshotLogFiles.foreach { f =>
       new java.io.File(f.getParentFile, "." + f.getName + ".crc").delete()
       f.delete()
+    }
+    // prune commit markers + the directory itself when no append raced
+    // in — but ONLY the markers, never a data file written concurrently
+    val d = new java.io.File(logDir)
+    if (d.exists() && listLogFiles().isEmpty) {
+      d.listFiles().filter(f => f.isFile &&
+        (f.getName.startsWith("_") || f.getName.startsWith("."))).foreach(_.delete())
+      d.delete() // no-op if a racing put re-created content
     }
     KVTable.deleteRecursively(new java.io.File(tmp))
   }

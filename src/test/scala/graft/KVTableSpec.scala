@@ -134,6 +134,37 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolved().select($"key").as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("compact leaves no phantom log: bare bucketed scan after, union " +
+      "leg back only when a new put lands") {
+    val t = fresh("phantom")
+    t.put(cells((1L, "F", "a", "v1", 1L), (2L, "F", "a", "v2", 1L)))
+    t.compact()
+    // post-compaction read must be the bucketed table alone — Spark's
+    // parquet commit markers (_SUCCESS) must not count as "the log
+    // exists", or every read unions an empty leg and the union erases
+    // hashpartitioning(key), re-shuffling the whole table (the scale
+    // property the bucketed layout exists to provide).
+    val planAfter = t.resolved().queryExecution.executedPlan.toString
+    assert(!planAfter.contains("Union"),
+      s"phantom log leg after compaction:\n${planAfter.take(2000)}")
+    assert(!planAfter.contains("Exchange hashpartitioning"),
+      s"resolve re-shuffles a purely-compacted table:\n${planAfter.take(2000)}")
+    assert(planAfter.contains("Bucketed: true"), planAfter.take(1500))
+    // a fresh append re-introduces the union leg (memstore semantics)...
+    t.put(cells((3L, "F", "a", "v3", 2L)))
+    val planWithLog = t.resolved().queryExecution.executedPlan.toString
+    assert(planWithLog.contains("Union"),
+      s"log leg missing after post-compaction put:\n${planWithLog.take(2000)}")
+    assert(t.resolved().count() === 3)
+    // ...and the next compaction clears it again (full cycle)
+    t.compact()
+    val planAfter2 = t.resolved().queryExecution.executedPlan.toString
+    assert(!planAfter2.contains("Union") &&
+      !planAfter2.contains("Exchange hashpartitioning"),
+      s"phantom log leg after second compaction:\n${planAfter2.take(2000)}")
+    assert(t.resolved().count() === 3)
+  }
+
   test("distinct paths that slug identically get distinct catalog tables") {
     val a = KVTable(spark, targetPath("graft_kv_test/case-x"), wipe = true)
     val b = KVTable(spark, targetPath("graft_kv_test/case_X"), wipe = true)
