@@ -118,31 +118,61 @@ object GraphOps {
     * reference's fill-style memoization). On real graphs the frontier
     * collapses after a few supersteps, so late iterations join a small
     * delta against the network instead of every vertex. */
-  def bspIterateDelta(labels0: DataFrame, pairs: DataFrame, steps: Int): DataFrame = {
+  def bspIterateDelta(labels0: DataFrame, pairs: DataFrame, steps: Int): DataFrame =
+    bspIterateDeltaFrom(pairs, steps)(_ => labels0)
+
+  /** [[bspIterateDelta]] with the initial labels derived FROM the cached
+    * network layout: `init` receives the persisted, dst-partitioned
+    * pairs, so a labels0 like "distinct vertices" reads the cache
+    * instead of recomputing the network's whole upstream plan (dedup,
+    * reverse, scan) a second time. */
+  def bspIterateDeltaFrom(pairs: DataFrame, steps: Int)
+      (init: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = labels0
-    var frontier = labels0
+    // Partition the network by the join side ONCE and cache that layout:
+    // every superstep joins `p` on dst, so a dst-partitioned, dst-sorted
+    // cache makes each round's big side exchange-free and sort-free — the
+    // only per-round shuffle is the (shrinking) frontier. At 100 TB the
+    // network is the immutable giant; re-shuffling it per superstep is
+    // the classic iterative-join mistake.
+    val p = pairs.repartition(col("dst")).sortWithinPartitions(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Round 0 is read twice in the first superstep (frontier leg + labels
+    // leg) — materialize it once instead of recomputing the distinct.
+    var labels = init(p).persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = labels
     // Sliding persist window: each round is materialized eagerly (labels
     // + frontier share the one computation), then the PREVIOUS round's
     // blocks are freed — at most two rounds are ever resident, instead
     // of one leaked persist per superstep. Lineage is cut with an eager
     // checkpoint every few rounds so plans stay bounded on long runs.
-    var prev: Option[DataFrame] = None
+    var prev: Option[DataFrame] = Some(labels)
     for (step <- 1 to steps) {
-      val pushed = p
+      // One shuffle per superstep: neighbor contributions (frontier
+      // pushed through the dst-partitioned network — AQE broadcasts the
+      // shrinking frontier, so the big side never moves) are unioned
+      // with the current labels and max-reduced in a single aggregation.
+      // `changed` falls out of the same pass (max over all vs max over
+      // own), where the join+join shape needed a second stage for it.
+      val contrib = p
         .join(frontier.withColumnRenamed("vertex", "dst"), Seq("dst"))
-        .groupBy(col("src").as("vertex")).agg(max(col("label")).as("cand"))
+        .select(col("src").as("vertex"), col("label"), lit(false).as("own"))
       var next = labels
-        .join(pushed, Seq("vertex"), "left_outer")
-        .select(col("vertex"),
-          greatest(col("label"), coalesce(col("cand"), col("label"))).as("label"),
-          (coalesce(col("cand"), col("label")) > col("label")).as("changed"))
+        .withColumn("own", lit(true))
+        .unionByName(contrib)
+        .groupBy(col("vertex"))
+        .agg(max(col("label")).as("label"),
+          max(when(col("own"), col("label"))).as("old"))
+        // inner union keeps every vertex that has a label (the `own` leg),
+        // so no vertex is lost and `old` is never null
+        .select(col("vertex"), col("label"),
+          (col("label") > col("old")).as("changed"))
       next =
         if (step % 4 == 0) next.localCheckpoint(eager = true)
         else {
           val n = next.persist(StorageLevel.MEMORY_AND_DISK)
-          n.count()
+          // materialize the cache in one pass with zero result traffic
+          n.foreach(_ => ())
           n
         }
       prev.foreach(_.unpersist(false))
@@ -224,27 +254,31 @@ object GraphOps {
   /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two
     * edge sets restricted to keys present in both networks, then one
     * global reduce → precision/recall/F1. */
-  /** The distributed part of f1: (|M|, |V|, |M∩V|) in one job —
-    * full-outer join of the two restricted edge sets → one global agg.
-    * No broadcast hints anywhere: commonKeys is unbounded (every vertex
-    * present in both networks), so a forced broadcast OOMs at 100 TB;
-    * AQE broadcasts only when a side actually fits (mirrors the
-    * reference's own TODO on its driver-side key collect,
-    * AGraph.scala:305). Exposed for PlanSpec's no-forced-broadcast
-    * assertion. */
+  /** The distributed part of f1: (|M|, |V|, |M∩V|) restricted to src
+    * keys present in BOTH networks — computed as two hash aggregations
+    * over a flagged union, with no joins at all. Level 1 dedups edges
+    * and marks membership; level 2 folds per-src edge counts plus
+    * has-model/has-validation flags; the final global agg keeps only
+    * common-src rows. Map-side partial aggregation shrinks both
+    * shuffles, and the second shuffle moves pre-aggregated per-edge
+    * rows only — strictly less data than any join formulation (the
+    * reference collects the key set on the driver instead,
+    * AGraph.scala:305, which cannot scale). Exposed for PlanSpec's
+    * join-free assertion. */
   private[graft] def f1Counts(model: DataFrame, validation: DataFrame): DataFrame = {
-    val commonKeys = model.select(col("src")).distinct()
-      .join(validation.select(col("src")).distinct(), Seq("src"), "left_semi")
-    val m = model.join(commonKeys, Seq("src"), "left_semi")
-      .select(col("src"), col("dst")).distinct()
-    val v = validation.join(commonKeys, Seq("src"), "left_semi")
-      .select(col("src"), col("dst")).distinct()
-    m.withColumn("in_m", lit(1L))
-      .join(v.withColumn("in_v", lit(1L)), Seq("src", "dst"), "full_outer")
-      .agg(sum(coalesce(col("in_m"), lit(0L))).as("nm"),
-        sum(coalesce(col("in_v"), lit(0L))).as("nv"),
-        sum(coalesce(col("in_m"), lit(0L)) * coalesce(col("in_v"), lit(0L)))
-          .as("tp"))
+    val flagged = model.select(col("src"), col("dst"),
+        lit(1L).as("in_m"), lit(0L).as("in_v"))
+      .unionByName(validation.select(col("src"), col("dst"),
+        lit(0L).as("in_m"), lit(1L).as("in_v")))
+    val perEdge = flagged.groupBy(col("src"), col("dst"))
+      .agg(max(col("in_m")).as("m"), max(col("in_v")).as("v"))
+    val perSrc = perEdge.groupBy(col("src"))
+      .agg(sum(col("m")).as("nm_s"), sum(col("v")).as("nv_s"),
+        sum(col("m") * col("v")).as("tp_s"),
+        max(col("m")).as("has_m"), max(col("v")).as("has_v"))
+    perSrc.filter(col("has_m") === 1L && col("has_v") === 1L)
+      .agg(sum(col("nm_s")).as("nm"), sum(col("nv_s")).as("nv"),
+        sum(col("tp_s")).as("tp"))
   }
 
   def f1(model: DataFrame, validation: DataFrame): DataFrame = {

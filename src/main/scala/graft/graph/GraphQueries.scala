@@ -180,10 +180,11 @@ object GraphQueries {
     // (HGraphTable.scala:143-228 incremental propagation semantics).
     "g4_bsp_iter3" -> ((s, d) => {
       import s.implicits._
-      val p2 = pairs2(s, d)
-      val labels0 = p2.select($"src".as("vertex")).distinct()
-        .withColumn("label", $"vertex")
-      bspIterateDelta(labels0, p2, 3).orderBy($"vertex")
+      // labels0 derives from the loop's own cached network (every vertex
+      // labels itself) — not from a second scan of the dedup pipeline
+      bspIterateDeltaFrom(pairs2(s, d), 3) { p =>
+        p.select($"src".as("vertex")).distinct().withColumn("label", $"vertex")
+      }.orderBy($"vertex")
     }),
 
     // G5 `expand` (AGraph.scala:234-245): transitive-closure step from a

@@ -63,15 +63,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
-  test("f1's semi-joins carry no forced broadcast hint (AQE decides)") {
+  test("f1 plans as pure aggregations over a flagged union — no joins") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val other = Seq((1L, 2L), (2L, 4L)).toDF("src", "dst")
-    val hints = graft.graph.GraphOps.f1Counts(edges, other)
-      .queryExecution.optimizedPlan.collect { case j: Join => j.hint }
-    assert(hints.nonEmpty)
-    assert(hints.forall(h => h.leftHint.isEmpty && h.rightHint.isEmpty),
-      s"forced join hints present: $hints")
+    val counts = graft.graph.GraphOps.f1Counts(edges, other)
+    val joins = counts.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.isEmpty, s"f1Counts should be join-free, found: $joins")
+    // common src = 1,2 → m = {(1,2),(2,3)}, v = {(1,2),(2,4)}, tp = {(1,2)}
+    val row = counts.first()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((2L, 2L, 1L)))
   }
 
   test("llm_dedup_embcos plans bucket-local joins, never a cartesian product") {
