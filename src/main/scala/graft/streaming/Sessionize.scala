@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -11,39 +11,66 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Semantics: events sorted by (sec, event_id) per user; a gap >
   * `gapSec` closes the current session. Closed sessions are emitted
-  * downstream; the open tail session rides in the group state across
-  * micro-batches. At scale the state store is per-key and incremental —
-  * this is the pattern the reference's incrementalNetBSP gestured at
-  * (HGraphTable.scala:143-228) with none of the hand-rolled inbox
-  * machinery.
+  * downstream; the open tail rides in the group state across
+  * micro-batches as a CONSTANT-SIZE aggregate `(session_start,
+  * n_events, sum_cents, last_sec)` — never the event list, so a
+  * gap-free always-active user costs O(1) state, not O(events).
+  * Cross-batch stragglers older than the open tail's last event merge
+  * into it (their seconds/cents still count; session_start takes the
+  * min) — exact re-splitting of an open tail would require retaining
+  * its events, which is precisely the unbounded state this avoids.
+  *
+  * With `idleCloseMs > 0` a processing-time timeout force-closes and
+  * emits the open session of any user idle that long, so the state
+  * store's key population is also bounded by activity, not by the
+  * all-time user count.
   */
 object Sessionize {
 
   case class Ev(user_id: Long, sec: Long, cents: Long, event_id: Long)
   case class Session(user_id: Long, session_start: Long, n_events: Long,
                      sum_cents: Long)
+  /** Open-tail aggregate — the whole per-user state, O(1) by type. */
+  case class OpenTail(session_start: Long, n_events: Long, sum_cents: Long,
+                      last_sec: Long)
 
-  def sessionFn(gapSec: Long)(
-      uid: Long, rows: Iterator[Ev], state: GroupState[List[Ev]]): Iterator[Session] = {
-    val pending = state.getOption.getOrElse(Nil)
-    val evs = (pending ++ rows.toList).sortBy(e => (e.sec, e.event_id))
-    if (evs.isEmpty) Iterator.empty
-    else {
-      // split on gaps; everything but the last run is closed
-      val runs = evs.tail.foldLeft(List(List(evs.head))) { (acc, e) =>
-        if (e.sec - acc.head.head.sec > gapSec) List(e) :: acc
-        else (e :: acc.head) :: acc.tail
-      }.map(_.reverse).reverse
-      state.update(runs.last)
-      runs.init.iterator.map(r =>
-        Session(uid, r.map(_.sec).min, r.size.toLong, r.map(_.cents).sum))
+  def sessionFn(gapSec: Long, idleCloseMs: Long = 0L)(
+      uid: Long, rows: Iterator[Ev], state: GroupState[OpenTail]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // idle user: force-close and evict — the state store must not
+      // accumulate one entry per user ever seen
+      val out = state.getOption.map(t =>
+        Session(uid, t.session_start, t.n_events, t.sum_cents))
+      state.remove()
+      out.iterator
+    } else {
+      val evs = rows.toArray.sortBy(e => (e.sec, e.event_id))
+      val out = List.newBuilder[Session]
+      var open = state.getOption.orNull
+      for (e <- evs) {
+        if (open == null)
+          open = OpenTail(e.sec, 1L, e.cents, e.sec)
+        else if (e.sec - open.last_sec > gapSec) {
+          out += Session(uid, open.session_start, open.n_events, open.sum_cents)
+          open = OpenTail(e.sec, 1L, e.cents, e.sec)
+        } else
+          open = OpenTail(math.min(open.session_start, e.sec),
+            open.n_events + 1L, open.sum_cents + e.cents,
+            math.max(open.last_sec, e.sec))
+      }
+      if (open != null) {
+        state.update(open)
+        if (idleCloseMs > 0L) state.setTimeoutDuration(idleCloseMs)
+      }
+      out.result().iterator
     }
   }
 
   /** Run sessionization over a staged events directory; returns closed
-    * sessions (every session except each user's open tail). */
+    * sessions (every session except each user's open tail — plus, when
+    * `idleCloseMs > 0`, tails force-closed by the idle timeout). */
   def run(spark: SparkSession, stageDir: String, schema: org.apache.spark.sql.types.StructType,
-          gapSec: Long): DataFrame = {
+          gapSec: Long, idleCloseMs: Long = 0L): DataFrame = {
     import spark.implicits._
     val src = spark.readStream.schema(schema).parquet(stageDir)
       .select($"user_id",
@@ -51,9 +78,12 @@ object Sessionize {
         round($"value" * 100).cast("long").as("cents"),
         $"event_id")
       .as[Ev]
+    val timeoutConf =
+      if (idleCloseMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val sessions = src.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        sessionFn(gapSec))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        sessionFn(gapSec, idleCloseMs))
     val sink = "graft_sessions_sink"
     val q = sessions.toDF().writeStream.outputMode("append")
       .format("memory").queryName(sink)

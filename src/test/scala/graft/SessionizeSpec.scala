@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import graft.streaming.Sessionize
-import graft.streaming.Sessionize.{Ev, Session}
+import graft.streaming.Sessionize.{Ev, OpenTail, Session}
 
 /** Stateful sessionization across MULTIPLE micro-batches: the open-tail
   * session must ride the group state between batches and close (emit)
@@ -57,5 +57,39 @@ class SessionizeSpec extends AnyFunSuite with SparkSpec {
     // only the first session closed: events at 0,100,200 (gap to 10000)
     assert(got === Set(Session(1L, 0L, 3L, 60L)),
       s"got $got — state did not carry across batches correctly")
+  }
+
+  test("gap-free user holds O(1) state across batches (aggregate, not events)") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // 50 batches x 200 in-gap events: the list-state formulation would
+    // accumulate 10k events; the aggregate state is one fixed-size row.
+    var st = Optional.empty[OpenTail]()
+    var emitted = 0
+    for (b <- 0 until 50) {
+      val state = TestGroupState.create[OpenTail](st,
+        GroupStateTimeout.NoTimeout, 1000L * b, Optional.empty[Long], false)
+      val evs = (0 until 200).iterator.map(i =>
+        Ev(7L, b * 200L + i, 1L, b * 200L + i))
+      emitted += Sessionize.sessionFn(10L)(7L, evs, state).size
+      assert(state.exists, "open tail must persist")
+      st = Optional.of(state.get)
+    }
+    assert(emitted === 0, "no gap -> nothing closes")
+    assert(st.get === OpenTail(0L, 10000L, 10000L, 9999L),
+      s"aggregate drifted: ${st.get}")
+  }
+
+  test("idle timeout force-closes and evicts the open tail") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val state = TestGroupState.create[OpenTail](
+      Optional.of(OpenTail(5L, 3L, 42L, 100L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L,
+      Optional.empty[Long], true) // hasTimedOut
+    val out = Sessionize.sessionFn(10L, idleCloseMs = 60000L)(
+      9L, Iterator.empty, state).toList
+    assert(out === List(Session(9L, 5L, 3L, 42L)))
+    assert(state.isRemoved, "timed-out state must be evicted")
   }
 }

@@ -1,20 +1,20 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.streaming.Ingest
 import graft.write.KVTable
 
 /** S7 true-socket parity (reference KafkaProxy.scala:12-33): a live
-  * `format("socket")` text stream feeding the same foreachBatch →
-  * KVTable.put merge that st1 runs from file staging. The DuckDB oracle
-  * can't see a socket, so this lives as a spec asserting final table
-  * state instead of a registered query.
+  * `format("socket")` text stream feeding the shared Ingest merge
+  * (foreachBatch → KVTable.put) that the Kafka branch also funnels
+  * into. The DuckDB oracle can't see a socket, so this lives as a spec
+  * asserting final table state instead of a registered query.
   */
 class SocketStreamSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
-  test("socket text stream merges into a KV table via foreachBatch") {
+  test("socket text stream merges into a KV table via the shared Ingest entry") {
     val server = new java.net.ServerSocket(
       0, 1, java.net.InetAddress.getByName("127.0.0.1"))
     val port = server.getLocalPort
@@ -33,16 +33,10 @@ class SocketStreamSpec extends AnyFunSuite with SparkSpec {
     feeder.start()
 
     val t = KVTable(spark, targetPath("graft_kv_test/socket"), wipe = true)
-    val src = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", port).load()
-    val q = src.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val f = split(col("value"), ",")
-        t.put(batch.select(
-          f.getItem(0).cast("long").as("key"), f.getItem(1).as("family"),
-          f.getItem(2).as("qualifier"), f.getItem(3).as("value"),
-          f.getItem(4).cast("long").as("ts")))
-      }.start()
+    // the config-gated entry: same conf shape as the kafka transport,
+    // different format key
+    val q = Ingest.run(spark, t,
+      Map("format" -> "socket", "host" -> "127.0.0.1", "port" -> port.toString))
     try {
       val deadline = System.currentTimeMillis + 60000
       while (System.currentTimeMillis < deadline && t.cells.count() < lines.size) {
@@ -57,5 +51,37 @@ class SocketStreamSpec extends AnyFunSuite with SparkSpec {
     val got = t.resolved()
       .select($"key", $"value").as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "150", 2L -> "200"))
+  }
+
+  test("file transport funnels through the same merge") {
+    val dir = targetPath("graft_stream_test/ingest_files")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    Seq("5,E,last,500,10", "5,E,last,550,20").toDF("value")
+      .coalesce(1).write.text(dir)
+    val t = KVTable(spark, targetPath("graft_kv_test/ingest_file"), wipe = true)
+    val q = Ingest.run(spark, t, Map("format" -> "file", "dir" -> dir))
+    try q.processAllAvailable() finally q.stop()
+    val got = t.resolved()
+      .select($"key", $"value").as[(Long, String)].collect().toMap
+    assert(got === Map(5L -> "550"))
+  }
+
+  test("config gates the transport; kafka maps its options; unknown fails") {
+    assert(Ingest.fromConf(Map("format" -> "kafka",
+      "kafka.bootstrap.servers" -> "broker:9092", "topic" -> "cells"))
+      === Ingest.KafkaSource("broker:9092", "cells", "earliest"))
+    assert(Ingest.fromConf(Map("format" -> "kafka",
+      "kafka.bootstrap.servers" -> "b:9092", "topic" -> "t",
+      "startingOffsets" -> "latest"))
+      === Ingest.KafkaSource("b:9092", "t", "latest"))
+    assert(Ingest.fromConf(Map("host" -> "h", "port" -> "1")) // socket default
+      === Ingest.SocketSource("h", 1))
+    intercept[IllegalArgumentException] {
+      Ingest.fromConf(Map("format" -> "carrier-pigeon"))
+    }
   }
 }
