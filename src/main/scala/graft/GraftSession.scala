@@ -21,6 +21,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", graft.RepoPaths.target("warehouse"))
+      // graft KV catalog + V2 bucketing: lets the DSv2 KV scan report
+      // KeyGroupedPartitioning(bucket(n,key)) that Catalyst can use for
+      // shuffle elimination (storage-partitioned joins / clustered aggs)
+      .config("spark.sql.catalog.graft", "graft.sources.kv.GraftCatalog")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -1,0 +1,104 @@
+package graft.sources.kv
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin exposing graft KV tables to Spark's V2 resolution —
+  * `spark.table("graft.`root`.`...`.`my_kv`")` maps the identifier's
+  * parts onto an absolute filesystem path. Doubles as the
+  * FunctionCatalog providing the `bucket` transform function, which is
+  * what lets Catalyst translate the scan's reported
+  * `KeyGroupedPartitioning(bucket(n, key))` into a catalyst
+  * partitioning it can verify distributions against (the reference's
+  * equivalent is advertising its RegionPartitioner on the scan RDD,
+  * HBaseRDD.scala:26 — same idea, catalog-mediated here).
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    "/" + (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!KVLayout(path).exists) throw new NoSuchTableException(ident)
+    new KVBatchTable(path)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    KVLayout(pathOf(ident)).exists
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    throw new UnsupportedOperationException(
+      "graft KV tables are created by KVTable.put/compact, not DDL")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft KV tables are created by KVTable.put/compact, not DDL")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft KV tables are immutable via DDL")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("graft KV tables cannot be renamed")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketUnbound
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** `bucket(numBuckets, key)` — the transform named by the scan's
+  * KeyGroupedPartitioning. Bound result must equal the bucket id the
+  * physical layout used, so it delegates to [[GraftBucket]] (Spark's
+  * own murmur3+pmod). */
+object GraftBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): murmur3(key) pmod n — the compacted layout's bucket id"
+  override def bind(inputType: StructType): BoundFunction = GraftBucketFunction
+}
+
+object GraftBucketFunction extends ScalarFunction[Int] {
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def isResultNullable: Boolean = false
+  override def isDeterministic: Boolean = true
+  override def produceResult(input: InternalRow): Int =
+    GraftBucket.of(
+      if (input.isNullAt(1)) null else java.lang.Long.valueOf(input.getLong(1)),
+      input.getInt(0))
+}
+
+/** Entry point the engine's read path uses: registers the catalog (a
+  * session conf, idempotent), enables V2 bucketing, and resolves the
+  * KV path through it so the scan's reported partitioning is visible
+  * to Catalyst. */
+object KVSource {
+  val CATALOG = "graft"
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    if (!spark.conf.getOption(s"spark.sql.catalog.$CATALOG").isDefined)
+      spark.conf.set(s"spark.sql.catalog.$CATALOG", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val parts = new java.io.File(path).getAbsolutePath
+      .split("/").filter(_.nonEmpty)
+    spark.table(CATALOG + "." + parts.map(s => s"`$s`").mkString("."))
+  }
+}

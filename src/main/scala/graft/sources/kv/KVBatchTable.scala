@@ -1,0 +1,332 @@
+package graft.sources.kv
+
+import java.util.OptionalLong
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 table over a graft KV layout — the engine's counterpart
+  * of the reference's scan machinery (`HBaseRDD.scala:18-91`: one
+  * partition per region, pushdown filter stack composed into the
+  * server-side scan; `HBaseRDDFunctions.scala:54-70`: co-partitioned
+  * reads advertised through the RDD's partitioner).
+  *
+  * The structural property this source exists for: the compacted
+  * (bucketed) state and the append log are merged INSIDE each input
+  * partition — partition i reads bucket i's compacted file(s) plus the
+  * log rows whose key hashes to bucket i — and the scan reports
+  * `KeyGroupedPartitioning(bucket(n, key))`. So the log+compacted union
+  * arrives already clustered by key, and the latest-wins resolve
+  * window, key groupBys, and key joins (storage-partitioned joins
+  * against another KV table with the same bucket count) all plan with
+  * ZERO shuffle Exchange — even when the log is non-empty, the case a
+  * DataFrame-level union cannot express without re-shuffling the whole
+  * table. At 100 TB the compacted side never moves; only the
+  * memstore-sized log is re-read per bucket (classic LSM read
+  * amplification, bounded by compaction cadence).
+  *
+  * Pushdown: key/family/qualifier/ts predicates are evaluated inside
+  * the reader (and key equality/In prunes whole buckets, the analogue
+  * of the reference's multi-get partition pruning,
+  * `HBaseRDDFunctions.scala:103-113`); runtime (DPP-style) In-filters
+  * on the key prune buckets at execution time. Columns are pruned down
+  * to the parquet page reads via the requested projection.
+  */
+class KVBatchTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-kv `$path`"
+  override def schema(): StructType = KVBatchTable.CELL_SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] = {
+    val layout = KVLayout(path)
+    if (layout.bucketed) Array(Expressions.bucket(layout.numBuckets, "key"))
+    else Array.empty
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KVScanBuilder(path)
+}
+
+object KVBatchTable {
+  val CELL_SCHEMA: StructType = StructType.fromDDL(
+    graft.write.KVTable.CELL_SCHEMA_DDL)
+}
+
+class KVScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KVBatchTable.CELL_SCHEMA
+
+  /** Accept every filter we can evaluate row-wise for IO reduction, but
+    * return ALL filters as residual: Spark re-checks them above the
+    * scan, so null/collation corner semantics stay Spark's. This is the
+    * reference's model too — filters run server-side AND the client
+    * trusts the scan contract (HBaseRDDFiltered.scala:8-15). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(KVFilterEval.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KVScan(path, KVLayout(path), required, pushed)
+}
+
+class KVScan(path: String, layout: KVLayout, required: StructType,
+             val pushed: Array[Filter]) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-kv path=$path buckets=${layout.numBuckets} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def outputPartitioning(): Partitioning =
+    if (layout.bucketed)
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(layout.numBuckets, "key")), layout.numBuckets)
+    else new UnknownPartitioning(0)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(layout.totalBytes)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  // DPP-style lookup: an In(key, ...) produced by a runtime filter
+  // prunes to just the buckets holding those keys — the multi-get path.
+  override def filterAttributes(): Array[NamedReference] =
+    if (layout.bucketed) Array(Expressions.column("key")) else Array.empty
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeBuckets = KVFilterEval.keyBuckets(filters, layout.numBuckets)
+
+  /** Buckets statically reachable given the pushed key predicates. */
+  private def staticBuckets: Option[Set[Int]] =
+    KVFilterEval.keyBuckets(pushed, layout.numBuckets)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (layout.bucketed) {
+      val allowed = (staticBuckets, runtimeBuckets) match {
+        case (Some(a), Some(b)) => a intersect b
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => (0 until layout.numBuckets).toSet
+      }
+      (0 until layout.numBuckets).filter(allowed)
+        .map(b => KVBucketPartition(b, layout.numBuckets,
+          layout.compactedByBucket.getOrElse(b, Seq.empty).toArray,
+          layout.logFiles.toArray): InputPartition)
+        .toArray
+    } else {
+      // log-only: one partition per file — appends are memstore-sized
+      layout.logFiles
+        .map(f => KVBucketPartition(-1, -1, Array.empty, Array(f)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KVReaderFactory(required, pushed)
+}
+
+/** One scan task: bucket `bucket`'s compacted files + the log rows
+  * hashing to it (all log files are opened, rows filtered by bucket —
+  * the log is small by compaction contract). `partitionKey` is the
+  * bucket id, which is exactly the value of `bucket(n, key)` for every
+  * row the task emits — the contract KeyGroupedPartitioning needs. */
+case class KVBucketPartition(bucket: Int, numBuckets: Int,
+                             compactedFiles: Array[String],
+                             logFiles: Array[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+class KVReaderFactory(required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KVBucketPartition]
+    new KVPartitionReader(p, required, filters)
+  }
+}
+
+/** Row-wise parquet reader (parquet-mr Group API). Columns are pruned
+  * at the parquet layer via the requested projection; pushed filters
+  * are applied per row; log rows are additionally gated on their bucket
+  * hash so the partition's output is exactly bucket-local. */
+class KVPartitionReader(p: KVBucketPartition, required: StructType,
+                        filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  // columns to decode = required ∪ filter references ∪ key (for the
+  // bucket gate on log rows); output = required only, in order.
+  private val filterCols = filters.flatMap(_.references).distinct
+  private val needKey = p.numBuckets > 0 && p.logFiles.nonEmpty
+  private val readCols: Array[String] =
+    (required.fieldNames ++ filterCols ++ (if (needKey) Seq("key") else Nil))
+      .distinct
+  private val colIdx: Map[String, Int] = readCols.zipWithIndex.toMap
+  private val readColSet: Set[String] = readCols.toSet
+  private val outIdx: Array[Int] = required.fieldNames.map(colIdx)
+  private val keyIdx: Int = colIdx.getOrElse("key", -1)
+
+  private var fileIdx = 0
+  private var inLog = false
+  private var reader: ParquetReader[Group] = _
+  private var row: InternalRow = _
+  // per-file projection bookkeeping (field order follows the FILE's
+  // schema, and repetition must match it — Spark writes non-nullable
+  // columns as `required`, so the projection is carved out of the
+  // file's own footer schema rather than synthesized)
+  private var projToVals: Array[Int] = _
+  private var projIsLong: Array[Boolean] = _
+
+  private val files: Array[(String, Boolean)] =
+    p.compactedFiles.map(f => (f, false)) ++ p.logFiles.map(f => (f, true))
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (fileIdx >= files.length) return false
+    val (f, isLog) = files(fileIdx)
+    fileIdx += 1
+    inLog = isLog
+    val conf = new Configuration(false)
+    val hpath = new HPath(f)
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hpath, conf))
+    val fileSchema = try pf.getFooter.getFileMetaData.getSchema finally pf.close()
+    val projFields = fileSchema.getFields.asScala.filter(t => readColSet(t.getName))
+    val projection = new org.apache.parquet.schema.MessageType(
+      "graft_cells", projFields.asJava)
+    projToVals = projFields.map(t => colIdx(t.getName)).toArray
+    projIsLong = projFields.map(t =>
+      t.getName == "key" || t.getName == "ts").toArray
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    reader = ParquetReader.builder[Group](new GroupReadSupport(), hpath)
+      .withConf(conf).build()
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !openNext()) return false
+      val g = reader.read()
+      if (g == null) {
+        reader.close(); reader = null
+      } else {
+        val vals = new Array[Any](readCols.length)
+        var i = 0
+        while (i < projToVals.length) {
+          vals(projToVals(i)) =
+            if (g.getFieldRepetitionCount(i) == 0) null
+            else if (projIsLong(i)) java.lang.Long.valueOf(g.getLong(i, 0))
+            else UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+          i += 1
+        }
+        val bucketOk = !inLog || p.numBuckets <= 0 ||
+          GraftBucket.of(
+            if (keyIdx >= 0) vals(keyIdx) else null, p.numBuckets) == p.bucket
+        if (bucketOk && filters.forall(KVFilterEval.eval(_, colIdx, vals))) {
+          val out = new Array[Any](outIdx.length)
+          var j = 0
+          while (j < outIdx.length) { out(j) = vals(outIdx(j)); j += 1 }
+          row = new GenericInternalRow(out)
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Row-wise evaluation of Spark V1 `Filter`s over decoded cell values.
+  * Unsupported shapes evaluate to `true` (the row passes) — safe
+  * because every filter is also re-applied by Spark above the scan. */
+object KVFilterEval {
+  def supported(f: Filter): Boolean = f match {
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: IsNull | _: IsNotNull | _: StringStartsWith |
+         _: StringEndsWith | _: StringContains => true
+    case _ => false
+  }
+
+  private def cmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
+    case (null, _) | (_, null) => None
+    case (a: java.lang.Long, b: java.lang.Number) =>
+      Some(java.lang.Long.compare(a, b.longValue()))
+    case (a: UTF8String, b: String) => Some(a.toString.compareTo(b))
+    case (a: UTF8String, b: UTF8String) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  def eval(f: Filter, idx: Map[String, Int], vals: Array[Any]): Boolean = {
+    def v(attr: String): Any = idx.get(attr).map(vals(_)).orNull
+    f match {
+      case And(l, r) => eval(l, idx, vals) && eval(r, idx, vals)
+      case Or(l, r) => eval(l, idx, vals) || eval(r, idx, vals)
+      case Not(c) => !eval(c, idx, vals)
+      case EqualTo(a, lit) => cmp(v(a), lit).contains(0)
+      case GreaterThan(a, lit) => cmp(v(a), lit).exists(_ > 0)
+      case GreaterThanOrEqual(a, lit) => cmp(v(a), lit).exists(_ >= 0)
+      case LessThan(a, lit) => cmp(v(a), lit).exists(_ < 0)
+      case LessThanOrEqual(a, lit) => cmp(v(a), lit).exists(_ <= 0)
+      case In(a, vsL) => vsL.exists(l => cmp(v(a), l).contains(0))
+      case IsNull(a) => v(a) == null
+      case IsNotNull(a) => v(a) != null
+      case StringStartsWith(a, s) => v(a) match {
+        case u: UTF8String => u.toString.startsWith(s); case _ => false }
+      case StringEndsWith(a, s) => v(a) match {
+        case u: UTF8String => u.toString.endsWith(s); case _ => false }
+      case StringContains(a, s) => v(a) match {
+        case u: UTF8String => u.toString.contains(s); case _ => false }
+      case _ => true
+    }
+  }
+
+  /** Bucket ids reachable under the (conjunctive) filters' key
+    * equality/In predicates; None = all buckets. */
+  def keyBuckets(filters: Array[Filter], numBuckets: Int): Option[Set[Int]] = {
+    if (numBuckets <= 0) return None
+    def longOf(a: Any): Option[Long] = a match {
+      case n: java.lang.Number => Some(n.longValue()); case _ => None
+    }
+    val sets = filters.collect {
+      case EqualTo("key", lit) =>
+        longOf(lit).map(l => Set(GraftBucket.of(l, numBuckets)))
+          .getOrElse((0 until numBuckets).toSet)
+      case In("key", vs) =>
+        vs.flatMap(longOf).map(GraftBucket.of(_, numBuckets)).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+}

@@ -83,8 +83,23 @@ class KVTable(val spark: SparkSession, val path: String) {
     * Catalyst sees hashpartitioning(key) and plans key joins/groupBys
     * downstream of `resolved()` with NO Exchange, the analogue of the
     * reference advertising its RegionPartitioner, HBaseRDD.scala:26)
-    * unioned with post-compaction appends (the memstore analogue). */
+    * merged with post-compaction appends (the memstore analogue).
+    *
+    * When BOTH legs exist, the merge goes through the DSv2 source
+    * (sources/kv/KVBatchTable.scala): each scan task reads its bucket's
+    * compacted file plus the log rows hashing to it, and the scan
+    * reports KeyGroupedPartitioning(bucket(n, key)) — so the merged
+    * read stays clustered by key and downstream resolve/join/groupBy
+    * plan with zero Exchange, a property a DataFrame-level union cannot
+    * preserve (it would re-shuffle the whole table). The pure-compacted
+    * case stays on the V1 bucketed table (vectorized scan, already
+    * partitioning-visible); the pure-log case is a plain scan with no
+    * partitioning to preserve. `graft.kv.dsv2=false` restores the
+    * union fallback. */
   def cells: DataFrame = (compactedExists, logExists) match {
+    case (true, true)
+        if spark.conf.getOption("graft.kv.dsv2").forall(_.toBoolean) =>
+      graft.sources.kv.KVSource.read(spark, new java.io.File(path).getAbsolutePath)
     case (true, true) =>
       spark.table(tableName)
         .unionByName(spark.read.schema(CELL_SCHEMA_DDL).parquet(logDir))

@@ -246,6 +246,31 @@ object WriteQueries {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // S10 (extra): DSv2 merged read (sources/kv/KVBatchTable.scala) —
+    // compacted state + LIVE log served by the per-bucket DSv2 scan
+    // (KeyGroupedPartitioning(bucket(n,key))), so latest-wins resolve
+    // over both legs plans with zero shuffle Exchange — the reference's
+    // region-partitioned scan advertisement (HBaseRDD.scala:18-91,:26)
+    // for the one case a DataFrame union cannot keep co-partitioned.
+    "s10_kv_merge_read" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("s10"), wipe = true)
+      t.put(Tables.orders(s, d).select($"o_orderkey".as("key"),
+        lit("F").as("family"), lit("cents").as("qualifier"),
+        round($"o_totalprice" * 100).cast("long").cast("string").as("value"),
+        lit(1L).as("ts")))
+      t.compact()
+      t.put(Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey".as("key"), lit("F").as("family"),
+          lit("cents").as("qualifier"),
+          (round($"o_totalprice" * 100).cast("long") + 5000L)
+            .cast("string").as("value"),
+          lit(2L).as("ts")))
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
     // §2.10: stream → foreachBatch merge into a KV table (S7 + M1) —
     // the reference's socket-to-table pipeline as Structured Streaming.
     "st1_stream_merge" -> ((s, d) => {
@@ -364,6 +389,12 @@ object WriteQueries {
     "s9_bulk_sink" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s10_kv_merge_read" ->
+      """SELECT o_orderkey AS key,
+        |       CAST(round(o_totalprice*100) AS BIGINT)
+        |         + CASE WHEN o_orderkey % 10 = 0 THEN 5000 ELSE 0 END
+        |         AS cents
+        |FROM orders ORDER BY key""".stripMargin,
     "st1_stream_merge" ->
       """SELECT user_id AS key, CAST(round(value*100) AS BIGINT) AS cents
         |FROM (SELECT user_id, value,

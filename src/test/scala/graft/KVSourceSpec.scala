@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.kv.{GraftBucket, KVScan}
+import graft.write.KVTable
+
+/** DSv2 KV source — the structural property the source exists for:
+  * with a NON-EMPTY log on top of a compacted table (the case a
+  * DataFrame union can only express by re-shuffling the whole table),
+  * the per-bucket merged scan reports KeyGroupedPartitioning(bucket(n,
+  * key)) and the resolve window / key joins plan with zero shuffle
+  * Exchange. Reference counterpart: region-partitioned scans
+  * advertising their partitioner (HBaseRDD.scala:18-91, :26).
+  */
+class KVSourceSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(name: String, qual: String, tsBase: Long): KVTable = {
+    val t = KVTable(spark, targetPath(s"graft_kv_test/dsv2_$name"), wipe = true)
+    val base = Tables.orders(spark, sf)
+    t.put(base.select($"o_orderkey".as("key"), lit("f").as("family"),
+      lit(qual).as("qualifier"), $"o_orderstatus".as("value"),
+      lit(tsBase).as("ts")))
+    t.compact()
+    // post-compaction append (non-empty log): overwrite a subset at a
+    // later ts so latest-wins actually has to merge across the legs
+    t.put(base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey".as("key"), lit("f").as("family"),
+        lit(qual).as("qualifier"), lit("X").as("value"),
+        lit(tsBase + 1).as("ts")))
+    t
+  }
+
+  test("resolve over compacted+log merge plans with zero shuffle Exchange") {
+    val t = mkTable("a", "st", 1L)
+    val resolved = t.resolved()
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"merged KV read still shuffles:\n${plan.take(3000)}")
+    // correctness: latest-wins across the two legs
+    val got = resolved.select($"key", $"value").as[(Long, String)].collect().toMap
+    val base = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_orderstatus").as[(Long, String)].collect().toMap
+    assert(got.size === base.size)
+    base.foreach { case (k, v) =>
+      val exp = if (k % 10 == 0) "X" else v
+      assert(got(k) === exp, s"key $k")
+    }
+  }
+
+  test("two KV tables with live logs storage-partition-join with zero Exchange") {
+    val a = mkTable("b1", "st", 1L)
+    val b = mkTable("b2", "pr", 5L)
+    val joined = a.resolved().select($"key", $"value".as("status"))
+      .join(b.resolved().select($"key", $"value".as("price")), Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"KV-KV join still shuffles:\n${plan.take(3000)}")
+    assert(joined.count() === Tables.orders(spark, sf).count())
+  }
+
+  test("filters are pushed into the scan and key equality prunes buckets") {
+    val t = mkTable("c", "st", 1L)
+    val someKey = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 10 =!= 0)
+      .select($"o_orderkey").as[Long].head()
+    val q = t.cells.filter($"key" === someKey && $"family" === "f")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "expected a DSv2 BatchScan")
+    val kv = scans.head.scan.asInstanceOf[KVScan]
+    assert(kv.pushed.nonEmpty, "no filters pushed into the KV scan")
+    // bucket pruning: only the key's bucket is planned
+    val parts = kv.planInputPartitions()
+    assert(parts.length === 1,
+      s"expected 1 pruned bucket partition, got ${parts.length}")
+    // and the read is still right
+    val rows = q.collect()
+    assert(rows.length === 1 && rows.head.getLong(0) === someKey)
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val t = mkTable("d", "st", 1L)
+    val q = t.cells.select($"key", $"ts")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    val kv = scans.head.scan.asInstanceOf[KVScan]
+    assert(kv.readSchema().fieldNames.toSet === Set("key", "ts"),
+      s"scan reads ${kv.readSchema().fieldNames.mkString(",")}")
+    assert(q.count() === Tables.orders(spark, sf).count() +
+      Tables.orders(spark, sf).filter($"o_orderkey" % 10 === 0).count())
+  }
+
+  test("dsv2 merge agrees with the union fallback bit-for-bit") {
+    val t = mkTable("e", "st", 1L)
+    val viaDsv2 = t.resolved().orderBy($"key", $"family", $"qualifier").collect()
+    spark.conf.set("graft.kv.dsv2", "false")
+    try {
+      val viaUnion = t.resolved().orderBy($"key", $"family", $"qualifier").collect()
+      assert(viaDsv2.toSeq === viaUnion.toSeq)
+    } finally spark.conf.unset("graft.kv.dsv2")
+  }
+
+  test("GraftBucket matches Spark's bucketBy placement") {
+    // the log-merge routes rows by GraftBucket; if it ever drifted from
+    // Spark's murmur3 pmod the merged read would split keys across
+    // partitions and resolve would silently miss overwrites — pin it
+    val t = KVTable(spark, targetPath("graft_kv_test/dsv2_hash"), wipe = true)
+    t.put(Tables.orders(spark, sf).limit(500)
+      .select($"o_orderkey".as("key"), lit("f").as("family"),
+        lit("q").as("qualifier"), lit("v").as("value"), lit(1L).as("ts")))
+    t.compact(numBuckets = 8)
+    val layout = graft.sources.kv.KVLayout(
+      new java.io.File(targetPath("graft_kv_test/dsv2_hash")).getAbsolutePath)
+    layout.compactedByBucket.foreach { case (bucket, files) =>
+      val keys = spark.read.parquet(files: _*).select($"key").as[Long].collect()
+      keys.foreach(k => assert(GraftBucket.of(k, 8) === bucket,
+        s"key $k in file-bucket $bucket but GraftBucket says ${GraftBucket.of(k, 8)}"))
+    }
+  }
+}

@@ -150,12 +150,21 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     assert(!planAfter.contains("Exchange hashpartitioning"),
       s"resolve re-shuffles a purely-compacted table:\n${planAfter.take(2000)}")
     assert(planAfter.contains("Bucketed: true"), planAfter.take(1500))
-    // a fresh append re-introduces the union leg (memstore semantics)...
+    // a fresh append re-introduces the log leg (memstore semantics) —
+    // served by the DSv2 per-bucket merge, which keeps the read
+    // clustered by key: still no shuffle even with a live log
     t.put(cells((3L, "F", "a", "v3", 2L)))
     val planWithLog = t.resolved().queryExecution.executedPlan.toString
-    assert(planWithLog.contains("Union"),
-      s"log leg missing after post-compaction put:\n${planWithLog.take(2000)}")
+    assert(planWithLog.contains("BatchScan"),
+      s"log leg not served by the DSv2 merge:\n${planWithLog.take(2000)}")
+    assert(!planWithLog.contains("Exchange hashpartitioning"),
+      s"live log re-shuffles the table:\n${planWithLog.take(2000)}")
     assert(t.resolved().count() === 3)
+    // the union fallback stays available behind the config gate
+    spark.conf.set("graft.kv.dsv2", "false")
+    try assert(t.resolved().queryExecution.executedPlan.toString.contains("Union"),
+      "union fallback gone")
+    finally spark.conf.unset("graft.kv.dsv2")
     // ...and the next compaction clears it again (full cycle)
     t.compact()
     val planAfter2 = t.resolved().queryExecution.executedPlan.toString
