@@ -148,25 +148,28 @@ object GraphOps {
     // checkpoint every few rounds so plans stay bounded on long runs.
     var prev: Option[DataFrame] = Some(labels)
     for (step <- 1 to steps) {
-      // One shuffle per superstep: neighbor contributions (frontier
-      // pushed through the dst-partitioned network — AQE broadcasts the
-      // shrinking frontier, so the big side never moves) are unioned
-      // with the current labels and max-reduced in a single aggregation.
-      // `changed` falls out of the same pass (max over all vs max over
-      // own), where the join+join shape needed a second stage for it.
-      val contrib = p
+      // Per superstep, only the frontier's contributions shuffle: they
+      // are max-reduced by destination (a frontier-sized aggregation),
+      // then joined back onto the label state, which sits in cache
+      // hash-partitioned by vertex from the PREVIOUS round's
+      // aggregation — so the O(V) label table never moves after round
+      // 0, only the O(frontier-edges) delta does. At 100 TB that is
+      // the difference between re-shuffling every vertex every round
+      // and touching just what changed. contrib's vertex domain ⊆
+      // labels' (every src labels itself in round 0), so a left join
+      // loses nothing.
+      val contribAgg = p
         .join(frontier.withColumnRenamed("vertex", "dst"), Seq("dst"))
-        .select(col("src").as("vertex"), col("label"), lit(false).as("own"))
+        .groupBy(col("src"))
+        .agg(max(col("label")).as("nlabel"))
+        .withColumnRenamed("src", "vertex")
       var next = labels
-        .withColumn("own", lit(true))
-        .unionByName(contrib)
-        .groupBy(col("vertex"))
-        .agg(max(col("label")).as("label"),
-          max(when(col("own"), col("label"))).as("old"))
-        // inner union keeps every vertex that has a label (the `own` leg),
-        // so no vertex is lost and `old` is never null
-        .select(col("vertex"), col("label"),
-          (col("label") > col("old")).as("changed"))
+        .join(contribAgg, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          greatest(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (coalesce(col("nlabel"), lit(Long.MinValue)) > col("label"))
+            .as("changed"))
       next =
         if (step % 4 == 0) next.localCheckpoint(eager = true)
         else {
