@@ -184,12 +184,24 @@ class KVTable(val spark: SparkSession, val path: String) {
   private def writeCompacted(state: DataFrame, numBuckets: Int,
                              snapshotLogFiles: Seq[java.io.File]): Unit = {
     val tmp = s"$path/compacting"
-    // materialize first: the new state derives from the table being
-    // overwritten (Spark refuses to overwrite a table it is reading)
-    state
-      .withColumn("tomb", lit(null).cast("string"))
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.schema(CELL_SCHEMA_DDL).parquet(tmp)
+    // Re-compaction rewrites a table the state is READING (Spark
+    // refuses to overwrite a table it reads from), so it must stage
+    // through tmp — one extra write+read of the full state. A FIRST
+    // compaction derives from the log alone: write the bucketed table
+    // directly and skip the staging hop entirely (half the write
+    // amplification on the bulk-load path, the dominant cost of
+    // m4-m7/s9-style loads; at 100 TB this is writing the dataset once
+    // instead of twice).
+    val src =
+      if (!spark.catalog.tableExists(tableName)) {
+        state.withColumn("tomb", lit(null).cast("string"))
+      } else {
+        state
+          .withColumn("tomb", lit(null).cast("string"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        spark.read.schema(CELL_SCHEMA_DDL).parquet(tmp)
+      }
+    src
       .repartition(numBuckets, col("key")) // align tasks with buckets: one file per bucket
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "key")
