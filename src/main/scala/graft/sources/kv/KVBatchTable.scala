@@ -193,6 +193,10 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
   private val outIdx: Array[Int] = required.fieldNames.map(colIdx)
   private val keyIdx: Int = colIdx.getOrElse("key", -1)
 
+  // row-group / dictionary pruning at the parquet layer (min/max
+  // statistics) — evaluated once, applied to every file this task opens
+  private val parquetFilter = KVParquetFilters.build(filters)
+
   private var fileIdx = 0
   private var inLog = false
   private var reader: ParquetReader[Group] = _
@@ -225,8 +229,9 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
     projIsLong = projFields.map(t =>
       t.getName == "key" || t.getName == "ts").toArray
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-    reader = ParquetReader.builder[Group](new GroupReadSupport(), hpath)
-      .withConf(conf).build()
+    val builder = ParquetReader.builder[Group](new GroupReadSupport(), hpath)
+      .withConf(conf)
+    reader = parquetFilter.fold(builder)(builder.withFilter).build()
     true
   }
 
@@ -263,6 +268,66 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Spark `Filter` → parquet-mr `FilterPredicate` translation, so the
+  * reader skips whole row groups on column min/max statistics (and
+  * dictionary pages) before decoding anything — the engine-side
+  * analogue of the reference's server-side scan properties
+  * (`setTimeRange`, key-bounded scans; HBaseRDDFunctions.scala:39-46).
+  * With key-sorted compacted files a key-range predicate prunes most
+  * row groups; a ts-range predicate prunes old groups in append-ordered
+  * logs. Translation is all-or-nothing per filter tree (a partially
+  * translated Or/Not would be wrong); untranslatable conjuncts are
+  * simply dropped — the reader and Spark both re-check. */
+object KVParquetFilters {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+
+  private def isLong(attr: String) = attr == "key" || attr == "ts"
+  private def num(v: Any): Option[java.lang.Long] = v match {
+    case n: java.lang.Number => Some(java.lang.Long.valueOf(n.longValue()))
+    case _ => None
+  }
+  private val NullLong = null.asInstanceOf[java.lang.Long]
+  private val NullBin = null.asInstanceOf[Binary]
+
+  def translate(f: Filter): Option[FilterPredicate] = f match {
+    case And(l, r) =>
+      for { a <- translate(l); b <- translate(r) } yield FilterApi.and(a, b)
+    case Or(l, r) =>
+      for { a <- translate(l); b <- translate(r) } yield FilterApi.or(a, b)
+    case Not(c) => translate(c).map(FilterApi.not)
+    case EqualTo(a, v) if isLong(a) =>
+      num(v).map(FilterApi.eq(FilterApi.longColumn(a), _))
+    case EqualTo(a, v: String) =>
+      Some(FilterApi.eq(FilterApi.binaryColumn(a), Binary.fromString(v)))
+    case GreaterThan(a, v) if isLong(a) =>
+      num(v).map(FilterApi.gt(FilterApi.longColumn(a), _))
+    case GreaterThanOrEqual(a, v) if isLong(a) =>
+      num(v).map(FilterApi.gtEq(FilterApi.longColumn(a), _))
+    case LessThan(a, v) if isLong(a) =>
+      num(v).map(FilterApi.lt(FilterApi.longColumn(a), _))
+    case LessThanOrEqual(a, v) if isLong(a) =>
+      num(v).map(FilterApi.ltEq(FilterApi.longColumn(a), _))
+    case In(a, vs) if isLong(a) && vs.nonEmpty && vs.length <= 64 =>
+      val eqs = vs.flatMap(num).map(l =>
+        FilterApi.eq(FilterApi.longColumn(a), l): FilterPredicate)
+      if (eqs.length == vs.length) eqs.reduceOption(FilterApi.or(_, _)) else None
+    case IsNull(a) =>
+      Some(if (isLong(a)) FilterApi.eq(FilterApi.longColumn(a), NullLong)
+           else FilterApi.eq(FilterApi.binaryColumn(a), NullBin))
+    case IsNotNull(a) =>
+      Some(if (isLong(a)) FilterApi.notEq(FilterApi.longColumn(a), NullLong)
+           else FilterApi.notEq(FilterApi.binaryColumn(a), NullBin))
+    case _ => None
+  }
+
+  def build(filters: Array[Filter]): Option[FilterCompat.Filter] =
+    filters.flatMap(translate(_))
+      .reduceOption(FilterApi.and(_, _))
+      .map(FilterCompat.get)
 }
 
 /** Row-wise evaluation of Spark V1 `Filter`s over decoded cell values.

@@ -105,6 +105,28 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("graft.kv.dsv2")
   }
 
+  test("range predicates translate to parquet row-group filters and read right") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.kv.KVParquetFilters
+    assert(KVParquetFilters.build(Array(
+      GreaterThan("ts", java.lang.Long.valueOf(1L)), EqualTo("family", "f"),
+      In("key", Array[Any](java.lang.Long.valueOf(1L),
+        java.lang.Long.valueOf(2L))))).isDefined)
+    // untranslatable conjuncts drop without poisoning the rest
+    assert(KVParquetFilters.build(Array(
+      StringContains("value", "x"),
+      LessThanOrEqual("ts", java.lang.Long.valueOf(5L)))).isDefined)
+    // an Or with an untranslatable side must NOT partially translate
+    assert(KVParquetFilters.build(Array(
+      Or(StringContains("value", "x"),
+        EqualTo("ts", java.lang.Long.valueOf(5L))))).isEmpty)
+    // a read through the row-group-pruned path stays correct
+    val t = mkTable("f", "st", 1L)
+    val cnt = t.cells.filter($"ts" === 2L).count()
+    assert(cnt ===
+      Tables.orders(spark, sf).filter($"o_orderkey" % 10 === 0).count())
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
