@@ -21,6 +21,13 @@ object Bench {
     def sweepCaches(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // On a 128 GiB heap GC may never trigger across 100+ queries, so
+      // ContextCleaner never releases dead shuffle files / broadcast
+      // blocks — disk + page-cache pressure then taxes later queries
+      // (observed as non-reproducing multi-second spikes on shuffle-
+      // heavy queries late in the alphabet). Kick GC explicitly; this
+      // runs OUTSIDE the timed region.
+      System.gc()
     }
     // optional arg: regex over query names, for single-query iteration
     val nameFilter = args.headOption.map(_.r)

@@ -29,6 +29,41 @@ object Dedup {
       .select(col(idCol), col("kept_id"), col("group_size"))
   }
 
+  /** Incremental exact dedup — the daily-ingest path: a NEW batch is
+    * admitted against an EXISTING corpus without recomputing anything
+    * over the corpus beyond its normalized hashes. Within-batch
+    * duplicates keep the smallest id; batch docs whose hash already
+    * exists in the corpus are rejected. At 100 TB the corpus side is a
+    * precomputed one-column hash index (bucketable by hash), and the
+    * anti-join moves only batch-sized data — the corpus never
+    * re-shuffles for an ingest. */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      md5(lower(trim(col(textCol)))).as("norm_hash"))
+    hashed(batch)
+      .groupBy(col("norm_hash")).agg(min(col(idCol)).as(idCol))
+      .join(hashed(corpus).select(col("norm_hash")), Seq("norm_hash"), "left_anti")
+      .select(col(idCol))
+  }
+
+  /** Benchmark-contamination detection: corpus documents sharing at
+    * least `minCommon` distinct word-k-gram shingles with any document
+    * of a benchmark set (eval leakage scan). The benchmark side is
+    * explicitly broadcast — a bench suite is KBs-to-MBs against a
+    * 100 TB corpus, so the corpus side never shuffles and the overlap
+    * count reduces map-side per (corpus doc, bench doc). */
+  def contamination(corpus: DataFrame, bench: DataFrame,
+                    minCommon: Long = 5, k: Int = 3): DataFrame = {
+    val cs = docShingles(corpus, k)
+    val bs = docShingles(bench, k).withColumnRenamed("doc_id", "bench_id")
+    cs.join(broadcast(bs), Seq("s"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+  }
+
   /** Single-file sources arrive as one input partition (one row group);
     * hashing/shingling is CPU-bound per row, so fan the rows out across
     * the executors before the heavy projection. Conditional: an input

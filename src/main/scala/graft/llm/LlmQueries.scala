@@ -53,6 +53,50 @@ object LlmQueries {
       Dedup.simHashPairs(Tables.documents(s, d), 3).orderBy($"da", $"db")
     }),
 
+    // Incremental exact dedup — daily-ingest: batch (doc_id%5==0)
+    // admitted against the standing corpus (the rest); only batch-sized
+    // data moves.
+    "llm_dedup_incr" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExact(docs.filter($"doc_id" % 5 =!= 0),
+        docs.filter($"doc_id" % 5 === 0)).orderBy($"doc_id")
+    }),
+
+    // Deterministic stratified sample: per language, the 50 docs with
+    // the smallest text hash — an unbiased, engine-agnostic balanced
+    // subsample (training-mix construction). Two-phase top-k: a
+    // per-(lang, salt) local rank first, so no reducer ever holds more
+    // than 32·k rows of a stratum — a single window per language would
+    // put a whole language (billions of rows at corpus scale) on one
+    // task.
+    "llm_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val h = Tables.documents(s, d)
+        .select($"lang", $"doc_id", md5($"text").as("h"))
+        .withColumn("salt", pmod(hash($"doc_id"), lit(32)))
+      val w1 = Window.partitionBy($"lang", $"salt").orderBy($"h", $"doc_id")
+      val local = h.withColumn("rn", row_number().over(w1))
+        .filter($"rn" <= k).drop("rn", "salt")
+      val w2 = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      local.withColumn("rn", row_number().over(w2).cast("long"))
+        .filter($"rn" <= k)
+        .select($"lang", $"doc_id", $"rn")
+        .orderBy($"lang", $"doc_id")
+    }),
+
+    // Benchmark-contamination scan: corpus docs sharing ≥5 word-3-gram
+    // shingles with the (broadcast) benchmark slice (doc_id%97==0).
+    "llm_contamination" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(docs.filter($"doc_id" % 97 =!= 0),
+          docs.filter($"doc_id" % 97 === 0))
+        .orderBy($"doc_id", $"bench_id")
+    }),
+
     // Embedding-cosine near-dup pairs ≥ 0.5 — multi-band sign-LSH
     // candidates (14 bands × 4 planes; cos 0.5 is a weak angular signal,
     // so recall needs many bands — real near-dup corpora at cos ≥ 0.9
@@ -204,6 +248,31 @@ object LlmQueries {
         |      FROM h GROUP BY nh)
         |SELECT h.doc_id, g.kept_id, g.group_size
         |FROM h JOIN g USING (nh) ORDER BY h.doc_id""".stripMargin,
+    "llm_dedup_incr" ->
+      """WITH c AS (SELECT md5(lower(trim(text))) AS nh FROM documents
+        |           WHERE doc_id % 5 <> 0),
+        |b AS (SELECT doc_id, md5(lower(trim(text))) AS nh FROM documents
+        |      WHERE doc_id % 5 = 0),
+        |k AS (SELECT nh, min(doc_id) AS doc_id FROM b GROUP BY nh)
+        |SELECT doc_id FROM k
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.nh = k.nh)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_stratified_sample" ->
+      """WITH h AS (SELECT lang, doc_id, md5(text) AS h FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY h, doc_id) AS rn
+        |      FROM h)
+        |SELECT lang, doc_id, rn FROM r WHERE rn <= 50
+        |ORDER BY lang, doc_id""".stripMargin,
+    "llm_contamination" -> (DOC_CTE +
+      """, cs AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+        |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+        |ov AS (SELECT cs.doc_id, bs.bench_id,
+        |              CAST(count(*) AS BIGINT) AS common
+        |       FROM cs JOIN bs USING (s) GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, common FROM ov WHERE common >= 5
+        |ORDER BY doc_id, bench_id""".stripMargin),
     "llm_dedup_ngram" -> (DOC_CTE +
       """, common AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
