@@ -40,6 +40,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def tableExists(ident: Identifier): Boolean =
     KVLayout(pathOf(ident)).exists
 
+  /** SQL time travel: `VERSION AS OF v` pins the read to cells with
+    * `ts <= v` — HBase's timestamped-scan semantics over the cell log
+    * (version = the user-space cell timestamp, not a snapshot id;
+    * combine with [[graft.write.KVTable.resolvedAsOf]] for the
+    * latest-wins view as of v). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (!KVLayout(path).exists) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new UnsupportedOperationException(
+        s"graft KV VERSION AS OF takes a cell-timestamp long, got '$version'")
+    }
+    new KVBatchTable(path, Some(v))
+  }
+
   override def createTable(ident: Identifier, info: TableInfo): Table =
     throw new UnsupportedOperationException(
       "graft KV tables are created by KVTable.put/compact, not DDL")

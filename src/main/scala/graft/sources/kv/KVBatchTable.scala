@@ -48,8 +48,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the key prune buckets at execution time. Columns are pruned down
   * to the parquet page reads via the requested projection.
   */
-class KVBatchTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-kv `$path`"
+/** @param tsMax time-travel cutoff (SQL `VERSION AS OF v`): the scan
+  *   only returns cells with `ts <= v` — the reference's timestamped
+  *   read (`Scan.setTimeRange(0, v+1)`, HBaseRDDFunctions.scala:39-46).
+  *   The cutoff joins the pushed-filter set, so it prunes parquet row
+  *   groups like any other ts predicate. */
+class KVBatchTable(path: String, tsMax: Option[Long] = None)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-kv `$path`" + tsMax.fold("")(v => s" @v<=$v")
   override def schema(): StructType = KVBatchTable.CELL_SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -61,7 +68,7 @@ class KVBatchTable(path: String) extends Table with SupportsRead {
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KVScanBuilder(path)
+    new KVScanBuilder(path, tsMax)
 }
 
 object KVBatchTable {
@@ -69,7 +76,8 @@ object KVBatchTable {
     graft.write.KVTable.CELL_SCHEMA_DDL)
 }
 
-class KVScanBuilder(path: String) extends ScanBuilder
+class KVScanBuilder(path: String, tsMax: Option[Long] = None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KVBatchTable.CELL_SCHEMA
@@ -88,7 +96,8 @@ class KVScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KVScan(path, KVLayout(path), required, pushed)
+  override def build(): Scan = new KVScan(path, KVLayout(path), required,
+    pushed ++ tsMax.map(v => LessThanOrEqual("ts", v): Filter))
 }
 
 class KVScan(path: String, layout: KVLayout, required: StructType,

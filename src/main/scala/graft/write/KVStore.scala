@@ -146,6 +146,14 @@ class KVTable(val spark: SparkSession, val path: String) {
   /** Latest-wins live-cell view (the read path every query sees). */
   def resolved(): DataFrame = resolve(cells)
 
+  /** Latest-wins view as of cell-timestamp `v` (HBase timestamped
+    * read / SQL `VERSION AS OF v` on the DSv2 table): cells written
+    * after v — including later tombstones — are invisible. The ts
+    * cutoff is a plain pushed predicate, so it prunes parquet row
+    * groups on both the compacted and log legs. */
+  def resolvedAsOf(v: Long): DataFrame =
+    resolve(cells.filter(col("ts") <= v))
+
   /** Data files of the log as of now — the compaction snapshot. Only
     * these files feed the rewrite, and only these are deleted after the
     * swap: a put() landing while compaction runs adds NEW part files,

@@ -79,6 +79,28 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M11 (extra): time-travel read — `resolvedAsOf(v)` / SQL `VERSION
+    // AS OF v` on the DSv2 table pins the view to cells with ts <= v
+    // (the reference's timestamped scan, HBaseRDDFunctions.scala:39-46):
+    // the later overlay AND a later tombstone are both invisible at v=5.
+    "m11_version_asof" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m11"), wipe = true)
+      t.put(customerCents(s, d, ts = 5L))
+      t.compact()
+      t.put(Tables.customer(s, d).filter($"c_mktsegment" === "MACHINERY")
+        .select($"c_custkey".as("key"), lit("F").as("family"),
+          lit("bal").as("qualifier"),
+          (round($"c_acctbal" * 100).cast("long") + 111L).cast("string").as("value"),
+          lit(7L).as("ts")))
+      t.delete(Tables.customer(s, d).filter($"c_custkey" % 10 === 3)
+        .select($"c_custkey".as("key"), lit(null).cast("string").as("family"),
+          lit(null).cast("string").as("qualifier")), ts = 8L)
+      t.resolvedAsOf(5L)
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
     // M3/A11 `increment` (HBaseTable.scala:157-179): two rounds of
     // counter deltas (zero deltas skipped), final counter per key.
     "m3_increment" -> ((s, d) => {
@@ -339,6 +361,10 @@ object WriteQueries {
         |       CAST(round(c_acctbal*100) AS BIGINT)
         |         + CASE WHEN c_mktsegment = 'MACHINERY' THEN 111 ELSE 0 END
         |         AS cents
+        |FROM customer ORDER BY key""".stripMargin,
+    "m11_version_asof" ->
+      """SELECT c_custkey AS key,
+        |       CAST(round(c_acctbal*100) AS BIGINT) AS cents
         |FROM customer ORDER BY key""".stripMargin,
     "m3_increment" ->
       """SELECT user_id AS key,

@@ -127,6 +127,24 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       Tables.orders(spark, sf).filter($"o_orderkey" % 10 === 0).count())
   }
 
+  test("VERSION AS OF pins the read to a cell-timestamp cutoff") {
+    val t = mkTable("g", "st", 1L)   // ts=1 compacted, ts=2 overlay in log
+    val ident = new java.io.File(targetPath("graft_kv_test/dsv2_g"))
+      .getAbsolutePath.split("/").filter(_.nonEmpty)
+      .map(s => s"`$s`").mkString(".")
+    // SQL time travel over the DSv2 table: v=1 sees no overlay cells
+    val asOf1 = spark.sql(s"SELECT * FROM graft.$ident VERSION AS OF 1")
+    assert(asOf1.filter($"ts" > 1).count() === 0)
+    assert(asOf1.count() === Tables.orders(spark, sf).count())
+    // engine-level view: as-of-1 resolve returns pre-overlay values
+    val got = t.resolvedAsOf(1L).select($"key", $"value")
+      .as[(Long, String)].collect().toMap
+    assert(!got.values.exists(_ == "X"), "overlay leaked into as-of-1 view")
+    // and the live view still sees the overlay
+    assert(t.resolved().filter($"value" === "X").count() ===
+      Tables.orders(spark, sf).filter($"o_orderkey" % 10 === 0).count())
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
