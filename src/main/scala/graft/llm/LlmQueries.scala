@@ -125,6 +125,18 @@ object LlmQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF ANN: stride-sampled centroids (vec_id%40==0), 1-probe base
+    // assignment, 2-probe query search, bucket-local top-3 — the
+    // data-adaptive ANN scale path (broadcast centroids, the corpus
+    // shuffles once by centroid).
+    "llm_ann_ivf" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" % 25 === 0),
+          stride = 40, k = 3, nprobe = 2)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Language-ID by stopword scoring (alphabetical-first argmax).
     "llm_lang_id" -> ((s, d) => {
       import s.implicits._
@@ -375,6 +387,33 @@ object LlmQueries {
         |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, e AS ec FROM e WHERE vec_id % 40 = 0),
+        |ab AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c) WHERE r <= 1),
+        |aq AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c WHERE v.vec_id % 25 = 0) WHERE r <= 2),
+        |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS nb_id,
+        |                  round(list_cosine_similarity(qe.e, be.e), 6) AS cos
+        |           FROM aq q JOIN ab b USING (cent_id)
+        |           JOIN e qe ON qe.vec_id = q.vec_id
+        |           JOIN e be ON be.vec_id = b.vec_id
+        |           WHERE b.vec_id <> q.vec_id)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "llm_lang_id" ->
       """WITH sc AS (SELECT doc_id, string_split(trim(text), ' ') AS w
         |            FROM documents),

@@ -135,8 +135,12 @@ object Similarity {
     val cents = prepared(emb.filter(col("vec_id") % stride === 0), "cent_id")
       .select(col("cent_id"), col("e").as("ec"), col("nrm").as("nc"))
     def assign(df: DataFrame, idCol: String, probes: Int): DataFrame = {
+      // 6-dp rounding before the argmax: assignment must be decided on
+      // a value both engines (and any FP summation order) agree on, or
+      // a sub-ulp difference flips a centroid and changes whole buckets
       val scored = df.crossJoin(broadcast(cents))
-        .withColumn("csim", dotExpr("e", "ec") / (col("nrm") * col("nc")))
+        .withColumn("csim",
+          round(dotExpr("e", "ec") / (col("nrm") * col("nc")), 6))
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("csim").desc, col("cent_id").asc)
       scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
