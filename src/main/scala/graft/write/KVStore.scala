@@ -240,7 +240,18 @@ class KVTable(val spark: SparkSession, val path: String) {
     * HBaseTable.scala:316-344): compaction on a background thread so the
     * writer can continue appending to the log while the heavy rewrite
     * runs. Spark jobs are thread-safe per session; the returned future
-    * completes when the bucketed table is swapped in. */
+    * completes when the bucketed table is swapped in.
+    *
+    * Concurrency contract: concurrent APPENDS are safe (the rewrite
+    * deletes only its snapshot's log files; racing part files survive).
+    * Concurrent READS of the compacted leg are NOT safe during a
+    * re-compaction — the overwrite replaces the bucket files in place,
+    * so a query planned against the old files can fail mid-flight.
+    * Readers that must overlap a rewrite should pin a snapshot first
+    * (s5-style) or schedule compaction in a write window; a
+    * generational layout (keep gen N-1 until in-flight scans drain,
+    * HBase's HFile-refcount analogue) is the upgrade path if overlap
+    * becomes a real workload. */
   def compactAsync(numBuckets: Int = 8)(
       implicit ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global)

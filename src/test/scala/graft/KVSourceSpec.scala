@@ -127,6 +127,24 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       Tables.orders(spark, sf).filter($"o_orderkey" % 10 === 0).count())
   }
 
+  test("runtime In-filter prunes to the keys' buckets (multi-get path)") {
+    import org.apache.spark.sql.sources.In
+    val t = mkTable("h", "st", 1L)
+    val q = t.cells
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    val kv = scans.head.scan.asInstanceOf[KVScan]
+    val all = kv.planInputPartitions().length
+    assert(all === 8, s"expected all 8 bucket partitions, got $all")
+    // a DPP-style runtime filter with two keys reaches at most 2 buckets
+    kv.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("key", Array[Any](java.lang.Long.valueOf(1L),
+        java.lang.Long.valueOf(2L)))))
+    val pruned = kv.planInputPartitions().length
+    assert(pruned <= 2 && pruned >= 1,
+      s"runtime filter left $pruned partitions")
+  }
+
   test("VERSION AS OF pins the read to a cell-timestamp cutoff") {
     val t = mkTable("g", "st", 1L)   // ts=1 compacted, ts=2 overlay in log
     val ident = new java.io.File(targetPath("graft_kv_test/dsv2_g"))
