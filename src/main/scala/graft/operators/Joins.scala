@@ -150,6 +150,44 @@ object Joins {
           $"c_nationkey" === $"n_nationkey")
         .select($"c_custkey", $"c_name", $"n_name")
         .orderBy($"c_custkey")
+    }),
+
+    // J10 (extra): as-of join — each purchase picks up the latest
+    // 'view' value of the same user at-or-before its timestamp
+    // (trades-and-quotes). One shuffle, linear merge — no range probe.
+    "j10_asof_join" -> ((s, d) => {
+      import s.implicits._
+      // micro-second timestamps on both sides: the oracle engine's
+      // TIMESTAMP truncates the parquet nanos to micros, so the as-of
+      // comparison must happen at the precision both engines share
+      val e = Tables.events(s, d).withColumn("ts", expr("ts DIV 1000"))
+      val quotes = e.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("qval"))
+      val trades = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      Temporal.asofJoin(trades, quotes, "user_id", "ts",
+          Seq("event_id"), "qval")
+        .select($"user_id", $"ts", $"event_id",
+          round($"asof_value", 6).as("asof_value"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    }),
+
+    // J11 (extra): range join with no equi-key — events against 20
+    // overlapping campaign windows via fixed-width bin bucketing
+    // (equi-join on the bin + exact range filter; no cartesian).
+    "j11_range_join" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"event_id", $"ts", $"value")
+      val (t0, t1) = e.agg(min($"ts"), max($"ts")).as[(Long, Long)].head()
+      val stride = math.max((t1 - t0) / 20, 1L)
+      val wins = s.range(20).select($"id".as("win_id"),
+        (lit(t0) + $"id" * stride).as("w_start"),
+        (lit(t0) + $"id" * stride + lit(3L * stride / 2)).as("w_end"))
+      Temporal.rangeJoin(e, wins, "ts", "w_start", "w_end", stride)
+        .groupBy($"win_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 4).as("sum_value"))
+        .orderBy($"win_id")
     })
   )
 
@@ -195,6 +233,26 @@ object Joins {
     "j9_profile_join" ->
       """SELECT c_custkey, c_name, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "j10_asof_join" ->
+      """WITH q AS (SELECT user_id, epoch_us(ts) AS ts, max(value) AS qval
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ts, p.event_id, round(q.qval, 6) AS asof_value
+        |FROM p ASOF LEFT JOIN q
+        |  ON p.user_id = q.user_id AND p.ts >= q.ts
+        |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
+    "j11_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts, value FROM events),
+        |b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM e),
+        |s AS (SELECT t0, GREATEST((t1 - t0) // 20, 1) AS stride FROM b),
+        |w AS (SELECT i AS win_id, t0 + i*stride AS w_start,
+        |             t0 + i*stride + (3*stride) // 2 AS w_end
+        |      FROM range(20) r(i), s)
+        |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w JOIN e ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin
   )
 }
