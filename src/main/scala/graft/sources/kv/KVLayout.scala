@@ -27,26 +27,36 @@ case class KVLayout(path: String) {
       .map(_.getPath).sorted.toSeq
   }
 
-  /** Bucket count of the compacted state, or -1 if never compacted. */
-  val numBuckets: Int = {
-    val meta = new java.io.File(s"$path/compacted/_graft_buckets.txt")
-    if (!meta.exists()) -1
+  /** (generation, numBuckets) from the pointer file — compaction
+    * publishes a new `compacted/gen-<N>` directory by flipping this
+    * pointer, and the previous generation survives one more compaction
+    * interval so in-flight scans (which snapshotted its file list)
+    * keep reading valid files through the swap. */
+  private val current: Option[(Int, Int)] = {
+    val meta = new java.io.File(s"$path/compacted/_graft_current.txt")
+    if (!meta.exists()) None
     else {
       val src = scala.io.Source.fromFile(meta)
-      try src.mkString.trim.toInt finally src.close()
+      val parts = try src.mkString.trim.split(" ") finally src.close()
+      Some((parts(0).toInt, parts(1).toInt))
     }
   }
 
+  /** Bucket count of the compacted state, or -1 if never compacted. */
+  val numBuckets: Int = current.map(_._2).getOrElse(-1)
+
   val logFiles: Seq[String] = dataFiles(s"$path/log")
 
-  /** Compacted files keyed by the bucket id in their Spark bucket-file
-    * name (`part-...-_00003.c000...`). */
-  val compactedByBucket: Map[Int, Seq[String]] = {
-    val pat = "_(\\d{5})\\.".r
-    dataFiles(s"$path/compacted")
-      .flatMap(f => pat.findFirstMatchIn(new java.io.File(f).getName)
-        .map(m => m.group(1).toInt -> f))
-      .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2) }
+  /** Current generation's compacted files keyed by the bucket id in
+    * their Spark bucket-file name (`part-...-_00003.c000...`). */
+  val compactedByBucket: Map[Int, Seq[String]] = current match {
+    case None => Map.empty
+    case Some((g, _)) =>
+      val pat = "_(\\d{5})\\.".r
+      dataFiles(s"$path/compacted/gen-$g")
+        .flatMap(f => pat.findFirstMatchIn(new java.io.File(f).getName)
+          .map(m => m.group(1).toInt -> f))
+        .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2) }
   }
 
   def bucketed: Boolean = numBuckets > 0

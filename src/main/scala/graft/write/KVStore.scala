@@ -32,18 +32,26 @@ class KVTable(val spark: SparkSession, val path: String) {
 
   private def logDir = s"$path/log"
 
-  /** Catalog identity of the compacted state — derived from the path so
-    * each table path owns exactly one bucketed table. The slug alone is
-    * not injective (it collapses case and non-alphanumerics, so
-    * `/kv-a` and `/kv_A` would share a catalog entry and clobber each
-    * other's compacted state) — a hash of the raw path disambiguates. */
-  val tableName: String = {
+  /** Catalog identity stem of the compacted state — derived from the
+    * path so each table path owns its own catalog entries. The slug
+    * alone is not injective (it collapses case and non-alphanumerics,
+    * so `/kv-a` and `/kv_A` would share a catalog entry and clobber
+    * each other's compacted state) — a hash of the raw path
+    * disambiguates. Each compaction GENERATION gets its own catalog
+    * table (`<stem>_g<N>`), so a reader resolved against generation
+    * N-1 keeps a valid table entry while generation N swaps in. */
+  private val tableBase: String = {
     val slug = path.replaceAll("[^A-Za-z0-9]+", "_")
       .replaceAll("^_+|_+$", "").toLowerCase
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(path.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     s"graft_kv_${slug}_$hash"
   }
+
+  private def tableNameFor(gen: Int): String = s"${tableBase}_g$gen"
+
+  /** Current generation's catalog table name. */
+  def tableName: String = tableNameFor(currentGen.map(_._1).getOrElse(0))
 
   /** True only when the log holds DATA files. Spark's parquet commit
     * leaves `_SUCCESS` (+ `.crc`) markers behind, and compaction deletes
@@ -53,24 +61,33 @@ class KVTable(val spark: SparkSession, val path: String) {
     * hashpartitioning(key) and re-introducing a full shuffle. */
   private def logExists: Boolean = listLogFiles().nonEmpty
 
-  private def bucketMeta = new java.io.File(s"$path/compacted/_graft_buckets.txt")
+  private def currentMeta = new java.io.File(s"$path/compacted/_graft_current.txt")
 
-  /** The session catalog is in-memory: a compacted table written by a
-    * previous session has files + a bucket-count marker on disk but no
+  /** `(generation, numBuckets)` of the live compacted state, from the
+    * atomic pointer file. Generations live side by side under
+    * `compacted/gen-<N>/`; the pointer flip is what publishes one. */
+  private[graft] def currentGen: Option[(Int, Int)] =
+    if (!currentMeta.exists()) None
+    else {
+      val src = scala.io.Source.fromFile(currentMeta)
+      val parts = try src.mkString.trim.split(" ") finally src.close()
+      Some((parts(0).toInt, parts(1).toInt))
+    }
+
+  /** The session catalog is in-memory: a compacted generation written
+    * by a previous session has files + the pointer on disk but no
     * catalog entry — re-register it (CLUSTERED BY matching the layout)
     * so its partitioning stays visible to Catalyst across sessions. */
-  private def compactedExists: Boolean = {
-    if (!spark.catalog.tableExists(tableName) && bucketMeta.exists()) {
-      val n = {
-        val src = scala.io.Source.fromFile(bucketMeta)
-        try src.mkString.trim.toInt finally src.close()
-      }
-      spark.sql(
-        s"""CREATE TABLE $tableName ($CELL_SCHEMA_DDL) USING parquet
-           |CLUSTERED BY (key) SORTED BY (key, family, qualifier)
-           |INTO $n BUCKETS LOCATION '$path/compacted'""".stripMargin)
-    }
-    spark.catalog.tableExists(tableName)
+  private def compactedExists: Boolean = currentGen match {
+    case None => false
+    case Some((g, n)) =>
+      val t = tableNameFor(g)
+      if (!spark.catalog.tableExists(t))
+        spark.sql(
+          s"""CREATE TABLE $t ($CELL_SCHEMA_DDL) USING parquet
+             |CLUSTERED BY (key) SORTED BY (key, family, qualifier)
+             |INTO $n BUCKETS LOCATION '$path/compacted/gen-$g'""".stripMargin)
+      true
   }
 
   def exists: Boolean = logExists || compactedExists
@@ -189,35 +206,35 @@ class KVTable(val spark: SparkSession, val path: String) {
     writeCompacted(KVTable.resolve(cellsFrom(snapshot)), numBuckets, snapshot)
   }
 
+  /** Generational rewrite. Each compaction writes a FRESH directory
+    * (`compacted/gen-<N+1>`) under a FRESH catalog table
+    * (`<stem>_g<N+1>`) and then flips the pointer file:
+    *
+    *  - the state is written exactly ONCE (reading table gen-N while
+    *    creating table gen-N+1 is legal — no same-table overwrite, so
+    *    no staging hop and no double write, on first load AND every
+    *    re-compaction);
+    *  - readers planned against gen-N keep working through the swap —
+    *    their catalog entry and files both survive (the HBase
+    *    scanners-hold-HFiles analogue). Generation N-1 is pruned only
+    *    at the NEXT compaction, giving in-flight scans one full
+    *    compaction interval to drain;
+    *  - concurrent appends survive exactly as before: only the
+    *    snapshot's log files are deleted after the swap. */
   private def writeCompacted(state: DataFrame, numBuckets: Int,
                              snapshotLogFiles: Seq[java.io.File]): Unit = {
-    val tmp = s"$path/compacting"
-    // Re-compaction rewrites a table the state is READING (Spark
-    // refuses to overwrite a table it reads from), so it must stage
-    // through tmp — one extra write+read of the full state. A FIRST
-    // compaction derives from the log alone: write the bucketed table
-    // directly and skip the staging hop entirely (half the write
-    // amplification on the bulk-load path, the dominant cost of
-    // m4-m7/s9-style loads; at 100 TB this is writing the dataset once
-    // instead of twice).
-    val src =
-      if (!spark.catalog.tableExists(tableName)) {
-        state.withColumn("tomb", lit(null).cast("string"))
-      } else {
-        state
-          .withColumn("tomb", lit(null).cast("string"))
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        spark.read.schema(CELL_SCHEMA_DDL).parquet(tmp)
-      }
-    src
+    val newGen = currentGen.map(_._1 + 1).getOrElse(0)
+    state
+      .withColumn("tomb", lit(null).cast("string"))
       .repartition(numBuckets, col("key")) // align tasks with buckets: one file per bucket
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "key")
       .sortBy("key", "family", "qualifier")
-      .option("path", s"$path/compacted")
-      .saveAsTable(tableName)
-    val w = new java.io.PrintWriter(bucketMeta)
-    try w.print(numBuckets) finally w.close()
+      .option("path", s"$path/compacted/gen-$newGen")
+      .saveAsTable(tableNameFor(newGen))
+    // publish: new reads resolve gen-N+1 from here on
+    val w = new java.io.PrintWriter(currentMeta)
+    try w.print(s"$newGen $numBuckets") finally w.close()
     // delete ONLY the snapshot's files (plus their checksum siblings) —
     // never the directory: appends racing with this rewrite live as
     // other part files in the same directory and must survive.
@@ -233,7 +250,13 @@ class KVTable(val spark: SparkSession, val path: String) {
         (f.getName.startsWith("_") || f.getName.startsWith("."))).foreach(_.delete())
       d.delete() // no-op if a racing put re-created content
     }
-    KVTable.deleteRecursively(new java.io.File(tmp))
+    // retire generation N-1 (drained: it predates every scan planned
+    // since the previous pointer flip)
+    val retired = newGen - 2
+    if (retired >= 0) {
+      spark.sql(s"DROP TABLE IF EXISTS ${tableNameFor(retired)}")
+      KVTable.deleteRecursively(new java.io.File(s"$path/compacted/gen-$retired"))
+    }
   }
 
   /** Async bulk-load completion (reference `completeAsync`,
@@ -243,15 +266,13 @@ class KVTable(val spark: SparkSession, val path: String) {
     * completes when the bucketed table is swapped in.
     *
     * Concurrency contract: concurrent APPENDS are safe (the rewrite
-    * deletes only its snapshot's log files; racing part files survive).
-    * Concurrent READS of the compacted leg are NOT safe during a
-    * re-compaction — the overwrite replaces the bucket files in place,
-    * so a query planned against the old files can fail mid-flight.
-    * Readers that must overlap a rewrite should pin a snapshot first
-    * (s5-style) or schedule compaction in a write window; a
-    * generational layout (keep gen N-1 until in-flight scans drain,
-    * HBase's HFile-refcount analogue) is the upgrade path if overlap
-    * becomes a real workload. */
+    * deletes only its snapshot's log files; racing part files survive),
+    * and concurrent READS are safe too — compaction writes a fresh
+    * generation directory and flips a pointer, and the previous
+    * generation (files + catalog entry) survives until the NEXT
+    * compaction, so a scan planned before the swap keeps reading valid
+    * files (HBase's scanners-hold-HFiles semantics; see
+    * [[writeCompacted]]). */
   def compactAsync(numBuckets: Int = 8)(
       implicit ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global)
@@ -312,9 +333,13 @@ class KVTable(val spark: SparkSession, val path: String) {
       numBuckets, snapshot)
   }
 
-  /** Drop all state (log + compacted table + files). */
+  /** Drop all state (log + every compacted generation + files). */
   def drop(): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    val cd = new java.io.File(s"$path/compacted")
+    if (cd.exists()) cd.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .foreach(d => spark.sql(s"DROP TABLE IF EXISTS " +
+        tableNameFor(d.getName.stripPrefix("gen-").toInt)))
     KVTable.deleteRecursively(new java.io.File(path))
   }
 }

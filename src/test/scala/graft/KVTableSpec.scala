@@ -174,6 +174,26 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolved().count() === 3)
   }
 
+  test("readers planned before a re-compaction keep working through the swap") {
+    val t = fresh("genswap")
+    t.put(cells((1L, "F", "a", "v1", 1L), (2L, "F", "a", "v2", 1L)))
+    t.compact() // gen-0
+    t.put(cells((3L, "F", "a", "v3", 2L)))
+    val planned = t.resolved() // resolved against gen-0 + the live log
+    assert(planned.count() === 3)
+    t.compact() // gen-1 swaps in; gen-0 (and its catalog entry) survive
+    // the pre-swap plan still executes: its files were not deleted
+    assert(planned.count() === 3)
+    assert(t.resolved().count() === 3)
+    // the NEXT compaction retires gen-0 (one full interval to drain)
+    t.put(cells((4L, "F", "a", "v4", 3L)))
+    t.compact() // gen-2
+    val root = new java.io.File(targetPath("graft_kv_test/genswap"), "compacted")
+    assert(!new java.io.File(root, "gen-0").exists(), "gen-0 not retired")
+    assert(new java.io.File(root, "gen-1").exists(), "drain window gone")
+    assert(t.resolved().count() === 4)
+  }
+
   test("distinct paths that slug identically get distinct catalog tables") {
     val a = KVTable(spark, targetPath("graft_kv_test/case-x"), wipe = true)
     val b = KVTable(spark, targetPath("graft_kv_test/case_X"), wipe = true)
