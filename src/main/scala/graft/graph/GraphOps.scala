@@ -204,14 +204,19 @@ object GraphOps {
     * histogram is one row per DISTINCT degree (driver-small), so the
     * cumulative window and the two scalar actions are cheap. */
   private def heavyVertices(degree: DataFrame, epsilon: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // one row per DISTINCT degree — driver-small by construction (same
+    // bounded-histogram class as Analytics' ≤256-row collects), so one
+    // collect computes total AND threshold in a single job where the
+    // two-scalar-action form paid two passes over the aggregation
     val hist = degree.groupBy(col("degree")).agg(count(lit(1)).as("nv"))
-    val w = Window.orderBy(col("degree"))
-    val total = hist.agg(sum(col("nv"))).first().getLong(0)
-    val threshold = hist
-      .withColumn("cum", sum(col("nv")).over(w))
-      .filter(col("cum") >= lit(total * (1.0 - epsilon)))
-      .agg(min(col("degree"))).first().getLong(0)
+      .orderBy(col("degree"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    val cut = total * (1.0 - epsilon)
+    var cum = 0L
+    val threshold = hist.collectFirst {
+      case (d, nv) if { cum += nv; cum >= cut } => d
+    }.getOrElse(Long.MaxValue)
     degree.filter(col("degree") > threshold)
   }
 

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** Edge semantics of the temporal joins (j10/j11 cover the bulk via
+  * the DuckDB oracle; these pin the boundary rules on crafted rows). */
+class TemporalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin: equal-ts right row included, pre-history left is null") {
+    val trades = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L))
+      .toDF("user_id", "ts", "event_id")
+    val quotes = Seq((1L, 10L, 1.5), (1L, 8L, 1.2), (2L, 9L, 9.9))
+      .toDF("user_id", "ts", "qval")
+    val got = Temporal.asofJoin(trades, quotes, "user_id", "ts",
+        Seq("event_id"), "qval")
+      .select($"event_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got(100L) === Some(1.5)) // quote at the SAME ts wins (<=)
+    assert(got(101L) === None)      // trade before any quote → null
+    assert(got(102L) === None)      // user 2's only quote is later
+  }
+
+  test("asofJoin: latest-not-just-any prior right row") {
+    val trades = Seq((1L, 100L, 1L)).toDF("user_id", "ts", "event_id")
+    val quotes = Seq((1L, 10L, 1.0), (1L, 50L, 2.0), (1L, 99L, 3.0))
+      .toDF("user_id", "ts", "qval")
+    val got = Temporal.asofJoin(trades, quotes, "user_id", "ts",
+        Seq("event_id"), "qval")
+      .select($"asof_value").as[Double].head()
+    assert(got === 3.0)
+  }
+
+  test("rangeJoin: [start, end) boundaries, multi-bin ranges match once") {
+    val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 35L))
+      .toDF("pid", "ts")
+    // one range spanning several bins of width 4 — each containing
+    // point must match exactly once despite the bin explosion
+    val ranges = Seq((7L, 10L, 20L)).toDF("rid", "w_start", "w_end")
+    val got = Temporal.rangeJoin(points, ranges, "ts", "w_start", "w_end",
+        binWidth = 4L)
+      .select($"pid").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L)) // 10 in, 19 in, 20 out (exclusive), 35 out
+  }
+}
