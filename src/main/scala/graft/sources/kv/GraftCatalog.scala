@@ -20,13 +20,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "graft"
+  private var root: Option[String] = None
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // spark.sql.catalog.<name>.root=/data/kv → `SELECT * FROM <name>.events`
+    // resolves /data/kv/events; absolute-path identifiers keep working.
+    root = Option(options.get("root")).map(_.stripSuffix("/"))
+  }
   override def name(): String = catalogName
 
-  private def pathOf(ident: Identifier): String =
-    "/" + (ident.namespace() :+ ident.name()).mkString("/")
+  private def pathOf(ident: Identifier): String = {
+    val joined = (ident.namespace() :+ ident.name()).mkString("/")
+    root match {
+      case Some(r) if !new java.io.File("/" + joined).isDirectory =>
+        s"$r/$joined"
+      case _ => "/" + joined
+    }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty

@@ -163,6 +163,18 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       Tables.orders(spark, sf).filter($"o_orderkey" % 10 === 0).count())
   }
 
+  test("catalog root option gives friendly table names") {
+    mkTable("r", "st", 1L)
+    spark.conf.set("spark.sql.catalog.graftr",
+      classOf[graft.sources.kv.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftr.root",
+      new java.io.File(targetPath("graft_kv_test")).getAbsolutePath)
+    val df = spark.table("graftr.dsv2_r")
+    assert(df.count() > 0)
+    assert(spark.sql("SELECT count(*) FROM graftr.dsv2_r WHERE family = 'f'")
+      .head().getLong(0) === df.count())
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
