@@ -49,6 +49,39 @@ object DemoApp {
     llm.Dedup.minHashLsh(Tables.documents(spark, d), 0.8)
       .orderBy($"da").show(5)
 
+    // --- storage flow: compaction, live-log DSv2 merge, time travel ---
+    // compact FIRST: as-of reads see the versions the store still
+    // retains; a compaction physically drops superseded versions
+    // (maxVersions=1, HBase major-compaction semantics), so overlays
+    // that should stay time-travelable must land in the post-compaction
+    // log
+    kv.compact() // bucketed generation; subsequent appends merge via DSv2
+    kv.put(Tables.part(spark, d).filter($"p_partkey" % 10 === 0)
+      .select($"p_partkey".as("key"), lit("F").as("family"),
+        lit("size").as("qualifier"),
+        ($"p_size" + 100).cast("string").as("value"), lit(2L).as("ts")))
+    kv.put(Tables.part(spark, d).filter($"p_partkey" % 10 === 5)
+      .select($"p_partkey".as("key"), lit("F").as("family"),
+        lit("size").as("qualifier"),
+        ($"p_size" + 200).cast("string").as("value"), lit(3L).as("ts")))
+    println("== live view (compacted + log, zero-shuffle merged read) ==")
+    kv.resolved().filter($"qualifier" === "size")
+      .orderBy($"key").show(5, truncate = false)
+    println("== same table VERSION AS OF ts=1 (overlays invisible) ==")
+    kv.resolvedAsOf(1L).filter($"qualifier" === "size")
+      .orderBy($"key").show(5, truncate = false)
+
+    // --- temporal joins ----------------------------------------------
+    println("== as-of join: each purchase's latest prior view value ==")
+    val ev = Tables.events(spark, d).withColumn("ts", expr("ts DIV 1000"))
+    operators.Temporal.asofJoin(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id"),
+        ev.filter($"event_type" === "view")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("qval")),
+        "user_id", "ts", Seq("event_id"), "qval")
+      .orderBy($"user_id", $"ts").show(5)
+
     spark.stop()
   }
 }

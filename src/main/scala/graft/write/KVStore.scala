@@ -167,7 +167,14 @@ class KVTable(val spark: SparkSession, val path: String) {
     * read / SQL `VERSION AS OF v` on the DSv2 table): cells written
     * after v — including later tombstones — are invisible. The ts
     * cutoff is a plain pushed predicate, so it prunes parquet row
-    * groups on both the compacted and log legs. */
+    * groups on both the compacted and log legs.
+    *
+    * Retention rule (maxVersions=1, HBase major-compaction parity):
+    * the view reaches only versions the store still RETAINS — a
+    * compaction physically keeps one winning version per cell, so a
+    * version superseded BEFORE the last compaction is gone and an
+    * as-of read older than that sees the cell as absent, exactly as a
+    * timestamped HBase scan does after a major compaction. */
   def resolvedAsOf(v: Long): DataFrame =
     resolve(cells.filter(col("ts") <= v))
 
