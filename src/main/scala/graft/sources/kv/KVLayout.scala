@@ -6,8 +6,8 @@ import org.apache.spark.sql.types.LongType
 /** On-disk layout of a graft KV table (the engine's HBase-table
   * analogue, see write/KVStore.scala): `<path>/compacted` holds the
   * bucketed, key-sorted resolved state (one-or-more parquet files per
-  * bucket, Spark bucket id encoded in the file name) plus a
-  * `_graft_buckets.txt` marker with the bucket count; `<path>/log`
+  * bucket, Spark bucket id encoded in the file name) in per-generation
+  * directories behind the `_graft_current.txt` pointer; `<path>/log`
   * holds post-compaction appends (the memstore analogue) as plain
   * parquet. This mirrors what the reference derives from HBase region
   * metadata at scan-planning time (HBaseRDD.scala:18-38: one partition
@@ -27,20 +27,13 @@ case class KVLayout(path: String) {
       .map(_.getPath).sorted.toSeq
   }
 
-  /** (generation, numBuckets) from the pointer file — compaction
-    * publishes a new `compacted/gen-<N>` directory by flipping this
-    * pointer, and the previous generation survives one more compaction
-    * interval so in-flight scans (which snapshotted its file list)
-    * keep reading valid files through the swap. */
-  private val current: Option[(Int, Int)] = {
-    val meta = new java.io.File(s"$path/compacted/_graft_current.txt")
-    if (!meta.exists()) None
-    else {
-      val src = scala.io.Source.fromFile(meta)
-      val parts = try src.mkString.trim.split(" ") finally src.close()
-      Some((parts(0).toInt, parts(1).toInt))
-    }
-  }
+  /** (generation, numBuckets) via the shared pointer reader
+    * ([[KVPointer]]) — compaction publishes a new `compacted/gen-<N>`
+    * directory by atomically flipping the pointer, and the previous
+    * generation survives one more compaction interval so in-flight
+    * scans (which snapshotted its file list) keep reading valid files
+    * through the swap. */
+  private val current: Option[(Int, Int)] = KVPointer.read(path)
 
   /** Bucket count of the compacted state, or -1 if never compacted. */
   val numBuckets: Int = current.map(_._2).getOrElse(-1)

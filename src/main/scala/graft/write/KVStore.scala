@@ -61,18 +61,14 @@ class KVTable(val spark: SparkSession, val path: String) {
     * hashpartitioning(key) and re-introducing a full shuffle. */
   private def logExists: Boolean = listLogFiles().nonEmpty
 
-  private def currentMeta = new java.io.File(s"$path/compacted/_graft_current.txt")
-
-  /** `(generation, numBuckets)` of the live compacted state, from the
-    * atomic pointer file. Generations live side by side under
-    * `compacted/gen-<N>/`; the pointer flip is what publishes one. */
+  /** `(generation, numBuckets)` of the live compacted state, via the
+    * shared pointer reader ([[graft.sources.kv.KVPointer]] — one parse
+    * for the write path and the DSv2 scan path alike). Generations live
+    * side by side under `compacted/gen-<N>/`; the atomic pointer flip
+    * is what publishes one, and a corrupt pointer self-heals from the
+    * newest complete generation. */
   private[graft] def currentGen: Option[(Int, Int)] =
-    if (!currentMeta.exists()) None
-    else {
-      val src = scala.io.Source.fromFile(currentMeta)
-      val parts = try src.mkString.trim.split(" ") finally src.close()
-      Some((parts(0).toInt, parts(1).toInt))
-    }
+    graft.sources.kv.KVPointer.read(path)
 
   /** The session catalog is in-memory: a compacted generation written
     * by a previous session has files + the pointer on disk but no
@@ -239,9 +235,11 @@ class KVTable(val spark: SparkSession, val path: String) {
       .sortBy("key", "family", "qualifier")
       .option("path", s"$path/compacted/gen-$newGen")
       .saveAsTable(tableNameFor(newGen))
-    // publish: new reads resolve gen-N+1 from here on
-    val w = new java.io.PrintWriter(currentMeta)
-    try w.print(s"$newGen $numBuckets") finally w.close()
+    // publish: completeness marker first, then the atomic pointer flip —
+    // new reads resolve gen-N+1 from here on; a crash at any point
+    // leaves a readable table (old pointer, or marker-led recovery)
+    graft.sources.kv.KVPointer.writeGenMeta(path, newGen, numBuckets)
+    graft.sources.kv.KVPointer.publish(path, newGen, numBuckets)
     // delete ONLY the snapshot's files (plus their checksum siblings) —
     // never the directory: appends racing with this rewrite live as
     // other part files in the same directory and must survive.

@@ -194,6 +194,71 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolved().count() === 4)
   }
 
+  test("truncated generation pointer recovers from the newest complete " +
+    "generation and repairs itself") {
+    val t = fresh("ptrcrash")
+    t.put(cells((1L, "F", "a", "v1", 1L)))
+    t.compact() // gen-0
+    t.put(cells((2L, "F", "a", "v2", 2L)))
+    t.compact() // gen-1
+    val ptr = new java.io.File(
+      targetPath("graft_kv_test/ptrcrash"), "compacted/_graft_current.txt")
+    // simulate the pre-atomic failure mode: crash after truncate
+    new java.io.PrintWriter(ptr).close()
+    assert(ptr.length() === 0)
+    val reread = new KVTable(spark, targetPath("graft_kv_test/ptrcrash"))
+    assert(reread.resolved().orderBy($"key").select($"value").as[String]
+      .collect().toSeq === Seq("v1", "v2"))
+    // and the pointer was repaired to the newest generation
+    assert(reread.currentGen.map(_._1) === Some(1))
+    val repaired = scala.io.Source.fromFile(ptr)
+    try assert(repaired.mkString.trim.split(" ")(0).toInt === 1)
+    finally repaired.close()
+    reread.drop()
+  }
+
+  test("garbage generation pointer recovers too") {
+    val t = fresh("ptrjunk")
+    t.put(cells((1L, "F", "a", "v1", 1L)))
+    t.compact()
+    val ptr = new java.io.File(
+      targetPath("graft_kv_test/ptrjunk"), "compacted/_graft_current.txt")
+    val w = new java.io.PrintWriter(ptr)
+    try w.print("not a generation") finally w.close()
+    val reread = new KVTable(spark, targetPath("graft_kv_test/ptrjunk"))
+    assert(reread.resolved().select($"value").as[String].collect().toSeq
+      === Seq("v1"))
+    reread.drop()
+  }
+
+  test("legacy pre-generational layout migrates to gen-0 on first read") {
+    val t = fresh("legacy")
+    t.put(cells((1L, "F", "a", "v1", 1L), (2L, "F", "a", "v2", 1L)))
+    t.compact(numBuckets = 4) // gen-0, modern layout
+    val root = new java.io.File(targetPath("graft_kv_test/legacy"), "compacted")
+    val gen0 = new java.io.File(root, "gen-0")
+    // reshape to the legacy layout: bucket files directly under
+    // compacted/, a _graft_buckets.txt marker, no pointer, no gen dir
+    gen0.listFiles().filter(_.getName != "_graft_meta.txt").foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(root, f.getName).toPath)
+    }
+    new java.io.File(gen0, "_graft_meta.txt").delete()
+    gen0.delete()
+    new java.io.File(root, "_graft_current.txt").delete()
+    val w = new java.io.PrintWriter(new java.io.File(root, "_graft_buckets.txt"))
+    try w.print("4") finally w.close()
+    // first read migrates in place and the compacted state is visible
+    val reread = new KVTable(spark, targetPath("graft_kv_test/legacy"))
+    assert(reread.currentGen === Some((0, 4)))
+    assert(reread.resolved().orderBy($"key").select($"value").as[String]
+      .collect().toSeq === Seq("v1", "v2"))
+    assert(!new java.io.File(root, "_graft_buckets.txt").exists(),
+      "legacy marker not consumed")
+    assert(new java.io.File(root, "gen-0").isDirectory)
+    reread.drop()
+  }
+
   test("distinct paths that slug identically get distinct catalog tables") {
     val a = KVTable(spark, targetPath("graft_kv_test/case-x"), wipe = true)
     val b = KVTable(spark, targetPath("graft_kv_test/case_X"), wipe = true)
