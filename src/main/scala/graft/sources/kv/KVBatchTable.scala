@@ -97,13 +97,22 @@ class KVScanBuilder(path: String, tsMax: Option[Long] = None)
     required = requiredSchema
 
   override def build(): Scan = new KVScan(path, KVLayout(path), required,
-    pushed ++ tsMax.map(v => LessThanOrEqual("ts", v): Filter))
+    pushed, tsMax)
 }
 
+/** @param tsMax kept SEPARATE from `pushed`: Spark re-checks pushed
+  *   filters above the scan (they are all returned as residual), but
+  *   the time-travel cutoff is scan-internal — nothing re-applies it —
+  *   so the reader must enforce it row-exactly, which pins those scans
+  *   to the row-wise reader (see [[KVReaderFactory]]). */
 class KVScan(path: String, layout: KVLayout, required: StructType,
-             val pushed: Array[Filter]) extends Scan with Batch
+             sparkPushed: Array[Filter], tsMax: Option[Long] = None)
+    extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  val pushed: Array[Filter] =
+    sparkPushed ++ tsMax.map(v => LessThanOrEqual("ts", v): Filter)
 
   @volatile private var runtimeBuckets: Option[Set[Int]] = None
 
@@ -158,8 +167,14 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new KVReaderFactory(required, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // evaluated driver-side; `graft.kv.vectorized=false` restores the
+    // row-wise reader everywhere (debug / differential-testing escape
+    // hatch). Time-travel scans are row-wise regardless (see ctor doc).
+    val vectorized = org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(_.conf.get("graft.kv.vectorized", "true").toBoolean)
+    new KVReaderFactory(required, pushed, vectorized && tsMax.isEmpty)
+  }
 }
 
 /** One scan task: bucket `bucket`'s compacted files + the log rows
@@ -174,11 +189,31 @@ case class KVBucketPartition(bucket: Int, numBuckets: Int,
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-class KVReaderFactory(required: StructType, filters: Array[Filter])
+/** Vectorized by default: the compacted leg decodes through Spark's own
+  * VectorizedParquetRecordReader (the same columnar decode the V1
+  * bucketed scan gets) and the memstore-sized log leg is packed into
+  * on-heap column vectors — so a merged read is no longer paying a
+  * row-wise parquet-mr decode for the bulk of the table. Correctness
+  * contract: every Spark-pushed filter is also re-applied ABOVE the
+  * scan (KVScanBuilder returns them all as residual), so the columnar
+  * leg may skip row-level filter evaluation; only the bucket gate on
+  * log rows (a partition-integrity property, not a filter) must be —
+  * and is — enforced inside the reader. */
+class KVReaderFactory(required: StructType, filters: Array[Filter],
+                      vectorized: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KVBucketPartition]
     new KVPartitionReader(p, required, filters)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[KVBucketPartition]
+    new KVColumnarPartitionReader(p, required, filters)
   }
 }
 
@@ -279,6 +314,118 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
   override def close(): Unit = if (reader != null) reader.close()
 }
 
+/** Columnar scan task. The compacted files — the whole table, at scale —
+  * stream through Spark's VectorizedParquetRecordReader (batch decode,
+  * dictionary-aware, row groups pruned by the same FilterPredicates the
+  * row-wise reader uses); the log files ride the existing row-wise
+  * decode (bucket-gated, filter-checked) and are packed into on-heap
+  * column vectors, one batch per 4096 rows. Output order (compacted
+  * then log) is irrelevant: every consumer of this scan resolves or
+  * aggregates per key. */
+class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
+                                filters: Array[Filter])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val CAP = 4096
+  private val rowGroupPredicate = KVParquetFilters.predicate(filters)
+
+  private var compIdx = 0
+  private var vec: VectorizedParquetRecordReader = _
+  private var batch: ColumnarBatch = _
+
+  // log leg: reuse the row-wise reader over ONLY the log files — it
+  // already applies the bucket gate and the pushed filters row-exactly
+  private var logRows: KVPartitionReader =
+    if (p.logFiles.isEmpty) null
+    else new KVPartitionReader(
+      KVBucketPartition(p.bucket, p.numBuckets, Array.empty, p.logFiles),
+      required, filters)
+
+  private def openNextCompacted(): Boolean = {
+    if (compIdx >= p.compactedFiles.length) return false
+    val f = p.compactedFiles(compIdx)
+    compIdx += 1
+    val conf = new Configuration(false)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    // Spark's schema converter reads these from the Hadoop conf with no
+    // fallback (the file-format path copies them from the session);
+    // values = Spark's defaults, fixed here because the cell schema has
+    // no binary/int96/timestamp columns for them to matter to
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.enabled", false)
+    conf.setBoolean("spark.sql.parquet.fieldId.read.ignoreMissing", false)
+    rowGroupPredicate.foreach(
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, _))
+    // the mapred variant: Spark's reader base casts the split to it
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new HPath(f), 0, new java.io.File(f).length(), Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID(
+        "graft", 0, org.apache.hadoop.mapreduce.TaskType.MAP, 0, 0))
+    val r = new VectorizedParquetRecordReader(false, CAP)
+    try {
+      r.initialize(split, ctx)
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+    } catch { case e: Throwable => r.close(); throw e }
+    vec = r
+    true
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (vec == null && !openNextCompacted()) return nextLogBatch()
+      if (vec.nextKeyValue()) {
+        batch = vec.getCurrentValue.asInstanceOf[ColumnarBatch]
+        return true
+      }
+      vec.close(); vec = null
+    }
+    false
+  }
+
+  private def nextLogBatch(): Boolean = {
+    if (logRows == null) return false
+    val vectors = OnHeapColumnVector.allocateColumns(CAP, required)
+    var n = 0
+    while (n < CAP && logRows.next()) {
+      val r = logRows.get()
+      var i = 0
+      while (i < required.length) {
+        if (r.isNullAt(i)) vectors(i).putNull(n)
+        else required.fields(i).dataType match {
+          case LongType => vectors(i).putLong(n, r.getLong(i))
+          case _ =>
+            val b = r.getUTF8String(i).getBytes
+            vectors(i).putByteArray(n, b, 0, b.length)
+        }
+        i += 1
+      }
+      n += 1
+    }
+    if (n < CAP) { logRows.close(); logRows = null }
+    if (n == 0) { vectors.foreach(_.close()); return false }
+    batch = new ColumnarBatch(
+      vectors.map(v => v: ColumnVector).toArray, n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (vec != null) vec.close()
+    if (logRows != null) logRows.close()
+  }
+}
+
 /** Spark `Filter` → parquet-mr `FilterPredicate` translation, so the
   * reader skips whole row groups on column min/max statistics (and
   * dictionary pages) before decoding anything — the engine-side
@@ -333,10 +480,13 @@ object KVParquetFilters {
     case _ => None
   }
 
+  /** Conjunction of every translatable filter — the row-group pruning
+    * predicate shared by the row-wise and vectorized readers. */
+  def predicate(filters: Array[Filter]): Option[FilterPredicate] =
+    filters.flatMap(translate(_)).reduceOption(FilterApi.and(_, _))
+
   def build(filters: Array[Filter]): Option[FilterCompat.Filter] =
-    filters.flatMap(translate(_))
-      .reduceOption(FilterApi.and(_, _))
-      .map(FilterCompat.get)
+    predicate(filters).map(FilterCompat.get)
 }
 
 /** Row-wise evaluation of Spark V1 `Filter`s over decoded cell values.

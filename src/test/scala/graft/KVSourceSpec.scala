@@ -175,6 +175,39 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0) === df.count())
   }
 
+  test("merged read is columnar; VERSION AS OF stays row-wise exact") {
+    val t = mkTable("vec", "st", 1L)
+    // the merged read should plan columnar (vectorized compacted decode
+    // + batched log leg) — Spark inserts ColumnarToRow above the scan
+    val plan = graft.sources.kv.KVSource
+      .read(spark, targetPath("graft_kv_test/dsv2_vec"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"merged KV scan no longer columnar:\n${plan.take(3000)}")
+    // escape hatch restores the row-wise reader
+    spark.conf.set("graft.kv.vectorized", "false")
+    try {
+      val rowPlan = graft.sources.kv.KVSource
+        .read(spark, targetPath("graft_kv_test/dsv2_vec"))
+      assert(!rowPlan.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+      // and both readers agree bit-for-bit
+      spark.conf.set("graft.kv.vectorized", "true")
+      val vecRows = graft.sources.kv.KVSource
+        .read(spark, targetPath("graft_kv_test/dsv2_vec")).collect().toSet
+      spark.conf.set("graft.kv.vectorized", "false")
+      assert(rowPlan.collect().toSet === vecRows)
+    } finally spark.conf.set("graft.kv.vectorized", "true")
+    // time travel carries a scan-internal ts cutoff nothing re-checks —
+    // it must NOT ride the columnar leg (which skips row-level filters)
+    val ident = new java.io.File(targetPath("graft_kv_test/dsv2_vec"))
+      .getAbsolutePath.split("/").filter(_.nonEmpty)
+      .map(s => s"`$s`").mkString(".")
+    val tt = spark.sql(s"SELECT * FROM graft.$ident VERSION AS OF 1")
+    assert(!tt.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "time-travel scan went columnar: the ts<=v cutoff would be unenforced")
+    assert(tt.filter($"ts" > 1).count() === 0)
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
