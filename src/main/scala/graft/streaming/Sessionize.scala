@@ -68,9 +68,19 @@ object Sessionize {
 
   /** Run sessionization over a staged events directory; returns closed
     * sessions (every session except each user's open tail — plus, when
-    * `idleCloseMs > 0`, tails force-closed by the idle timeout). */
+    * `idleCloseMs > 0`, tails force-closed by the idle timeout).
+    *
+    * Sink: closed sessions flow through the same foreachBatch KV-merge
+    * as the st1 pipeline into the KV table at `sinkPath` — distributed
+    * parquet appends, nothing materializes on the driver (a memory sink
+    * here would hold every closed session in driver heap, the exact
+    * thing that breaks first at 100 TB). One session = one cell keyed
+    * (user_id, "S", session_start), so a replayed micro-batch after a
+    * restart upserts the same cell instead of duplicating the session —
+    * the log's latest-wins resolve is the exactly-once-by-idempotence
+    * path the KV store already provides. */
   def run(spark: SparkSession, stageDir: String, schema: org.apache.spark.sql.types.StructType,
-          gapSec: Long, idleCloseMs: Long = 0L): DataFrame = {
+          sinkPath: String, gapSec: Long, idleCloseMs: Long = 0L): DataFrame = {
     import spark.implicits._
     val src = spark.readStream.schema(schema).parquet(stageDir)
       .select($"user_id",
@@ -84,11 +94,19 @@ object Sessionize {
     val sessions = src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         sessionFn(gapSec, idleCloseMs))
-    val sink = "graft_sessions_sink"
+    val sink = graft.write.KVTable(spark, sinkPath, wipe = true)
     val q = sessions.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(sink)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.put(batch.select($"user_id".as("key"), lit("S").as("family"),
+          $"session_start".cast("string").as("qualifier"),
+          concat_ws(":", $"n_events", $"sum_cents").as("value"),
+          $"session_start".as("ts")))
+      }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(sink)
+    sink.resolved().select($"key".as("user_id"),
+      $"qualifier".cast("long").as("session_start"),
+      split($"value", ":").getItem(0).cast("long").as("n_events"),
+      split($"value", ":").getItem(1).cast("long").as("sum_cents"))
   }
 }

@@ -345,7 +345,8 @@ object WriteQueries {
       val stage = RepoPaths.target("graft_stream/st3")
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
       graft.streaming.Sessionize
-        .run(s, stage, Tables.events(s, d).schema, gapSec = 14400L)
+        .run(s, stage, Tables.events(s, d).schema,
+          sinkPath = base("st3_sessions"), gapSec = 14400L)
         .orderBy($"user_id", $"session_start")
     })
   )
