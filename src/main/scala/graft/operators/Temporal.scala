@@ -22,33 +22,94 @@ object Temporal {
     * semantics, ties at equal ts include the right row).
     *
     * Shape: tag both sides, union, ONE shuffle on the key, then a
-    * running `last(value, ignoreNulls)` over (ts, side) within each
+    * running `last(match, ignoreNulls)` over (ts, side) within each
     * key partition — a linear merge, no per-row range probe, no range
     * join explosion. At 100 TB this moves each side exactly once and
-    * never materializes candidate pairs; skewed keys ride AQE like any
-    * other single-key shuffle. The right side must be deduplicated per
-    * (key, ts) by the caller if multiple versions share a timestamp
-    * (determinism). */
+    * never materializes candidate pairs. The match rides as a
+    * `struct(ts, value)` — non-null whenever a right row matched — so
+    * a right row whose VALUE is null still wins the as-of race and
+    * yields null, exactly like SQL ASOF JOIN (a bare `last(value)`
+    * would skip it and resurrect an older quote).
+    *
+    * Hot keys: the per-key window is a running scan, so one
+    * pathological key serializes on a single task — inherent to ANY
+    * equi-key as-of formulation (the partition function cannot split a
+    * key whose rows must be merged in ts order). AQE does not help: it
+    * splits skewed JOIN partitions, not window partitions. For such
+    * workloads pass `hotKeyBinWidth > 0`: both sides bucketize onto
+    * fixed-width ts bins, the right side pre-aggregates to its last
+    * match per (key, bin), a tiny per-key window over BIN SUMMARIES
+    * (≤ ts-range/binWidth rows, not data rows) computes each bin's
+    * carry-in, and the final merge windows over (key, bin) — so a hot
+    * key's work spreads across ts-range/binWidth tasks at the cost of
+    * one extra (cheap, pre-aggregated) shuffle. Same results exactly.
+    *
+    * The right side must be deduplicated per (key, ts) by the caller
+    * if multiple versions share a timestamp (determinism). */
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, ts: String,
                leftCols: Seq[String], rightVal: String,
-               asofCol: String = "asof_value"): DataFrame = {
+               asofCol: String = "asof_value",
+               hotKeyBinWidth: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val tsType = right.schema(ts).dataType
     val valType = right.schema(rightVal).dataType
+    // the as-of match: non-null iff SOME right row matched, even one
+    // whose value column is null
+    val rvType = StructType(Seq(
+      StructField("_rts", tsType), StructField("_v", valType)))
     val lu = left.select(
       (Seq(col(key), col(ts)) ++ leftCols.map(col) :+
-        lit(null).cast(valType).as("_rv") :+ lit(1).as("_side")): _*)
+        lit(null).cast(rvType).as("_rv") :+ lit(1).as("_side")): _*)
     val ru = right.select(
       (Seq(col(key), col(ts)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col(rightVal).as("_rv") :+ lit(0).as("_side")): _*)
-    // right sorts before left at equal ts → "<=" inclusion by order
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lu.unionByName(ru)
-      .withColumn(asofCol, last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select((Seq(col(key), col(ts)) ++ leftCols.map(col) :+ col(asofCol)): _*)
+        struct(col(ts).as("_rts"), col(rightVal).as("_v")).as("_rv") :+
+        lit(0).as("_side")): _*)
+    val out = (Seq(col(key), col(ts)) ++ leftCols.map(col) :+
+      col("_m").getField("_v").as(asofCol))
+
+    if (hotKeyBinWidth <= 0L) {
+      // right sorts before left at equal ts → "<=" inclusion by order
+      val w = Window.partitionBy(col(key))
+        .orderBy(col(ts), col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lu.unionByName(ru)
+        .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+        .filter(col("_side") === 1)
+        .select(out: _*)
+    } else {
+      val b = hotKeyBinWidth
+      val lub = lu.withColumn("_bin", floor(col(ts) / b))
+      val rub = ru.withColumn("_bin", floor(col(ts) / b))
+      // last right match per (key, bin) — a hash aggregation, parallel
+      val binLast = rub.groupBy(col(key), col("_bin"))
+        .agg(max_by(col("_rv"), col(ts)).as("_last"))
+      // carry-in per populated bin: the as-of state at the bin's start.
+      // The window here runs over bin SUMMARIES (one row per bin), so
+      // the hot key's serialized portion is ts-range/binWidth rows.
+      val allBins = lub.select(col(key), col("_bin"))
+        .unionByName(binLast.select(col(key), col("_bin"))).distinct()
+      val wb = Window.partitionBy(col(key)).orderBy(col("_bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = allBins
+        .join(binLast, Seq(key, "_bin"), "left_outer")
+        .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(wb))
+        .filter(col("_carry").isNotNull)
+        .select((Seq(col(key),
+          (col("_bin") * b).cast(tsType).as(ts)) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          col("_carry").as("_rv") :+ lit(-1).as("_side") :+ col("_bin")): _*)
+      // final merge within (key, bin): carry (-1) sorts before any
+      // in-bin right row (0) at the bin-start ts, rights before lefts
+      val w = Window.partitionBy(col(key), col("_bin"))
+        .orderBy(col(ts), col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lub.unionByName(rub).unionByName(carry)
+        .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+        .filter(col("_side") === 1)
+        .select(out: _*)
+    }
   }
 
   /** Range (interval) join: points joined to every range containing

@@ -33,6 +33,42 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(got === 3.0)
   }
 
+  test("asofJoin: a null-VALUED right row still wins the as-of race") {
+    val trades = Seq((1L, 20L, 1L), (1L, 9L, 2L)).toDF("user_id", "ts", "event_id")
+    val quotes = Seq((1L, 5L, Some(1.0)), (1L, 10L, Option.empty[Double]))
+      .toDF("user_id", "ts", "qval")
+    val got = Temporal.asofJoin(trades, quotes, "user_id", "ts",
+        Seq("event_id"), "qval")
+      .select($"event_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    // the matched row at ts=10 has a null value: the answer is null
+    // (DuckDB ASOF semantics), NOT the older non-null 1.0
+    assert(got(1L) === None)
+    assert(got(2L) === Some(1.0)) // before ts=10, the 1.0 quote still rules
+  }
+
+  test("asofJoin: hotKeyBinWidth path agrees exactly on a single hot key") {
+    // ONE key carrying every row — the pathological case the binned
+    // path exists for — plus a second sparse key to catch carry leaks
+    val trades = ((1 to 500).map(i => (1L, i.toLong * 3, i.toLong)) :+
+      (2L, 1000L, 9001L)).toDF("user_id", "ts", "event_id")
+    val quotes = ((1 to 200).map(i => (1L, i.toLong * 7, i.toDouble)) :+
+      (2L, 2000L, -1.0)).toDF("user_id", "ts", "qval")
+    val base = Temporal.asofJoin(trades, quotes, "user_id", "ts",
+        Seq("event_id"), "qval")
+      .select($"event_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    for (width <- Seq(10L, 100L, 5000L)) {
+      val binned = Temporal.asofJoin(trades, quotes, "user_id", "ts",
+          Seq("event_id"), "qval", hotKeyBinWidth = width)
+        .select($"event_id", $"asof_value").as[(Long, Option[Double])]
+        .collect().toMap
+      assert(binned === base, s"binWidth=$width diverges")
+    }
+    // sanity on the shape itself: key 2's trade precedes its only quote
+    assert(base(9001L) === None)
+  }
+
   test("rangeJoin: [start, end) boundaries, multi-bin ranges match once") {
     val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 35L))
       .toDF("pid", "ts")
