@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Property-graph dataflow operators (SURVEY.md §2.9, AGraph.scala:30-326
@@ -200,24 +200,42 @@ object GraphOps {
       .groupBy(col("key")).agg(max(col("rep")).as("rep"))
   }
 
-  /** (1−ε)-mass degree threshold from a per-vertex degree relation: the
-    * histogram is one row per DISTINCT degree (driver-small), so the
-    * cumulative window and the two scalar actions are cheap. */
-  private def heavyVertices(degree: DataFrame, epsilon: Double): DataFrame = {
-    // one row per DISTINCT degree — driver-small by construction (same
-    // bounded-histogram class as Analytics' ≤256-row collects), so one
-    // collect computes total AND threshold in a single job where the
-    // two-scalar-action form paid two passes over the aggregation
+  /** (1−ε)-mass degree threshold from a per-vertex degree relation. The
+    * histogram is one row per DISTINCT degree — driver-small on any
+    * real degree distribution — so the fast path collects it and folds
+    * total + threshold in one job. Bounded BY CONSTRUCTION, not by
+    * assumption: the collect is capped at `histCap` rows, and a
+    * histogram that exceeds the cap falls back to a distributed
+    * cumulative-window threshold (single ordered task over the distinct
+    * degrees — cluster memory, not driver heap; the two scalar rows it
+    * broadcasts are the only driver traffic). */
+  private[graft] def heavyVertices(degree: DataFrame, epsilon: Double,
+                                   histCap: Int = 100000): DataFrame = {
     val hist = degree.groupBy(col("degree")).agg(count(lit(1)).as("nv"))
-      .orderBy(col("degree"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val total = hist.map(_._2).sum
-    val cut = total * (1.0 - epsilon)
-    var cum = 0L
-    val threshold = hist.collectFirst {
-      case (d, nv) if { cum += nv; cum >= cut } => d
-    }.getOrElse(Long.MaxValue)
-    degree.filter(col("degree") > threshold)
+    val probe = hist.limit(histCap + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (probe.length <= histCap) {
+      // limit() does not promise order — sort the collected rows here
+      val sorted = probe.sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      val cut = total * (1.0 - epsilon)
+      var cum = 0L
+      val threshold = sorted.collectFirst {
+        case (d, nv) if { cum += nv; cum >= cut } => d
+      }.getOrElse(Long.MaxValue)
+      degree.filter(col("degree") > threshold)
+    } else {
+      val wcum = Window.orderBy(col("degree"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = hist.agg(sum(col("nv")).as("_total"))
+      val thr = hist.withColumn("_cum", sum(col("nv")).over(wcum))
+        .crossJoin(broadcast(total))
+        .filter(col("_cum") >= col("_total") * (1.0 - epsilon))
+        .agg(min(col("degree")).as("_thr"))
+      degree.crossJoin(broadcast(thr))
+        .filter(col("degree") > coalesce(col("_thr"), lit(Long.MaxValue)))
+        .select(col("vertex"), col("degree"))
+    }
   }
 
   /** A13 `cutoff` (AGraph.scala:98-113), distributed: degree histogram →

@@ -113,4 +113,20 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!keptPairs.exists(p => p._1 == 99L || p._2 == 99L))
     assert(keptPairs.size === chain.size * 2)
   }
+
+  test("heavyVertices: distributed fallback (histCap exceeded) agrees " +
+    "with the driver-collect path") {
+    // degrees 1..40 → 40 distinct-degree rows; histCap=10 forces the
+    // cumulative-window fallback, which must match exactly
+    val degree = (1L to 40L).flatMap(d => (1L to d).map(v => (d * 1000 + v, d)))
+      .toDF("vertex", "degree")
+      .groupBy($"vertex").agg(max($"degree").as("degree"))
+    for (eps <- Seq(0.05, 0.3, 0.9)) {
+      val fast = GraphOps.heavyVertices(degree, eps)
+        .select($"vertex").as[Long].collect().toSet
+      val dist = GraphOps.heavyVertices(degree, eps, histCap = 10)
+        .select($"vertex").as[Long].collect().toSet
+      assert(dist === fast, s"epsilon=$eps")
+    }
+  }
 }
