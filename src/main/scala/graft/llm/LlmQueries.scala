@@ -88,12 +88,15 @@ object LlmQueries {
     }),
 
     // Benchmark-contamination scan: corpus docs sharing ≥5 word-3-gram
-    // shingles with the (broadcast) benchmark slice (doc_id%97==0).
+    // shingles with the (broadcast) benchmark slice (doc_id%7==0 — a
+    // modulus small enough that the synthetic corpus's near-dup pairs
+    // straddle the split, so the correctness diff is non-vacuous at
+    // test scale).
     "llm_contamination" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      Dedup.contamination(docs.filter($"doc_id" % 97 =!= 0),
-          docs.filter($"doc_id" % 97 === 0))
+      Dedup.contamination(docs.filter($"doc_id" % 7 =!= 0),
+          docs.filter($"doc_id" % 7 === 0))
         .orderBy($"doc_id", $"bench_id")
     }),
 
@@ -216,8 +219,11 @@ object LlmQueries {
         .orderBy($"doc_id", $"frame_idx")
     }),
 
-    // Multimodal plumbing: binary payloads decoded batch-wise per
-    // partition (decode itself is a deterministic stub — see Multimodal).
+    // Multimodal plumbing: binary payloads carrying REAL PNG/BMP/GIF
+    // headers, decoded batch-wise per partition by an actual header
+    // parser (signature + dimension fields — see Multimodal); the
+    // oracle recomputes the embedded dims from md5(text) and the
+    // format from the doc_id round-robin.
     "llm_multimodal" -> ((s, d) => {
       import s.implicits._
       val blobs = Multimodal.blobTable(Tables.documents(s, d))
@@ -278,8 +284,8 @@ object LlmQueries {
         |SELECT lang, doc_id, rn FROM r WHERE rn <= 50
         |ORDER BY lang, doc_id""".stripMargin,
     "llm_contamination" -> (DOC_CTE +
-      """, cs AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
-        |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+      """, cs AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0),
+        |bs AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 7 = 0),
         |ov AS (SELECT cs.doc_id, bs.bench_id,
         |              CAST(count(*) AS BIGINT) AS common
         |       FROM cs JOIN bs USING (s) GROUP BY 1, 2)
@@ -537,10 +543,12 @@ object LlmQueries {
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "llm_multimodal" ->
       """SELECT doc_id,
-        |       ('0x'||substr(md5(text),1,2))::BIGINT AS width,
-        |       ('0x'||substr(md5(text),3,2))::BIGINT AS height,
-        |       CASE (('0x'||substr(md5(text),5,2))::INT % 3)
-        |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        |       1 + ('0x'||substr(md5(text),1,2))::BIGINT AS width,
+        |       1 + ('0x'||substr(md5(text),3,2))::BIGINT AS height,
+        |       CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS BIGINT)
+        |         AS channels,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |         ELSE 'gif' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

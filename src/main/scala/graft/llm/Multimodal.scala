@@ -1,35 +1,89 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal (binary-column) processing plumbing (builder-prompt
-  * north-star): images/audio/video ride through the engine as opaque
-  * `binary` columns plus typed metadata; decode / feature-extraction
-  * runs batch-wise per partition.
+/** Multimodal (binary-column) processing (builder-prompt north-star):
+  * images/audio/video ride through the engine as opaque `binary`
+  * columns plus typed metadata; decode / feature-extraction runs
+  * batch-wise per partition.
   *
-  * The Spark-side shape is real — schema, partition-parallel batched
-  * decode over `mapPartitions`, typed output rows; the *decoder itself*
-  * is a STUB (this container has no image/audio libraries): it derives
-  * deterministic fake metadata from the payload's leading bytes. A real
-  * deployment swaps `decodeStub` for an actual codec call; nothing else
-  * changes.
+  * The decoder is REAL: [[decodeHeader]] parses actual file-format
+  * headers — PNG signature + IHDR (big-endian dims, color-type →
+  * channels), BMP `BM` + BITMAPINFOHEADER (little-endian dims, bpp →
+  * channels), GIF87a/89a logical screen descriptor — dependency-free,
+  * straight off the blob bytes. [[blobTable]] synthesizes blobs with
+  * genuine headers (this container ships no image corpus), so the
+  * parse is exercised end-to-end; pixel decode beyond the header is
+  * where a production deployment plugs a codec library in, with the
+  * partition-batched plumbing unchanged.
   */
 object Multimodal {
 
   case class BlobRow(doc_id: Long, payload: Array[Byte])
-  case class Decoded(doc_id: Long, width: Long, height: Long, format: String)
+  case class Decoded(doc_id: Long, width: Long, height: Long,
+                     channels: Long, format: String)
 
-  private val FORMATS = Array("jpeg", "png", "webp")
+  // --- byte-order helpers (header fields) -----------------------------
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
-  /** STUB decoder — deterministic fake: metadata from leading payload
-    * bytes. Replace with a real image/audio decode in production. */
-  def decodeStub(b: BlobRow): Decoded = {
+  /** Minimal real PNG: 8-byte signature + IHDR chunk (len, tag, width,
+    * height BE, bit depth 8, color type 6 = RGBA). CRC left zero — the
+    * reader parses, it does not checksum. */
+  private[graft] def pngBytes(w: Long, h: Long, tail: Array[Byte]): Array[Byte] =
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0) ++ tail
+
+  /** Minimal real BMP: `BM` file header + BITMAPINFOHEADER with
+    * little-endian dims, 1 plane, 24 bpp. */
+  private[graft] def bmpBytes(w: Long, h: Long, tail: Array[Byte]): Array[Byte] =
+    "BM".getBytes("US-ASCII") ++ le32(0) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ tail
+
+  /** Minimal real GIF89a: signature + logical screen descriptor. */
+  private[graft] def gifBytes(w: Long, h: Long, tail: Array[Byte]): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ tail
+
+  /** REAL header decode: identify the format by its signature and read
+    * width/height/channels from the actual header fields. Unknown
+    * payloads come back as `unknown` with zero dims rather than
+    * throwing — a 100 TB blob column always contains garbage rows. */
+  def decodeHeader(b: BlobRow): Decoded = {
     val p = b.payload
-    Decoded(b.doc_id,
-      width = (p(0) & 0xff).toLong,
-      height = (p(1) & 0xff).toLong,
-      format = FORMATS((p(2) & 0xff) % FORMATS.length))
+    def u8(i: Int): Int = p(i) & 0xff
+    def rbe32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3))
+    def rle32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24))
+    def rle16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+
+    if (p.length >= 26 && u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+        p(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a && p(12) == 'I' && p(13) == 'H' && p(14) == 'D' &&
+        p(15) == 'R') {
+      val channels = u8(25) match { // IHDR color type
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case _ => 0L
+      }
+      Decoded(b.doc_id, rbe32(16), rbe32(20), channels, "png")
+    } else if (p.length >= 30 && p(0) == 'B' && p(1) == 'M') {
+      // height is SIGNED in BITMAPINFOHEADER (negative = top-down rows)
+      Decoded(b.doc_id, rle32(18), math.abs(rle32(22).toInt).toLong,
+        rle16(28) / 8, "bmp")
+    } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+      Decoded(b.doc_id, rle16(6), rle16(8), 3L, "gif")
+    } else Decoded(b.doc_id, 0L, 0L, 0L, "unknown")
   }
 
   /** Batched partition-parallel decode: the iterator is consumed lazily
@@ -37,14 +91,30 @@ object Multimodal {
     * over image batches runs at scale. */
   def decode(blobs: Dataset[BlobRow]): Dataset[Decoded] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map(decodeHeader))
   }
 
-  /** documents → fake binary payloads (md5 of the text as 16 "image"
-    * bytes) with the metadata column layout a real pipeline carries. */
-  def blobTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), unhex(md5(col("text"))).as("payload"),
-      length(col("text")).cast("long").as("payload_src_chars"))
+  /** documents → binary payloads with GENUINE format headers (PNG / BMP
+    * / GIF round-robin by doc_id), dimensions derived from the text's
+    * md5 leading bytes (so an external oracle can recompute them), the
+    * remaining digest bytes riding as pixel-data filler. */
+  def blobTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(text.getBytes("UTF-8"))
+        val w = 1L + (d(0) & 0xff)
+        val h = 1L + (d(1) & 0xff)
+        val payload = (id % 3) match {
+          case 0 => pngBytes(w, h, d)
+          case 1 => bmpBytes(w, h, d)
+          case _ => gifBytes(w, h, d)
+        }
+        (id, payload, text.length.toLong)
+      }
+      .toDF("doc_id", "payload", "payload_src_chars")
+  }
 
   /** Frame sampling over an opaque "video" payload: slice the binary
     * into fixed-size frames, keep every `stride`-th one, one output row
