@@ -30,11 +30,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   }
   override def name(): String = catalogName
 
+  /** With a root configured, root-relative resolution WINS: a table
+    * named `tmp`/`home`/`data` must not be shadowed by an unrelated
+    * absolute directory that happens to exist. Absolute paths still
+    * resolve, but only when the identifier is not a table under the
+    * root (the KVLayout existence check — a bare directory without KV
+    * state does not count). */
   private def pathOf(ident: Identifier): String = {
     val joined = (ident.namespace() :+ ident.name()).mkString("/")
     root match {
-      case Some(r) if !new java.io.File("/" + joined).isDirectory =>
-        s"$r/$joined"
+      case Some(r) if KVLayout(s"$r/$joined").exists => s"$r/$joined"
+      case Some(r) if !KVLayout("/" + joined).exists => s"$r/$joined"
       case _ => "/" + joined
     }
   }

@@ -84,4 +84,20 @@ class SocketStreamSpec extends AnyFunSuite with SparkSpec {
       Ingest.fromConf(Map("format" -> "carrier-pigeon"))
     }
   }
+
+  test("kafka branch executes down to Spark's source resolution") {
+    // the spark-sql-kafka connector cannot be on this classpath (no
+    // artifact repository reachable from the sandbox), so end-to-end
+    // broker ingest is out of test scope BY ENVIRONMENT; this pins the
+    // next-best property: the branch runs, builds its reader options,
+    // and hands Spark the correct source id — the failure is Spark's
+    // "kafka source not found", not an error in our wiring
+    val e = intercept[Exception] {
+      Ingest.lines(spark, Ingest.KafkaSource("broker:9092", "cells"))
+    }
+    val msg = Option(e.getMessage).getOrElse("") + " " +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.toLowerCase.contains("kafka"),
+      s"kafka source lookup not reached: $e")
+  }
 }
