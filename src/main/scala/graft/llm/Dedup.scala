@@ -181,6 +181,58 @@ object Dedup {
     barrier(pairs, sh, sig, banded)
   }
 
+  /** The persistable LSH index of a corpus: one row per (doc, band)
+    * with the band's bucket key. At 100 TB this is what lives on disk
+    * between ingests (bucketed by `bucket` for co-located probe joins);
+    * building it is signature math, embarrassingly row-local. */
+  def minHashBandIndex(docs: DataFrame, bands: Int = 4,
+                       rowsPerBand: Int = 4, k: Int = 3): DataFrame =
+    minHashSignatures(docs, bands * rowsPerBand, k)
+      .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
+      .select(col("doc_id"), col("b"),
+        concat_ws(",",
+          slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bucket"))
+
+  /** Incremental NEAR-dup — [[incrementalExact]]'s minhash sibling, the
+    * daily-ingest path for fuzzy duplicates: a NEW batch is probed
+    * against an EXISTING corpus through its precomputed band index.
+    * Only batch-sized data is signed and shuffled; the corpus
+    * contributes (a) an index equi-join on (band, bucket) and (b) the
+    * text of just the docs that collide (semi-join before shingling),
+    * so the corpus never re-signs and never re-shuffles for an ingest.
+    * Returns verified pairs `(da = corpus doc, db = batch doc, jacc)`
+    * with exact Jaccard ≥ threshold; callers anti-join `db` to admit. */
+  def minHashLshIncremental(corpus: DataFrame, corpusIndex: DataFrame,
+                            batch: DataFrame, threshold: Double,
+                            bands: Int = 4, rowsPerBand: Int = 4,
+                            k: Int = 3): DataFrame = {
+    val bIdx = minHashBandIndex(batch, bands, rowsPerBand, k)
+    val cand = corpusIndex
+      .select(col("doc_id").as("da"), col("b"), col("bucket"))
+      .join(bIdx.select(col("doc_id").as("db"), col("b"), col("bucket")),
+        Seq("b", "bucket"))
+      .select(col("da"), col("db")).distinct().cache()
+    // exact verify: shingle ONLY the implicated corpus docs + the batch
+    val shc = docShingles(
+      corpus.join(cand.select(col("da").as("doc_id")), Seq("doc_id"),
+        "left_semi"), k).cache()
+    val shb = docShingles(batch, k).cache()
+    val common = cand
+      .join(shc.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(shb.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    val pairs = common
+      .join(shc.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+        .select(col("doc_id").as("da"), col("na")), Seq("da"))
+      .join(shb.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+        .select(col("doc_id").as("db"), col("nb")), Seq("db"))
+      .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jacc") >= threshold)
+      .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
+    barrier(pairs, cand, shc, shb)
+  }
+
   /** 60-bit SimHash over the document's distinct words — word hashes
     * via one md5 each, then a single native pass builds the signature
     * (GraftExpressions.SimHashSig); no explode, no shuffle. */

@@ -63,6 +63,20 @@ object LlmQueries {
         docs.filter($"doc_id" % 5 === 0)).orderBy($"doc_id")
     }),
 
+    // Incremental NEAR-dup ingest: the batch (doc_id%5==0) probes the
+    // corpus's precomputed minhash band index; only colliding corpus
+    // docs are re-read for the exact-Jaccard verify (the corpus never
+    // re-signs or re-shuffles per ingest).
+    "llm_dedup_minhash_incr" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      Dedup.minHashLshIncremental(corpus,
+          Dedup.minHashBandIndex(corpus),
+          docs.filter($"doc_id" % 5 === 0), 0.8)
+        .orderBy($"da", $"db")
+    }),
+
     // Deterministic stratified sample: per language, the 50 docs with
     // the smallest text hash — an unbiased, engine-agnostic balanced
     // subsample (training-mix construction). Two-phase top-k: a
@@ -312,6 +326,26 @@ object LlmQueries {
         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
         |         FROM bands x JOIN bands y
         |           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |common AS (SELECT da, db, count(*) AS common FROM cand
+        |           JOIN sh sa ON sa.doc_id = da
+        |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+        |           GROUP BY da, db)
+        |SELECT da, db, round(common*1.0/(ca.n+cb.n-common), 6) AS jacc
+        |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |WHERE common*1.0/(ca.n+cb.n-common) >= 0.8
+        |ORDER BY da, db""".stripMargin),
+    "llm_dedup_minhash_incr" -> (DOC_CTE +
+      s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((h0 * (i*2+1) + i*999983) % 1000000007) AS mh
+        |       FROM sh0, range(16) r(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS b,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bucket = y.bucket
+        |         WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0),
         |common AS (SELECT da, db, count(*) AS common FROM cand
         |           JOIN sh sa ON sa.doc_id = da
         |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s

@@ -172,6 +172,29 @@ object Joins {
         .orderBy($"user_id", $"ts", $"event_id")
     }),
 
+    // J12 (extra): the as-of HOT-KEY path, oracle-checked — all traffic
+    // deliberately collapses onto 5 keys (the case the binned merge
+    // exists for: a plain per-key window would serialize each giant key
+    // on one task) and the result must equal DuckDB's plain ASOF JOIN
+    // on the same collapsed keys, i.e. binning changes the schedule,
+    // never the answer.
+    "j12_asof_hotkey" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).withColumn("ts", expr("ts DIV 1000"))
+        .withColumn("hot_id", $"user_id" % 5)
+      val quotes = e.filter($"event_type" === "view")
+        .groupBy($"hot_id", $"ts").agg(max($"value").as("qval"))
+      val trades = e.filter($"event_type" === "purchase")
+        .select($"hot_id", $"ts", $"event_id")
+      val (t0, t1) = trades.agg(min($"ts"), max($"ts")).as[(Long, Long)].head()
+      Temporal.asofJoin(trades, quotes, "hot_id", "ts",
+          Seq("event_id"), "qval",
+          hotKeyBinWidth = math.max((t1 - t0) / 32, 1L))
+        .select($"hot_id", $"ts", $"event_id",
+          round($"asof_value", 6).as("asof_value"))
+        .orderBy($"hot_id", $"ts", $"event_id")
+    }),
+
     // J11 (extra): range join with no equi-key — events against 20
     // overlapping campaign windows via fixed-width bin bucketing
     // (equi-join on the bin + exact range filter; no cartesian).
@@ -243,6 +266,16 @@ object Joins {
         |FROM p ASOF LEFT JOIN q
         |  ON p.user_id = q.user_id AND p.ts >= q.ts
         |ORDER BY p.user_id, p.ts, p.event_id""".stripMargin,
+    "j12_asof_hotkey" ->
+      """WITH q AS (SELECT user_id % 5 AS hot_id, epoch_us(ts) AS ts,
+        |                  max(value) AS qval
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id % 5 AS hot_id, epoch_us(ts) AS ts, event_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.hot_id, p.ts, p.event_id, round(q.qval, 6) AS asof_value
+        |FROM p ASOF LEFT JOIN q
+        |  ON p.hot_id = q.hot_id AND p.ts >= q.ts
+        |ORDER BY p.hot_id, p.ts, p.event_id""".stripMargin,
     "j11_range_join" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts, value FROM events),
         |b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM e),
