@@ -30,6 +30,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh === exact)
   }
 
+  test("incremental minhash against the band index equals the full LSH " +
+    "restricted to cross-split pairs") {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val incr = Dedup.minHashLshIncremental(corpus,
+        Dedup.minHashBandIndex(corpus), batch, 0.8)
+      .select($"da", $"db").as[(Long, Long)].collect().toSet
+    // the full-corpus LSH's pairs that straddle the split (in either
+    // orientation — full LSH orders by id, incremental by side)
+    val full = Dedup.minHashLsh(docs, 0.8)
+      .select($"da", $"db").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (c, n) => c % 5 != 0 && n % 5 == 0 }
+      .toSet
+    assert(incr === full)
+    assert(incr.nonEmpty, "split should straddle some planted near-dups")
+  }
+
   test("simhash near-dup pairs overlap the planted jaccard pairs") {
     val jacc = Dedup.ngramJaccard(docs, 0.8)
       .select($"da", $"db").as[(Long, Long)].collect().toSet
