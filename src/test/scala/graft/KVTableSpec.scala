@@ -231,6 +231,42 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     reread.drop()
   }
 
+  test("pointer flips are atomic under reader load: gen is monotonic, " +
+    "never absent, never malformed") {
+    val path = targetPath("graft_kv_test/ptrrace")
+    KVTable(spark, path, wipe = true) // clean slate
+    new java.io.File(s"$path/compacted/gen-0").mkdirs()
+    graft.sources.kv.KVPointer.writeGenMeta(path, 0, 8)
+    graft.sources.kv.KVPointer.publish(path, 0, 8)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        var lastGen = -1
+        while (!stop.get() && bad.get() == null) {
+          graft.sources.kv.KVPointer.read(path) match {
+            case None => bad.compareAndSet(null, "pointer read came back None")
+            case Some((g, n)) =>
+              if (g < lastGen) bad.compareAndSet(null,
+                s"generation went backwards: $lastGen -> $g")
+              if (n != 8) bad.compareAndSet(null, s"bucket count corrupted: $n")
+              lastGen = g
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    for (g <- 1 to 300) { // publisher: 300 atomic flips under read fire
+      new java.io.File(s"$path/compacted/gen-$g").mkdirs()
+      graft.sources.kv.KVPointer.writeGenMeta(path, g, 8)
+      graft.sources.kv.KVPointer.publish(path, g, 8)
+    }
+    stop.set(true)
+    readers.foreach(_.join(10000))
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(graft.sources.kv.KVPointer.read(path) === Some((300, 8)))
+  }
+
   test("legacy pre-generational layout migrates to gen-0 on first read") {
     val t = fresh("legacy")
     t.put(cells((1L, "F", "a", "v1", 1L), (2L, "F", "a", "v2", 1L)))
