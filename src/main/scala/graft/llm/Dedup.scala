@@ -233,6 +233,46 @@ object Dedup {
     barrier(pairs, cand, shc, shb)
   }
 
+  /** Dedup CLUSTERS from near-dup pairs: what a pipeline actually acts
+    * on is not the pair list but a cluster id per document (keep one
+    * representative per cluster, drop the rest). Connected components
+    * over the pair graph by iterative min-label propagation; each
+    * document's cluster id is the smallest doc id reachable from it.
+    *
+    * Scale shape: the iteration runs ONLY over vertices that appear in
+    * some pair — the near-dup graph, orders of magnitude smaller than
+    * the corpus — and each round shuffles the (shrinking-label) vertex
+    * set once plus the edge set once; docs in no pair never enter the
+    * loop and get `cluster = doc_id` by a final left join. Components
+    * here are near-dup groups, so their diameter is small and the loop
+    * converges in a handful of rounds; `maxIter` is the backstop, and
+    * `localCheckpoint` keeps lineage flat across rounds (same pattern
+    * as the BSP loop, graph/GraphOps.scala). */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("da").as("v"), col("db").as("w"))
+    val und = fwd.unionByName(fwd.select(col("w").as("v"), col("v").as("w")))
+      .distinct().localCheckpoint(eager = true)
+    var lab = und.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint(eager = true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = und.join(lab, Seq("v")).select(col("w").as("v"), col("label"))
+      val next = lab.unionByName(prop)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      converged = next.join(lab.withColumnRenamed("label", "old"), Seq("v"))
+        .filter(col("label") =!= col("old")).isEmpty
+      lab = next
+      i += 1
+    }
+    docs.select(col("doc_id"))
+      .join(lab.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"))
+      .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
+  }
+
   /** 60-bit SimHash over the document's distinct words — word hashes
     * via one md5 each, then a single native pass builds the signature
     * (GraftExpressions.SimHashSig); no explode, no shuffle. */

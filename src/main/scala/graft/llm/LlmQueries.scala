@@ -77,6 +77,18 @@ object LlmQueries {
         .orderBy($"da", $"db")
     }),
 
+    // Dedup clustering: connected components over the minhash-LSH pair
+    // graph — cluster id per doc (min reachable doc_id) plus the keep
+    // flag a pipeline filters on. The component loop runs only over
+    // docs appearing in some pair, never the whole corpus.
+    "llm_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.clusters(docs, Dedup.minHashLsh(docs, 0.8))
+        .select($"doc_id", $"cluster", $"keep".cast("long").as("keep"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified sample: per language, the 50 docs with
     // the smallest text hash — an unbiased, engine-agnostic balanced
     // subsample (training-mix construction). Two-phase top-k: a
@@ -354,6 +366,36 @@ object LlmQueries {
         |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
         |WHERE common*1.0/(ca.n+cb.n-common) >= 0.8
         |ORDER BY da, db""".stripMargin),
+    "llm_dedup_clusters" -> (DOC_CTE.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((h0 * (i*2+1) + i*999983) % 1000000007) AS mh
+        |       FROM sh0, range(16) r(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS b,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |common AS (SELECT da, db, count(*) AS common FROM cand
+        |           JOIN sh sa ON sa.doc_id = da
+        |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+        |           GROUP BY da, db),
+        |pairs AS (SELECT da, db
+        |          FROM common JOIN cnt ca ON da = ca.doc_id
+        |                      JOIN cnt cb ON db = cb.doc_id
+        |          WHERE common*1.0/(ca.n+cb.n-common) >= 0.8),
+        |e AS (SELECT da AS v, db AS w FROM pairs
+        |      UNION SELECT db, da FROM pairs),
+        |reach AS (SELECT v, w FROM e
+        |          UNION
+        |          SELECT r.v, e.w FROM reach r JOIN e ON r.w = e.v),
+        |lab AS (SELECT v AS doc_id, least(v, min(w)) AS cluster
+        |        FROM reach GROUP BY v)
+        |SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+        |       CAST(coalesce(l.cluster, d.doc_id) = d.doc_id AS BIGINT) AS keep
+        |FROM documents d LEFT JOIN lab l USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     "llm_dedup_simhash" ->
       (s"""WITH dw AS (SELECT DISTINCT doc_id, word FROM (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word

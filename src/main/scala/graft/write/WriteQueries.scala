@@ -364,6 +364,33 @@ object WriteQueries {
         .orderBy($"hour_start", $"event_type")
     }),
 
+    // §2.10 (extra): dedup-at-ingest — at-least-once delivery (every
+    // third event re-delivered) made exactly-once by event_id via
+    // dropDuplicatesWithinWatermark; state is bounded by the watermark
+    // horizon, not by the number of keys ever seen (streaming/
+    // StreamDedup.scala). The 90-day horizon exceeds the staged data's
+    // 30-day span, so within this run the dedup is exact and the oracle
+    // is plain DISTINCT.
+    "st4_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val stage = RepoPaths.target("graft_stream/st4")
+      val out = RepoPaths.target("graft_stream/st4_out")
+      val ckpt = RepoPaths.target("graft_stream/st4_ckpt")
+      Seq(out, ckpt).foreach(p =>
+        KVTable.deleteRecursively(new java.io.File(p)))
+      val ev = Tables.events(s, d)
+        .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
+        .select($"event_id", $"tsc", $"user_id", $"value")
+      ev.unionByName(ev.filter($"event_id" % 3 === 0))
+        .write.mode("overwrite").parquet(stage)
+      graft.streaming.StreamDedup
+        .run(s, stage, ev.schema, out, ckpt, keys = Seq("event_id"),
+          eventTimeCol = "tsc", horizon = "90 days")
+        .select($"event_id", $"user_id",
+          round($"value" * 100).cast("long").as("cents"))
+        .orderBy($"event_id")
+    }),
+
     // §2.10: stateful sessionization via flatMapGroupsWithState —
     // closed sessions (4h inactivity gap) per user; the open tail stays
     // in state and is not emitted.
@@ -459,6 +486,9 @@ object WriteQueries {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "st4_stream_dedup" ->
+      """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id""".stripMargin,
     "st3_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
         |                  CAST(round(value*100) AS BIGINT) AS cents, event_id

@@ -48,6 +48,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(incr.nonEmpty, "split should straddle some planted near-dups")
   }
 
+  test("dedup clusters: labels propagate across chains, singletons keep") {
+    val five = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((2L, 3L, 0.9), (3L, 4L, 0.9)).toDF("da", "db", "jacc")
+    val got = Dedup.clusters(five, pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, true), (2L, 2L, true), (3L, 2L, false),
+      (4L, 2L, false), (5L, 5L, true)))
+    // a 10-node chain needs the label to travel 9 hops — pins the loop's
+    // convergence detection, not just a single propagation round
+    val ten = (1L to 10L).toDF("doc_id")
+    val chain = (1L to 9L).map(i => (i, i + 1, 0.9)).toDF("da", "db", "jacc")
+    val labs = Dedup.clusters(ten, chain)
+      .select($"cluster").as[Long].collect().toSet
+    assert(labs === Set(1L))
+  }
+
+  test("dedup clusters on the corpus agree with the LSH pair graph") {
+    val pairs = Dedup.minHashLsh(docs, 0.8).cache()
+    val cl = Dedup.clusters(docs, pairs).cache()
+    val byDoc = cl.select($"doc_id", $"cluster").as[(Long, Long)]
+      .collect().toMap
+    val ps = pairs.select($"da", $"db").as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    // paired docs share a cluster; every cluster id is its own keeper
+    assert(ps.forall { case (a, b) => byDoc(a) == byDoc(b) })
+    val keeps = cl.filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(byDoc.values.toSet === keeps.intersect(byDoc.values.toSet) &&
+      byDoc.values.forall(keeps.contains))
+    pairs.unpersist(); cl.unpersist()
+  }
+
   test("simhash near-dup pairs overlap the planted jaccard pairs") {
     val jacc = Dedup.ngramJaccard(docs, 0.8)
       .select($"da", $"db").as[(Long, Long)].collect().toSet
