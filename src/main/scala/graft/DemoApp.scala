@@ -84,6 +84,12 @@ object DemoApp {
         Tables.documents(spark, d)).as[llm.Multimodal.BlobRow])
       .toDF().orderBy($"doc_id").show(5)
 
+    // --- dedup clusters: pairs → per-doc cluster id + keep flag -------
+    println("== near-dup clusters over the minhash-LSH pair graph ==")
+    val docs = Tables.documents(spark, d)
+    llm.Dedup.clusters(docs, llm.Dedup.minHashLsh(docs, 0.8))
+      .filter(!$"keep").orderBy($"doc_id").show(5)
+
     // --- temporal joins ----------------------------------------------
     println("== as-of join: each purchase's latest prior view value ==")
     val ev = Tables.events(spark, d).withColumn("ts", expr("ts DIV 1000"))
