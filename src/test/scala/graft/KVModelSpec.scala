@@ -78,4 +78,47 @@ class KVModelSpec extends AnyFunSuite with SparkSpec {
       assert(got === model(deduped), s"mismatch at seed=$seed")
     }
   }
+
+  test("a mid-sequence compaction never changes the resolved view " +
+    "(random ops, random split)") {
+    // Arrival order respects ts across the split (everything at or
+    // below the threshold lands before the compaction, the rest after),
+    // so no post-compaction cell carries a ts older than a compacted-
+    // away tombstone — the one case where HBase major-compaction parity
+    // legitimately resurrects (documented in resolvedAsOf's scaladoc)
+    // and a log-only replay would diverge by design.
+    for (seed <- 1 to 6) {
+      val ops = Gen.listOfN(40, genOp)
+        .pureApply(Gen.Parameters.default, Seed(1000L + seed))
+      val deduped = ops.zipWithIndex
+        .groupBy(o => (o._1.key, o._1.family, o._1.qualifier, o._1.ts, o._1.tomb))
+        .map(_._2.head).toList.sortBy(_._2).map(_._1)
+      val cut = Gen.choose(1L, 20L)
+        .pureApply(Gen.Parameters.default, Seed(2000L + seed))
+      val t = KVTable(spark,
+        targetPath(s"graft_kv_test/modelc_${seed}"), wipe = true)
+      def apply(batch: List[Op]): Unit = {
+        val puts = batch.filter(_.tomb.isEmpty)
+          .map(o => (o.key, o.family, o.qualifier, s"v${o.key}_${o.ts}", o.ts))
+        if (puts.nonEmpty)
+          t.put(puts.toDF("key", "family", "qualifier", "value", "ts"))
+        batch.filter(_.tomb.nonEmpty).groupBy(_.ts).foreach { case (ts, dels) =>
+          t.delete(dels.map {
+            case Op(k, _, _, _, Some("row")) => (k, None, None)
+            case Op(k, f, _, _, Some("family")) => (k, Some(f), None)
+            case Op(k, f, q, _, Some("cell")) => (k, Some(f), Some(q))
+            case o => throw new IllegalStateException(o.toString)
+          }.toDF("key", "family", "qualifier"), ts)
+        }
+      }
+      val (before, after) = deduped.partition(_.ts <= cut)
+      apply(before)
+      t.compact(numBuckets = 4)
+      apply(after)
+      val got = t.resolved()
+        .as[(Long, String, String, String, Long)].collect().toSet
+      assert(got === model(deduped),
+        s"mismatch at seed=$seed cut=$cut (compacted ${before.size} ops)")
+    }
+  }
 }
