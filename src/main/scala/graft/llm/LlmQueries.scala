@@ -166,6 +166,20 @@ object LlmQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Incremental IVF ANN: a NEW vector batch (vec_id%25==0) probes the
+    // standing corpus's prebuilt centroid assignment — the corpus never
+    // re-assigns for a query batch, only the batch crosses the wire
+    // (the ANN sibling of llm_dedup_minhash_incr).
+    "llm_ann_ivf_incr" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter($"vec_id" % 25 =!= 0)
+      val cents = Similarity.ivfCentroids(corpus, 40)
+      Similarity.ivfProbe(cents, Similarity.ivfIndex(corpus, cents),
+          emb.filter($"vec_id" % 25 === 0), k = 3, nprobe = 2)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Language-ID by stopword scoring (alphabetical-first argmax).
     "llm_lang_id" -> ((s, d) => {
       import s.implicits._
@@ -478,6 +492,34 @@ object LlmQueries {
         |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
         |                    c.cent_id) AS r
         |  FROM e v CROSS JOIN c) WHERE r <= 1),
+        |aq AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c WHERE v.vec_id % 25 = 0) WHERE r <= 2),
+        |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS nb_id,
+        |                  round(list_cosine_similarity(qe.e, be.e), 6) AS cos
+        |           FROM aq q JOIN ab b USING (cent_id)
+        |           JOIN e qe ON qe.vec_id = q.vec_id
+        |           JOIN e be ON be.vec_id = b.vec_id
+        |           WHERE b.vec_id <> q.vec_id)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_ivf_incr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |co AS (SELECT vec_id, e FROM e WHERE vec_id % 25 <> 0),
+        |c AS (SELECT vec_id AS cent_id, e AS ec FROM co WHERE vec_id % 40 = 0),
+        |ab AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM co v CROSS JOIN c) WHERE r <= 1),
         |aq AS (SELECT vec_id, cent_id FROM (
         |  SELECT v.vec_id, c.cent_id,
         |         row_number() OVER (PARTITION BY v.vec_id

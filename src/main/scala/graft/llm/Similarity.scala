@@ -132,26 +132,51 @@ object Similarity {
     * data distribution, LSH is data-independent. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, stride: Int,
               k: Int, nprobe: Int = 1): DataFrame = {
-    val cents = prepared(emb.filter(col("vec_id") % stride === 0), "cent_id")
+    val cents = ivfCentroids(emb, stride)
+    ivfProbe(cents, ivfIndex(emb, cents), queries, k, nprobe)
+  }
+
+  /** Stride-sampled centroids (at scale: k-means output), prepared for
+    * cosine scoring. Small by construction — always broadcast. */
+  def ivfCentroids(emb: DataFrame, stride: Int): DataFrame =
+    prepared(emb.filter(col("vec_id") % stride === 0), "cent_id")
       .select(col("cent_id"), col("e").as("ec"), col("nrm").as("nc"))
-    def assign(df: DataFrame, idCol: String, probes: Int): DataFrame = {
-      // 6-dp rounding before the argmax: assignment must be decided on
-      // a value both engines (and any FP summation order) agree on, or
-      // a sub-ulp difference flips a centroid and changes whole buckets
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("csim",
-          round(dotExpr("e", "ec") / (col("nrm") * col("nc")), 6))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
-        .drop("ec", "nc", "csim", "r")
-    }
-    val base = assign(prepared(emb, "nb_id"), "nb_id", 1)
-      .select(col("nb_id"), col("e").as("eb"), col("nrm").as("nb"), col("cent_id"))
-    val q = assign(prepared(queries, "query_id"), "query_id", nprobe)
+
+  /** The persistable IVF index: every corpus vector assigned to its
+    * nearest centroid — `(nb_id, eb, nb, cent_id)`. Building it is one
+    * broadcast-centroid scoring pass over the corpus; at 100 TB this is
+    * what lives on disk between query batches (bucketed by cent_id for
+    * co-located probe joins), so a query batch never re-assigns the
+    * corpus — the IVF sibling of the minhash band index. */
+  def ivfIndex(emb: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssign(prepared(emb, "nb_id"), "nb_id", 1, cents)
+      .select(col("nb_id"), col("e").as("eb"), col("nrm").as("nb"),
+        col("cent_id"))
+
+  private def ivfAssign(df: DataFrame, idCol: String, probes: Int,
+                        cents: DataFrame): DataFrame = {
+    // 6-dp rounding before the argmax: assignment must be decided on
+    // a value both engines (and any FP summation order) agree on, or
+    // a sub-ulp difference flips a centroid and changes whole buckets
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(dotExpr("e", "ec") / (col("nrm") * col("nc")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
+      .drop("ec", "nc", "csim", "r")
+  }
+
+  /** Search `queries` against a prebuilt centroid set + index: each
+    * query assigns to its top-`nprobe` centroids (broadcast pass), then
+    * scores bucket-locally — the incremental-ingest ANN path: the
+    * corpus index never recomputes for a query batch. */
+  def ivfProbe(cents: DataFrame, index: DataFrame, queries: DataFrame,
+               k: Int, nprobe: Int): DataFrame = {
+    val q = ivfAssign(prepared(queries, "query_id"), "query_id", nprobe, cents)
       .select(col("query_id"), col("e").as("ea"), col("nrm").as("na"),
         col("cent_id"))
-    val scored = q.join(base, Seq("cent_id"))
+    val scored = q.join(index, Seq("cent_id"))
       .filter(col("query_id") =!= col("nb_id"))
       .withColumn("cos",
         round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6))

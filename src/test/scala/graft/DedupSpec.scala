@@ -125,6 +125,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(ivf.filter(_._2 == 1L).forall { case (q, _, _, c) => c <= brute(q) })
   }
 
+  test("IVF probe with all buckets probed equals brute force over the corpus") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val corpus = emb.filter($"vec_id" % 25 =!= 0)
+    val batch = emb.filter($"vec_id" % 25 === 0)
+    val cents = Similarity.ivfCentroids(corpus, 40)
+    val nCents = cents.count().toInt
+    // probing every centroid bucket makes IVF search exhaustive over the
+    // corpus — results must match brute force exactly (same rounding,
+    // same tie order); with nprobe=2 they must be a subset of it
+    val exhaustive = Similarity.ivfProbe(cents,
+        Similarity.ivfIndex(corpus, cents), batch, k = 3, nprobe = nCents)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, batch, 3)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exhaustive.nonEmpty)
+    assert(exhaustive === brute)
+    val probed = Similarity.ivfProbe(cents,
+        Similarity.ivfIndex(corpus, cents), batch, k = 3, nprobe = 2)
+      .select($"query_id", $"nb_id").as[(Long, Long)].collect().toSet
+    assert(probed.nonEmpty)
+    assert(probed.forall { case (q, nb) => nb % 25 != 0 && q % 25 == 0 })
+  }
+
   test("LSH cosine pairs are a verified subset of brute-force pairs") {
     val emb = Tables.embeddings(spark, sf).cache()
     // low threshold so both paths return pairs at sf0.001 (max planted
