@@ -257,13 +257,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // one round = one edge-join shuffle + one min-agg; the PREVIOUS
+      // label rides along into the checkpoint so convergence is a local
+      // filter over the materialized round, not another shuffle join
       val prop = und.join(lab, Seq("v")).select(col("w").as("v"), col("label"))
-      val next = lab.unionByName(prop)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
+      val next = lab.withColumnRenamed("label", "old")
+        .join(prop.groupBy(col("v")).agg(min(col("label")).as("p")),
+          Seq("v"), "left_outer")
+        .select(col("v"), col("old"),
+          least(col("old"), col("p")).as("label")) // least skips null p
         .localCheckpoint(eager = true)
-      converged = next.join(lab.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") =!= col("old")).isEmpty
-      lab = next
+      converged = next.filter(col("label") < col("old")).isEmpty
+      lab = next.select(col("v"), col("label"))
       i += 1
     }
     docs.select(col("doc_id"))
