@@ -136,11 +136,48 @@ object Similarity {
     ivfProbe(cents, ivfIndex(emb, cents), queries, k, nprobe)
   }
 
-  /** Stride-sampled centroids (at scale: k-means output), prepared for
-    * cosine scoring. Small by construction — always broadcast. */
+  /** Stride-sampled centroids (the deterministic seed set; refine with
+    * [[kmeansCentroids]]), prepared for cosine scoring. Small by
+    * construction — always broadcast. */
   def ivfCentroids(emb: DataFrame, stride: Int): DataFrame =
     prepared(emb.filter(col("vec_id") % stride === 0), "cent_id")
       .select(col("cent_id"), col("e").as("ec"), col("nrm").as("nc"))
+
+  /** Spherical k-means refinement of the stride-seeded centroids:
+    * `iters` Lloyd rounds, each = one broadcast-assign pass over the
+    * corpus + one element-wise mean per cluster. Cosine scoring is
+    * scale-invariant, so the un-normalized mean IS the spherical-k-means
+    * update (the per-round objective Σ cos(v, assigned centroid) is
+    * non-decreasing — pinned by spec). Deterministic: assignment
+    * tie-breaks on (rounded cos, cent_id); the mean explodes by
+    * dimension and re-assembles sorted by position, so no FP-order
+    * drift. Each round shuffles (corpus × dims) rows keyed by
+    * (cluster, dim) — the standard distributed-k-means shape; the
+    * centroid set itself never leaves broadcast size. A cluster that
+    * loses all members keeps its previous centroid (no dropouts, k is
+    * stable). */
+  def kmeansCentroids(emb: DataFrame, stride: Int, iters: Int): DataFrame = {
+    var cents = ivfCentroids(emb, stride).localCheckpoint(eager = true)
+    val corpus = prepared(emb, "vec_id")
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(corpus, "vec_id", 1, cents)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("e")).as(Seq("j", "x")))
+        .groupBy(col("cent_id"), col("j")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("j"), col("m")))).as("jm"))
+        .select(col("cent_id"), transform(col("jm"), _.getField("m")).as("ec"))
+        .withColumn("nc", expr("graft_vec_norm(ec)"))
+      // empty clusters keep their previous centroid
+      cents = cents.select(col("cent_id"), col("ec").as("ec0"), col("nc").as("nc0"))
+        .join(means, Seq("cent_id"), "left_outer")
+        .select(col("cent_id"),
+          coalesce(col("ec"), col("ec0")).as("ec"),
+          coalesce(col("nc"), col("nc0")).as("nc"))
+        .localCheckpoint(eager = true)
+    }
+    cents
+  }
 
   /** The persistable IVF index: every corpus vector assigned to its
     * nearest centroid — `(nb_id, eb, nb, cent_id)`. Building it is one

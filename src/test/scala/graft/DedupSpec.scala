@@ -150,6 +150,32 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(probed.forall { case (q, nb) => nb % 25 != 0 && q % 25 == 0 })
   }
 
+  test("spherical k-means refinement never decreases the cosine objective") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+        .crossJoin(broadcast(cents.select($"cent_id", $"ec")))
+        .withColumn("cos", round(Similarity.cosine($"e", $"ec"), 6))
+        .groupBy($"vec_id").agg(max($"cos").as("best"))
+        .agg(sum($"best")).as[Double].head()
+    val objs = (0 to 3).map {
+      case 0 => objective(Similarity.ivfCentroids(emb, 40))
+      case i => objective(Similarity.kmeansCentroids(emb, 40, i))
+    }
+    // Lloyd rounds improve (or hold) the objective; 6-dp rounding in the
+    // assignment allows sub-ulp wiggle, hence the epsilon
+    objs.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next >= prev - 1e-4, s"objective decreased: $objs")
+    }
+    assert(objs.last > objs.head,
+      s"k-means never improved on the stride seed: $objs")
+    // refined centroids drop into the same index/probe machinery
+    val cents = Similarity.kmeansCentroids(emb, 40, 2)
+    val got = Similarity.ivfProbe(cents, Similarity.ivfIndex(emb, cents),
+      emb.filter($"vec_id" % 100 === 0), k = 3, nprobe = 2)
+    assert(got.count() > 0)
+  }
+
   test("LSH cosine pairs are a verified subset of brute-force pairs") {
     val emb = Tables.embeddings(spark, sf).cache()
     // low threshold so both paths return pairs at sf0.001 (max planted
