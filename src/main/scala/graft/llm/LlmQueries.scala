@@ -224,6 +224,25 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Vocabulary build: corpus-wide term + document frequency, top-k —
+    // the op behind frequency-filtered vocabularies and BPE seeding.
+    // Scale shape: per-doc counts first (one shuffle, map-side
+    // combine over (doc_id, token)), then the per-token rollup where
+    // doc_freq is a plain count of the already-distinct pairs (second
+    // shuffle, again partial-agg'd — no count(DISTINCT) expand), and
+    // the top-k plans as TakeOrderedAndProject, never a global sort.
+    "llm_vocab_topk" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(words($"text")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+        .groupBy($"token")
+        .agg(sum($"c").as("freq"), count(lit(1)).as("doc_freq"))
+        .orderBy($"freq".desc, $"token")
+        .limit(100)
+    }),
+
     // Order-sensitive rolling-hash document fingerprint.
     "llm_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -613,6 +632,16 @@ object LlmQueries {
         |         AS re_tokens,
         |       CAST(ceil(len(text)/4.0) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    unnest(string_split(trim(text), ' ')) AS token
+        |             FROM documents),
+        |per AS (SELECT doc_id, token, count(*) AS c FROM tok
+        |        WHERE token <> '' GROUP BY doc_id, token)
+        |SELECT token, CAST(sum(c) AS BIGINT) AS freq,
+        |       CAST(count(*) AS BIGINT) AS doc_freq
+        |FROM per GROUP BY token
+        |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
     "llm_fingerprint" ->
       (s"""SELECT doc_id,
         |       list_reduce(

@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("llm_vocab_topk plans TakeOrdered over partial aggs — no Expand, no global sort") {
+    val qe = SparkEntry.queries("llm_vocab_topk")(spark, sf).queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // doc_freq counts already-distinct (doc_id, token) pairs — a
+    // count(DISTINCT) formulation would plan an Expand here
+    assert(!plan.contains("Expand"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, // 2 aggs × partial+final
+      plan.take(2000))
+  }
+
   test("f1 plans as pure aggregations over a flagged union — no joins") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
