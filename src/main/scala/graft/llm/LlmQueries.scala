@@ -243,6 +243,35 @@ object LlmQueries {
         .limit(100)
     }),
 
+    // TF-IDF keyword extraction: top-3 scoring terms per document —
+    // the op behind keyword tagging and relevance-weighted filtering.
+    // Scale shape: document frequency comes from a partial-agg'd
+    // rollup of the per-(doc, token) counts JOINED back on token —
+    // never a `count(...) over (partition by token)` window, which
+    // would buffer a stop-word's billions of rows in one task. The
+    // corpus size N rides in as a broadcast single-row cross join, so
+    // nothing round-trips the driver; the only Window partitions by
+    // doc_id, whose groups are document-sized by construction.
+    "llm_tfidf_topterms" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select($"doc_id", explode(words($"text")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val rk = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+      tf.join(df, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round($"tf" * log($"n_docs" * 1.0 / $"df"), 6))
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"token", $"tfidf")
+        .orderBy($"doc_id", $"rk")
+    }),
+
     // Order-sensitive rolling-hash document fingerprint.
     "llm_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -642,6 +671,23 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS doc_freq
         |FROM per GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "llm_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    unnest(string_split(trim(text), ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token <> '' GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, token,
+        |                  round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+        |           FROM tf JOIN df USING (token) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, token, tfidf,
+        |                  CAST(row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+        |           FROM scored)
+        |SELECT doc_id, rk, token, tfidf FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "llm_fingerprint" ->
       (s"""SELECT doc_id,
         |       list_reduce(

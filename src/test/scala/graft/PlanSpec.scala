@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(2000))
   }
 
+  test("llm_tfidf_topterms: df by rollup+join, one doc-partitioned window, broadcast N") {
+    val qe = SparkEntry.queries("llm_tfidf_topterms")(spark, sf).queryExecution
+    val plan = qe.sparkPlan.toString
+    // doc frequency must come from the partial-agg'd rollup joined back,
+    // never from a token-partitioned window (stop-word partitions would
+    // buffer in one task at corpus scale)
+    assert("Window \\[".r.findAllIn(plan).length == 1, plan.take(2000))
+    assert(!plan.contains("Window [count"), plan.take(2000))
+    // rk <= 3 pushes down as a map-side partial group-limit, so each
+    // task ships at most 3 rows per doc into the window shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // the scalar corpus count rides a broadcast, not a cartesian product
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("f1 plans as pure aggregations over a flagged union — no joins") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
