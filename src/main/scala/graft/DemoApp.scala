@@ -90,6 +90,12 @@ object DemoApp {
     llm.Dedup.clusters(docs, llm.Dedup.minHashLsh(docs, 0.8))
       .filter(!$"keep").orderBy($"doc_id").show(5)
 
+    // --- corpus text stats: vocabulary + tf-idf keywords --------------
+    println("== corpus vocabulary (top terms by frequency) ==")
+    SparkEntry.queries("llm_vocab_topk")(spark, d).show(5)
+    println("== tf-idf keywords (top-3 scoring terms per doc) ==")
+    SparkEntry.queries("llm_tfidf_topterms")(spark, d).show(6)
+
     // --- temporal joins ----------------------------------------------
     println("== as-of join: each purchase's latest prior view value ==")
     val ev = Tables.events(spark, d).withColumn("ts", expr("ts DIV 1000"))
