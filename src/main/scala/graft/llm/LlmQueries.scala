@@ -260,7 +260,14 @@ object LlmQueries {
         .select($"doc_id", explode(words($"text")).as("token"))
         .filter($"token" =!= "")
         .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      // `tf > 0` is vacuously true (counts are >= 1) but it keeps the
+      // count column CONSUMED in this branch: otherwise column pruning
+      // rewrites the rollup's inner aggregate to a bare distinct, the
+      // two consumers of the (doc_id, token) shuffle stop canonicalizing
+      // equal, and AQE can't reuse the stage — the corpus would be
+      // tokenized and shuffled twice (PlanSpec pins the single-scan plan)
+      val df = tf.where($"tf" > 0)
+        .groupBy($"token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val rk = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
       tf.join(df, "token")

@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("llm_tfidf_topterms tokenizes and shuffles the corpus ONCE (AQE stage reuse)") {
+    val df = SparkEntry.queries("llm_tfidf_topterms")(spark, sf)
+    df.collect() // reuse is decided at runtime, when AQE materializes stages
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // 2 scans = the shared tf subtree + the corpus-count broadcast; a
+    // third means the (doc_id, token) aggregation pipeline ran twice
+    assert("Scan parquet".r.findAllIn(fin).length == 2, fin.take(3000))
+  }
+
   test("f1 plans as pure aggregations over a flagged union — no joins") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
