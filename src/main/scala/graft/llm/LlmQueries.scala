@@ -279,6 +279,31 @@ object LlmQueries {
         .orderBy($"doc_id", $"rk")
     }),
 
+    // PII scrub: redact emails and long digit runs (the C4/CCNet-style
+    // pre-training hygiene pass). Pure per-row codegen'd regex — no
+    // shuffle, scales linearly. The synthetic docs carry no PII, so the
+    // query plants a deterministic email + numeric ref per row (same
+    // constructed-corpus precedent as llm_dedup_exact) — doc 0's ref is
+    // 5 digits and survives, every other doc's is 8 and is redacted, so
+    // the oracle checks both the hit and the miss path.
+    "llm_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val num = "[0-9]{6,}"
+      Tables.documents(s, d)
+        .select($"doc_id", concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com ref "),
+          ($"doc_id" * 9999991L + 12345L).cast("string")).as("text"))
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit(email), lit(0))).cast("long")
+            .as("n_emails"),
+          size(regexp_extract_all($"text", lit(num), lit(0))).cast("long")
+            .as("n_ids"),
+          regexp_replace(regexp_replace($"text", email, "<EMAIL>"),
+            num, "<ID>").as("scrubbed"))
+        .orderBy($"doc_id")
+    }),
+
     // Order-sensitive rolling-hash document fingerprint.
     "llm_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -695,6 +720,19 @@ object LlmQueries {
         |           FROM scored)
         |SELECT doc_id, rk, token, tfidf FROM ranked
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com ref '
+        |       || CAST(doc_id * 9999991 + 12345 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_ids,
+        |  regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<ID>', 'g') AS scrubbed
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "llm_fingerprint" ->
       (s"""SELECT doc_id,
         |       list_reduce(
