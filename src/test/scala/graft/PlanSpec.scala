@@ -91,7 +91,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("llm_tfidf_topterms tokenizes and shuffles the corpus ONCE (AQE stage reuse)") {
-    val df = SparkEntry.queries("llm_tfidf_topterms")(spark, sf)
+    // a PRIVATE staging dir: other suites .cache() the shared-path
+    // documents table concurrently (cache lookup is by logical plan, so
+    // a same-path scan would plan as InMemoryTableScan and break the
+    // parquet-scan count below)
+    val dir = RepoPaths.target("planspec_tfidf")
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("llm_tfidf_topterms")(spark, dir)
     df.collect() // reuse is decided at runtime, when AQE materializes stages
     val fin = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
