@@ -95,6 +95,10 @@ object DemoApp {
     SparkEntry.queries("llm_vocab_topk")(spark, d).show(5)
     println("== tf-idf keywords (top-3 scoring terms per doc) ==")
     SparkEntry.queries("llm_tfidf_topterms")(spark, d).show(6)
+    println("== PII scrub (emails + long digit runs redacted) ==")
+    SparkEntry.queries("llm_pii_scrub")(spark, d)
+      .select($"doc_id", $"n_emails", $"n_ids",
+        substring($"scrubbed", -46, 46).as("scrubbed_tail")).show(3, truncate = false)
 
     // --- temporal joins ----------------------------------------------
     println("== as-of join: each purchase's latest prior view value ==")
