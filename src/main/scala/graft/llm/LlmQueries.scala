@@ -304,6 +304,32 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Sequence packing: assign each doc a start offset and sequence id
+    // under concat-and-chunk packing into fixed token-budget training
+    // sequences (the pretraining pack step). Docs are salted into S
+    // independent packing streams; within a stream the offset is a
+    // RUNNING sum — after the one shuffle the sort spills and the
+    // running aggregate holds O(1) state, so a stream of any size
+    // packs without buffering (S is the knob that scales with the
+    // cluster; the blanket PlanSpec window test pins that this never
+    // plans an unpartitioned window).
+    "llm_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val B = 4096L // context window, tokens
+      val S = 32L   // parallel packing streams
+      val w = Window.partitionBy($"stream").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select($"doc_id", size(words($"text")).cast("long").as("n_tokens"))
+        .withColumn("stream", $"doc_id" % S)
+        .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+        .select($"doc_id", $"n_tokens", $"stream", $"start_off",
+          ($"stream" * 1000000000000L + floor($"start_off" / B).cast("long"))
+            .as("seq_id"))
+        .orderBy($"doc_id")
+    }),
+
     // Order-sensitive rolling-hash document fingerprint.
     "llm_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -733,6 +759,18 @@ object LlmQueries {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{6,}', '<ID>', 'g') AS scrubbed
         |FROM dirty ORDER BY doc_id""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |    doc_id % 32 AS stream FROM documents),
+        |c AS (SELECT doc_id, n_tokens, stream,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stream, start_off,
+        |  CAST(stream * 1000000000000 + start_off // 4096 AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "llm_fingerprint" ->
       (s"""SELECT doc_id,
         |       list_reduce(

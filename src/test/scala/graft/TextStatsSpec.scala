@@ -28,6 +28,24 @@ class TextStatsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq(("a", 3L, 3L), ("b", 2L, 1L), ("c", 1L, 1L)))
   }
 
+  test("pack: running offsets per salted stream, chunk boundary at 4096 tokens") {
+    val d = RepoPaths.target("textstats_pack_fixture")
+    // stream 0 gets docs 0 (3 tokens), 32 (5000 tokens), 64 (1 token):
+    // offsets 0, 3, 5003 — doc 64 starts past the 4096 boundary, bin 1
+    Seq((0L, "b a b"), (32L, Seq.fill(5000)("tok").mkString(" ")),
+        (64L, "x"), (1L, "y z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("llm_pack_sequences")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val T = 1000000000000L
+    assert(got === Seq(
+      (0L, 3L, 0L, 0L, 0L),
+      (1L, 2L, 1L, 0L, T),
+      (32L, 5000L, 0L, 3L, 0L),       // starts in bin 0, spans into 1
+      (64L, 1L, 0L, 5003L, 1L)))      // past 4096 -> second chunk
+  }
+
   test("tfidf: tf * ln(N/df), ubiquitous terms score zero, top-3 by score") {
     val got = SparkEntry.queries("llm_tfidf_topterms")(spark, dir)
       .as[(Long, Long, String, Double)].collect().toSeq
