@@ -99,6 +99,8 @@ object DemoApp {
     SparkEntry.queries("llm_pii_scrub")(spark, d)
       .select($"doc_id", $"n_emails", $"n_ids",
         substring($"scrubbed", -46, 46).as("scrubbed_tail")).show(3, truncate = false)
+    println("== sequence packing (concat-and-chunk into 4096-token sequences) ==")
+    SparkEntry.queries("llm_pack_sequences")(spark, d).show(4)
 
     // --- temporal joins ----------------------------------------------
     println("== as-of join: each purchase's latest prior view value ==")
