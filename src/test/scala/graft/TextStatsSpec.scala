@@ -46,6 +46,28 @@ class TextStatsSpec extends AnyFunSuite with SparkSpec {
       (64L, 1L, 0L, 5003L, 1L)))      // past 4096 -> second chunk
   }
 
+  test("pack invariants hold on a random corpus (exact prefix sums, no doc lost)") {
+    val r = new scala.util.Random(7L)
+    val docs = (0L until 500L).map { id =>
+      (id, Seq.fill(1 + r.nextInt(200))("t").mkString(" "))
+    }
+    val d = RepoPaths.target("textstats_pack_prop")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("llm_pack_sequences")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === docs.map(_._1).toSet) // every doc, once
+    got.groupBy(_._3).foreach { case (stream, rows) =>
+      val inOrder = rows.sortBy(_._1)
+      // offsets are the exact prefix sums of token counts, in doc order
+      val prefix = inOrder.map(_._2).scanLeft(0L)(_ + _).init
+      assert(inOrder.map(_._4).toSeq === prefix.toSeq, s"stream $stream")
+      inOrder.foreach { case (id, _, s, off, seq) =>
+        assert(s === id % 32 && seq === s * 1000000000000L + off / 4096L)
+      }
+    }
+  }
+
   test("tfidf: tf * ln(N/df), ubiquitous terms score zero, top-3 by score") {
     val got = SparkEntry.queries("llm_tfidf_topterms")(spark, dir)
       .as[(Long, Long, String, Double)].collect().toSeq
