@@ -6,9 +6,13 @@ import graft.Tables
 import TextOps._
 
 /** Training-data-pipeline operator queries (builder-prompt north-star):
-  * dedup ×5, similarity search ×2, text analysis ×4, multimodal ×1 —
-  * every one oracle-checked (the MinHash/SimHash hash functions are
-  * md5-derived specifically so DuckDB reproduces them bit-for-bit).
+  * dedup (exact/incremental/MinHash-LSH/SimHash/n-gram/embedding +
+  * cluster assignment), ANN (brute-force/LSH/IVF + incremental probe),
+  * text analysis (lang-id, quality, tokens, vocab, tf-idf, fingerprint,
+  * PII scrub, sequence packing), stratified sampling, contamination
+  * scan, multimodal, and the composed corpus pipeline — every one
+  * oracle-checked (the MinHash/SimHash hash functions are md5-derived
+  * specifically so DuckDB reproduces them bit-for-bit).
   */
 object LlmQueries {
   type Q = (SparkSession, String) => DataFrame
