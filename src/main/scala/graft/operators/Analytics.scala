@@ -67,6 +67,37 @@ object Analytics {
         .orderBy($"revenue".desc, $"n_name".asc)
     }),
 
+    // TPC-H Q6-flavored forecasting revenue change: the pure-pushdown
+    // plan — every predicate reaches the parquet scan as a PushedFilter
+    // (row groups outside the shipdate/discount/quantity ranges never
+    // decode), then a map-side partial agg folds to one row; the only
+    // "shuffle" is the single-row final agg.
+    "tpch_q6" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1997-01-01").cast("timestamp")
+          && $"l_discount".between(0.04, 0.07) && $"l_quantity" < 24)
+        .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+    }),
+
+    // TPC-H Q12-flavored shipping-priority audit: the big-big join —
+    // lineitem and orders both exceed any broadcast threshold, so this
+    // exercises the shuffle-join path (AQE picks SMJ or shuffled-hash);
+    // the conditional counts fold map-side into a 2-row result.
+    "tpch_q12" -> ((s, d) => {
+      import s.implicits._
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_linestatus")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy($"l_linestatus")
+    }),
+
     // ROLLUP (absent in the reference; native here).
     "an_rollup" -> ((s, d) => {
       import s.implicits._
@@ -208,6 +239,24 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "an_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,

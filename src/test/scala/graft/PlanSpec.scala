@@ -20,6 +20,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("l_returnflag"))
   }
 
+  test("tpch_q6: every predicate reaches the scan, only needed columns read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("tpch_q6")(spark, sf).queryExecution
+    val scan = qe.sparkPlan.collectFirst { case s: FileSourceScanExec => s }.get
+    val pushed = scan.metadata("PushedFilters") // full string, not the
+    // truncated plan rendering
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(s"($c,"), s"$c not pushed: $pushed")
+    // pruning: the scan reads exactly the four referenced columns
+    assert(scan.output.map(_.name).toSet ===
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+    // no join, no generate — a pure scan->filter->two-phase-agg chain
+    val plan = qe.sparkPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Generate"), plan.take(1000))
+    assert("HashAggregate".r.findAllIn(plan).length == 2, plan.take(1000))
+  }
+
   test("p10: three chained filters fuse into a single scan's filter stack") {
     val qe = SparkEntry.queries("p10_filter_fusion")(spark, sf).queryExecution
     val scans = qe.sparkPlan.collect {
