@@ -1,0 +1,162 @@
+package graft.sources.kv
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, LocalFileSystem, Options, Path}
+
+/** The KV layer's single seam onto storage. Every byte the KV table
+  * reads or writes outside a Spark job — the generation pointer, the
+  * completeness markers, log-file listings, family descriptors,
+  * compaction's snapshot deletes — goes through the Hadoop
+  * `FileSystem` API here, so the same layout works on the local disk
+  * the sandbox tests on and on the HDFS a 100 TB deployment lives on
+  * (the reference's bulk path writes through the same abstraction:
+  * HBaseTable.scala:296-312, temp HDFS dir + LoadIncrementalHFiles).
+  *
+  * Scheme notes:
+  *  - `file:` resolves to the RAW local filesystem (no client-side
+  *    checksum siblings — parquet files written by Spark already carry
+  *    their own integrity metadata, and the KV control files are tiny
+  *    and atomically swapped);
+  *  - `hdfs:` gets real semantics for free: `rename` is atomic in the
+  *    namenode, so [[atomicReplace]] maps onto
+  *    `FileContext.rename(OVERWRITE)` — same crash guarantee as the
+  *    local NIO `ATOMIC_MOVE`;
+  *  - `s3a:` has NO atomic rename — a rename is copy+delete. The
+  *    pointer protocol survives because it never requires readers to
+  *    see a half-rename (the tmp file is dot-prefixed and ignored, the
+  *    destination is either the old pointer bytes or the new), but two
+  *    RACING publishers could interleave copy+delete. The production
+  *    design for S3 is a conditional put (`If-Match` on the pointer
+  *    object's ETag, or S3 object versioning with
+  *    read-newest-complete), which slots in behind [[atomicReplace]]
+  *    without touching any caller — that is the point of this seam.
+  *    Compaction already tolerates a lost-race publisher: generations
+  *    are self-describing (`_graft_meta.txt`) and recovery reads the
+  *    newest complete one.
+  *
+  * Configuration comes from the active Spark session's Hadoop conf
+  * when one exists (driver side), else from the classpath defaults
+  * (`core-site.xml` — the standard executor-side story).
+  */
+object GraftFs {
+  /** One listed entry: qualified path string, bare name, length. */
+  case class FileEntry(path: String, name: String, len: Long, isDir: Boolean)
+
+  def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsFor(p: Path): FileSystem = p.getFileSystem(hadoopConf) match {
+    // raw local: java.io semantics, no .crc sibling pollution in the
+    // table directories (Spark's own parquet commits write theirs via
+    // the same raw fs)
+    case l: LocalFileSystem => l.getRawFileSystem
+    case other => other
+  }
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path); fsFor(p).exists(p)
+  }
+
+  /** All direct children of `dir` (empty if the directory is absent). */
+  def list(dir: String): Seq[FileEntry] = {
+    val p = new Path(dir); val fs = fsFor(p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(st => FileEntry(st.getPath.toString,
+      st.getPath.getName, st.getLen, st.isDirectory)).toSeq
+  }
+
+  /** Data files of `dir`: non-hidden plain files, path-sorted — the
+    * listing every scan snapshot and compaction snapshot is built
+    * from. */
+  def dataFiles(dir: String): Seq[FileEntry] =
+    list(dir).filter(e => !e.isDir &&
+      !e.name.startsWith(".") && !e.name.startsWith("_")).sortBy(_.path)
+
+  /** Small-file read (pointer, markers, descriptors): full content as
+    * UTF-8, or None when absent/unreadable — the caller's recovery
+    * logic treats both the same way. */
+  def readString(path: String): Option[String] = {
+    val p = new Path(path); val fs = fsFor(p)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Small-file write (overwrite; parents created). NOT atomic — use
+    * [[atomicReplace]] for anything a reader races. */
+  def writeString(path: String, content: String): Unit = {
+    val p = new Path(path); val fs = fsFor(p)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Atomically replace `path`'s content: write a dot-prefixed tmp
+    * sibling, then swap it in with the strongest rename the scheme
+    * offers. A reader racing the swap sees the old bytes or the new,
+    * never a truncated file.
+    *
+    *  - local: NIO `ATOMIC_MOVE` (rename(2)) — Hadoop's local
+    *    `AbstractFileSystem` implements overwrite-rename as
+    *    delete-then-rename, which has a visible gap, so the local leg
+    *    keeps the kernel-atomic move;
+    *  - everything else: `FileContext.rename(OVERWRITE)` — atomic on
+    *    HDFS; see the class doc for the S3 conditional-put design. */
+  def atomicReplace(path: String, content: String): Unit = {
+    val dst = new Path(path); val fs = fsFor(dst)
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      val dstNio = java.nio.file.Paths.get(
+        fs.makeQualified(dst).toUri.getPath)
+      val tmpNio = java.nio.file.Paths.get(
+        fs.makeQualified(tmp).toUri.getPath)
+      java.nio.file.Files.write(tmpNio,
+        content.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmpNio, dstNio,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      FileContext.getFileContext(fs.getUri, hadoopConf)
+        .rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Move `src` over `dst` (overwrite). Used only inside the legacy
+    * migration, which runs under the pointer lock — no reader races
+    * this. */
+  def move(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst); val fs = fsFor(s)
+    if (fs.exists(d)) fs.delete(d, false)
+    fs.rename(s, d)
+  }
+
+  def mkdirs(path: String): Unit = { val p = new Path(path); fsFor(p).mkdirs(p) }
+
+  def delete(path: String, recursive: Boolean): Boolean = {
+    val p = new Path(path); val fs = fsFor(p)
+    try fs.exists(p) && fs.delete(p, recursive)
+    catch { case _: java.io.IOException => false } // non-empty dir, races
+  }
+
+  def len(path: String): Long = {
+    val p = new Path(path); fsFor(p).getFileStatus(p).getLen
+  }
+}

@@ -16,17 +16,12 @@ import org.apache.spark.sql.types.LongType
   *
   * Snapshotted driver-side at scan-planning time; the file lists ride
   * into the input partitions, so a compaction racing with a running
-  * query cannot change which files a task reads.
+  * query cannot change which files a task reads. Listings go through
+  * the [[GraftFs]] storage seam — one `listStatus` per directory, so
+  * file sizes come with the listing (no per-file stat round-trips on
+  * HDFS).
   */
 case class KVLayout(path: String) {
-  private def dataFiles(dir: String): Seq[String] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().filter(f => f.isFile &&
-      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .map(_.getPath).sorted.toSeq
-  }
-
   /** (generation, numBuckets) via the shared pointer reader
     * ([[KVPointer]]) — compaction publishes a new `compacted/gen-<N>`
     * directory by atomically flipping the pointer, and the previous
@@ -38,26 +33,30 @@ case class KVLayout(path: String) {
   /** Bucket count of the compacted state, or -1 if never compacted. */
   val numBuckets: Int = current.map(_._2).getOrElse(-1)
 
-  val logFiles: Seq[String] = dataFiles(s"$path/log")
+  private val logEntries: Seq[GraftFs.FileEntry] =
+    GraftFs.dataFiles(s"$path/log")
+
+  private val compactedEntries: Seq[GraftFs.FileEntry] = current match {
+    case None => Seq.empty
+    case Some((g, _)) => GraftFs.dataFiles(s"$path/compacted/gen-$g")
+  }
+
+  val logFiles: Seq[String] = logEntries.map(_.path)
 
   /** Current generation's compacted files keyed by the bucket id in
     * their Spark bucket-file name (`part-...-_00003.c000...`). */
-  val compactedByBucket: Map[Int, Seq[String]] = current match {
-    case None => Map.empty
-    case Some((g, _)) =>
-      val pat = "_(\\d{5})\\.".r
-      dataFiles(s"$path/compacted/gen-$g")
-        .flatMap(f => pat.findFirstMatchIn(new java.io.File(f).getName)
-          .map(m => m.group(1).toInt -> f))
-        .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2) }
+  val compactedByBucket: Map[Int, Seq[String]] = {
+    val pat = "_(\\d{5})\\.".r
+    compactedEntries
+      .flatMap(e => pat.findFirstMatchIn(e.name)
+        .map(m => m.group(1).toInt -> e.path))
+      .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2) }
   }
 
   def bucketed: Boolean = numBuckets > 0
   def exists: Boolean = bucketed || logFiles.nonEmpty
 
-  def totalBytes: Long =
-    (compactedByBucket.values.flatten ++ logFiles)
-      .map(f => new java.io.File(f).length()).sum
+  def totalBytes: Long = (compactedEntries ++ logEntries).map(_.len).sum
 }
 
 /** The bucket-assignment function of the compacted layout. MUST agree

@@ -112,7 +112,7 @@ class KVTable(val spark: SparkSession, val path: String) {
   def cells: DataFrame = (compactedExists, logExists) match {
     case (true, true)
         if spark.conf.getOption("graft.kv.dsv2").forall(_.toBoolean) =>
-      graft.sources.kv.KVSource.read(spark, new java.io.File(path).getAbsolutePath)
+      graft.sources.kv.KVSource.read(spark, path)
     case (true, true) =>
       spark.table(tableName)
         .unionByName(spark.read.schema(CELL_SCHEMA_DDL).parquet(logDir))
@@ -178,21 +178,17 @@ class KVTable(val spark: SparkSession, val path: String) {
     * these files feed the rewrite, and only these are deleted after the
     * swap: a put() landing while compaction runs adds NEW part files,
     * which survive into the next log untouched (no lost-write race with
-    * [[compactAsync]]). */
-  private def listLogFiles(): Seq[java.io.File] = {
-    val d = new java.io.File(logDir)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().filter(f => f.isFile &&
-      !f.getName.startsWith(".") && !f.getName.startsWith("_")).toSeq
-  }
+    * [[compactAsync]]). Listed through the [[graft.sources.kv.GraftFs]]
+    * storage seam (local disk and HDFS alike). */
+  private def listLogFiles(): Seq[String] =
+    graft.sources.kv.GraftFs.dataFiles(logDir).map(_.path)
 
   /** Cell view pinned to an explicit log-file snapshot (compaction's
     * read side; `cells` itself re-lists the directory on every call). */
-  private def cellsFrom(logFiles: Seq[java.io.File]): DataFrame = {
+  private def cellsFrom(logFiles: Seq[String]): DataFrame = {
     val logDf =
       if (logFiles.isEmpty) emptyCells
-      else spark.read.schema(CELL_SCHEMA_DDL)
-        .parquet(logFiles.map(_.getPath): _*)
+      else spark.read.schema(CELL_SCHEMA_DDL).parquet(logFiles: _*)
     if (compactedExists) spark.table(tableName).unionByName(logDf) else logDf
   }
 
@@ -225,7 +221,8 @@ class KVTable(val spark: SparkSession, val path: String) {
     *  - concurrent appends survive exactly as before: only the
     *    snapshot's log files are deleted after the swap. */
   private def writeCompacted(state: DataFrame, numBuckets: Int,
-                             snapshotLogFiles: Seq[java.io.File]): Unit = {
+                             snapshotLogFiles: Seq[String]): Unit = {
+    import graft.sources.kv.GraftFs
     val newGen = currentGen.map(_._1 + 1).getOrElse(0)
     state
       .withColumn("tomb", lit(null).cast("string"))
@@ -244,23 +241,27 @@ class KVTable(val spark: SparkSession, val path: String) {
     // never the directory: appends racing with this rewrite live as
     // other part files in the same directory and must survive.
     snapshotLogFiles.foreach { f =>
-      new java.io.File(f.getParentFile, "." + f.getName + ".crc").delete()
-      f.delete()
+      val slash = f.lastIndexOf('/')
+      GraftFs.delete(
+        f.substring(0, slash + 1) + "." + f.substring(slash + 1) + ".crc",
+        recursive = false)
+      GraftFs.delete(f, recursive = false)
     }
     // prune commit markers + the directory itself when no append raced
     // in — but ONLY the markers, never a data file written concurrently
-    val d = new java.io.File(logDir)
-    if (d.exists() && listLogFiles().isEmpty) {
-      d.listFiles().filter(f => f.isFile &&
-        (f.getName.startsWith("_") || f.getName.startsWith("."))).foreach(_.delete())
-      d.delete() // no-op if a racing put re-created content
+    if (GraftFs.exists(logDir) && listLogFiles().isEmpty) {
+      GraftFs.list(logDir).filter(e => !e.isDir &&
+        (e.name.startsWith("_") || e.name.startsWith(".")))
+        .foreach(e => GraftFs.delete(e.path, recursive = false))
+      // no-op (returns false) if a racing put re-created content
+      GraftFs.delete(logDir, recursive = false)
     }
     // retire generation N-1 (drained: it predates every scan planned
     // since the previous pointer flip)
     val retired = newGen - 2
     if (retired >= 0) {
       spark.sql(s"DROP TABLE IF EXISTS ${tableNameFor(retired)}")
-      KVTable.deleteRecursively(new java.io.File(s"$path/compacted/gen-$retired"))
+      GraftFs.delete(s"$path/compacted/gen-$retired", recursive = true)
     }
   }
 
@@ -287,30 +288,25 @@ class KVTable(val spark: SparkSession, val path: String) {
   // --- family descriptors (reference HBaseAdminUtils.scala:86-103:
   // per-family TTL / compression / bloom / maxVersions) ---------------
 
-  private def familyMeta = new java.io.File(s"$path/_families.json")
+  private def familyMeta = s"$path/_families.json"
 
   /** Declare per-family properties. maxVersions is fixed at 1 by the
     * read path (setMaxVersions(1) parity); compression/bloom are
     * recorded as intent (parquet brings its own codec + min/max
     * pruning); ttlSeconds is enforced: expired cells are masked at read
     * time and physically dropped at compaction. */
-  def setFamilies(descs: Seq[FamilyDescriptor]): Unit = {
-    familyMeta.getParentFile.mkdirs()
-    val w = new java.io.PrintWriter(familyMeta)
-    try descs.foreach(fd =>
-      w.println(s"${fd.family}\t${fd.ttlSeconds}\t${fd.compression}\t${fd.bloom}"))
-    finally w.close()
-  }
+  def setFamilies(descs: Seq[FamilyDescriptor]): Unit =
+    graft.sources.kv.GraftFs.writeString(familyMeta,
+      descs.map(fd =>
+        s"${fd.family}\t${fd.ttlSeconds}\t${fd.compression}\t${fd.bloom}\n")
+        .mkString)
 
   def families: Seq[FamilyDescriptor] =
-    if (!familyMeta.exists()) Seq.empty
-    else {
-      val src = scala.io.Source.fromFile(familyMeta)
-      try src.getLines().filter(_.nonEmpty).map { l =>
+    graft.sources.kv.GraftFs.readString(familyMeta).toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty).map { l =>
         val f = l.split("\t")
         FamilyDescriptor(f(0), f(1).toLong, f(2), f(3).toBoolean)
-      }.toList finally src.close()
-    }
+      }
 
   /** TTL mask: cells of a TTL'd family older than (now - ttl) are dead.
     * Applied as a read filter (HBase masks expired cells at read time
@@ -340,12 +336,11 @@ class KVTable(val spark: SparkSession, val path: String) {
 
   /** Drop all state (log + every compacted generation + files). */
   def drop(): Unit = {
-    val cd = new java.io.File(s"$path/compacted")
-    if (cd.exists()) cd.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .foreach(d => spark.sql(s"DROP TABLE IF EXISTS " +
-        tableNameFor(d.getName.stripPrefix("gen-").toInt)))
-    KVTable.deleteRecursively(new java.io.File(path))
+    graft.sources.kv.GraftFs.list(s"$path/compacted")
+      .filter(e => e.isDir && e.name.startsWith("gen-"))
+      .foreach(e => spark.sql(s"DROP TABLE IF EXISTS " +
+        tableNameFor(e.name.stripPrefix("gen-").toInt)))
+    KVTable.deleteRecursively(path)
   }
 }
 
@@ -366,10 +361,8 @@ object KVTable {
     t
   }
 
-  private[write] def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
+  private[write] def deleteRecursively(path: String): Unit =
+    graft.sources.kv.GraftFs.delete(path, recursive = true)
 
   private[write] def conform(df: DataFrame): DataFrame =
     df.select(col("key").cast("long"), col("family").cast("string"),

@@ -24,17 +24,15 @@ object WriteQueries {
     * the next run starts clean. */
   private def setupOnce(s: SparkSession, name: String, d: String,
                         version: Int)(build: KVTable => Unit): KVTable = {
-    import java.nio.charset.StandardCharsets.UTF_8
     val path = base(name)
-    val marker = new java.io.File(s"$path/_graft_setup.txt")
+    val marker = s"$path/_graft_setup.txt"
     val tag = s"$name v$version $d"
-    val fresh = marker.exists() &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), UTF_8) == tag
+    val fresh = graft.sources.kv.GraftFs.readString(marker).contains(tag)
     if (fresh) KVTable(s, path)
     else {
       val t = KVTable(s, path, wipe = true)
       build(t)
-      java.nio.file.Files.write(marker.toPath, tag.getBytes(UTF_8))
+      graft.sources.kv.GraftFs.writeString(marker, tag)
       t
     }
   }
@@ -233,7 +231,7 @@ object WriteQueries {
     // M9 DDL (HBaseAdminUtils.scala:105-214): catalog create/insert/read.
     "m9_ddl" -> ((s, d) => {
       import s.implicits._
-      KVTable.deleteRecursively(new java.io.File(RepoPaths.target("warehouse/graft_m9")))
+      KVTable.deleteRecursively(RepoPaths.target("warehouse/graft_m9"))
       s.sql("DROP TABLE IF EXISTS graft_m9")
       s.sql("""CREATE TABLE graft_m9
               |(n_nationkey INT, n_name STRING, n_regionkey INT)
@@ -376,8 +374,7 @@ object WriteQueries {
       val stage = RepoPaths.target("graft_stream/st4")
       val out = RepoPaths.target("graft_stream/st4_out")
       val ckpt = RepoPaths.target("graft_stream/st4_ckpt")
-      Seq(out, ckpt).foreach(p =>
-        KVTable.deleteRecursively(new java.io.File(p)))
+      Seq(out, ckpt).foreach(KVTable.deleteRecursively)
       val ev = Tables.events(s, d)
         .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
         .select($"event_id", $"tsc", $"user_id", $"value")
