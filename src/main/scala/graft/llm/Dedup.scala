@@ -66,13 +66,9 @@ object Dedup {
 
   /** Single-file sources arrive as one input partition (one row group);
     * hashing/shingling is CPU-bound per row, so fan the rows out across
-    * the executors before the heavy projection. Conditional: an input
-    * that already has enough partitions (every real-scale corpus) passes
-    * through untouched — no round-robin shuffle, no parallelism shrink. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+    * the executors before the heavy projection. Conditional and
+    * plan-cheap — see [[Fanout]]. */
+  private def spread(df: DataFrame): DataFrame = Fanout.spread(df)
 
   /** Materialization barrier: computes `result` once (so the cached
     * intermediates actually pay off), then frees them — callers get a

@@ -42,13 +42,9 @@ object Similarity {
   private def prepared(emb: DataFrame, idAlias: String): DataFrame = {
     graft.functions.GraftExpressions.register(emb.sparkSession)
     // single-file sources arrive as one partition; fan out so the
-    // pairwise stage parallelizes. Conditional: an input that already
-    // has enough partitions (every real-scale corpus) passes through —
-    // no round-robin shuffle, no parallelism shrink.
-    val target = emb.sparkSession.sparkContext.defaultParallelism
-    val fanned = if (emb.rdd.getNumPartitions < target)
-      emb.repartition(target) else emb
-    fanned
+    // pairwise stage parallelizes. Conditional and plan-cheap — see
+    // [[Fanout]].
+    Fanout.spread(emb)
       .select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("e"))
       .withColumn("nrm", expr("graft_vec_norm(e)"))
   }

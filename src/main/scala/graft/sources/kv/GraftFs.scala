@@ -78,8 +78,11 @@ object GraftFs {
       !e.name.startsWith(".") && !e.name.startsWith("_")).sortBy(_.path)
 
   /** Small-file read (pointer, markers, descriptors): full content as
-    * UTF-8, or None when absent/unreadable — the caller's recovery
-    * logic treats both the same way. */
+    * UTF-8, or None when the file does not exist. Absence is the ONLY
+    * condition mapped to None — a transient read error (flaky HDFS
+    * datanode, S3 throttle) propagates instead of masquerading as
+    * "pointer absent", which would send pointer readers into the
+    * recovery/republish path for no reason. */
   def readString(path: String): Option[String] = {
     val p = new Path(path); val fs = fsFor(p)
     try {
@@ -94,7 +97,10 @@ object GraftFs {
           Some(new String(out.toByteArray, StandardCharsets.UTF_8))
         } finally in.close()
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // exists→open race (e.g. a concurrent legacy-pointer cleanup)
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   /** Small-file write (overwrite; parents created). NOT atomic — use
@@ -145,7 +151,11 @@ object GraftFs {
   def move(src: String, dst: String): Unit = {
     val s = new Path(src); val d = new Path(dst); val fs = fsFor(s)
     if (fs.exists(d)) fs.delete(d, false)
-    fs.rename(s, d)
+    // FileSystem.rename reports failure as `false`, not an exception —
+    // a silent false here would let migrateLegacy publish a pointer
+    // over an incomplete generation directory
+    if (!fs.rename(s, d))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
 
   def mkdirs(path: String): Unit = { val p = new Path(path); fsFor(p).mkdirs(p) }

@@ -155,14 +155,18 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
         case _ => (0 until layout.numBuckets).toSet
       }
       (0 until layout.numBuckets).filter(allowed)
-        .map(b => KVBucketPartition(b, layout.numBuckets,
-          layout.compactedByBucket.getOrElse(b, Seq.empty).toArray,
-          layout.logFiles.toArray): InputPartition)
+        .map { b =>
+          val comp = layout.compactedByBucket.getOrElse(b, Seq.empty)
+          KVBucketPartition(b, layout.numBuckets, comp.toArray,
+            comp.map(layout.lenByPath).toArray,
+            layout.logFiles.toArray): InputPartition
+        }
         .toArray
     } else {
       // log-only: one partition per file — appends are memstore-sized
       layout.logFiles
-        .map(f => KVBucketPartition(-1, -1, Array.empty, Array(f)): InputPartition)
+        .map(f => KVBucketPartition(-1, -1, Array.empty, Array.empty,
+          Array(f)): InputPartition)
         .toArray
     }
   }
@@ -184,6 +188,7 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
   * row the task emits — the contract KeyGroupedPartitioning needs. */
 case class KVBucketPartition(bucket: Int, numBuckets: Int,
                              compactedFiles: Array[String],
+                             compactedLens: Array[Long],
                              logFiles: Array[String])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
@@ -341,12 +346,17 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
   private var logRows: KVPartitionReader =
     if (p.logFiles.isEmpty) null
     else new KVPartitionReader(
-      KVBucketPartition(p.bucket, p.numBuckets, Array.empty, p.logFiles),
+      KVBucketPartition(p.bucket, p.numBuckets, Array.empty, Array.empty,
+        p.logFiles),
       required, filters)
 
   private def openNextCompacted(): Boolean = {
     if (compIdx >= p.compactedFiles.length) return false
     val f = p.compactedFiles(compIdx)
+    // split length from the planning-time listing: these are qualified
+    // URIs (file:/..., hdfs://...) that java.io.File would stat as 0,
+    // and a zero-length split selects no row groups
+    val fLen = p.compactedLens(compIdx)
     compIdx += 1
     val conf = new Configuration(false)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
@@ -367,7 +377,7 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
       org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, _))
     // the mapred variant: Spark's reader base casts the split to it
     val split = new org.apache.hadoop.mapred.FileSplit(
-      new HPath(f), 0, new java.io.File(f).length(), Array.empty[String])
+      new HPath(f), 0, fLen, Array.empty[String])
     val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID(
         "graft", 0, org.apache.hadoop.mapreduce.TaskType.MAP, 0, 0))

@@ -53,6 +53,15 @@ case class KVLayout(path: String) {
       .groupBy(_._1).map { case (b, fs) => b -> fs.map(_._2) }
   }
 
+  /** File length by qualified path, straight from the planning-time
+    * listing — the lengths ride into the input partitions so executors
+    * never stat files (and `java.io.File` cannot stat the qualified
+    * `file:/...` URI strings these listings return at all — it reports
+    * length 0, which as a parquet split length selects zero row
+    * groups). */
+  val lenByPath: Map[String, Long] =
+    (compactedEntries ++ logEntries).map(e => e.path -> e.len).toMap
+
   def bucketed: Boolean = numBuckets > 0
   def exists: Boolean = bucketed || logFiles.nonEmpty
 
