@@ -25,7 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** Events with `ts` normalized to the engine's timestamp convention:
+    * epoch-NANOS Long (the reference's cell timestamps are epoch longs,
+    * HBaseRDD cell ts). The driver has shipped this column as both
+    * TIMESTAMP(NANOS) — which `nanosAsLong` already surfaces as Long —
+    * and TIMESTAMP(MICROS) (naive), which Spark reads as TIMESTAMP_NTZ;
+    * the NTZ leg converts via the UTC session clock so it agrees with
+    * DuckDB's `epoch_ns` on the same naive values. Every consumer
+    * (`ts DIV 1000000000` seconds math, streaming stage dirs, KV cell
+    * timestamps) sees one stable Long type either way. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

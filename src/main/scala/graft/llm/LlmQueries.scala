@@ -184,6 +184,20 @@ object LlmQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // IVF ANN over k-means-REFINED centroids: the stride seed set goes
+    // through two Lloyd rounds (broadcast-assign + per-dim mean —
+    // Similarity.kmeansCentroids) before indexing/probing. Same probe
+    // shape as llm_ann_ivf; the oracle replays both rounds in SQL, so
+    // the refined path gets its own end-to-end correctness row.
+    "llm_ann_ivf_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, stride = 40, iters = 2)
+      Similarity.ivfProbe(cents, Similarity.ivfIndex(emb, cents),
+          emb.filter($"vec_id" % 25 === 0), k = 3, nprobe = 2)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Language-ID by stopword scoring (alphabetical-first argmax).
     "llm_lang_id" -> ((s, d) => {
       import s.implicits._
@@ -636,6 +650,60 @@ object LlmQueries {
         |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
         |                    c.cent_id) AS r
         |  FROM e v CROSS JOIN c WHERE v.vec_id % 25 = 0) WHERE r <= 2),
+        |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS nb_id,
+        |                  round(list_cosine_similarity(qe.e, be.e), 6) AS cos
+        |           FROM aq q JOIN ab b USING (cent_id)
+        |           JOIN e qe ON qe.vec_id = q.vec_id
+        |           JOIN e be ON be.vec_id = b.vec_id
+        |           WHERE b.vec_id <> q.vec_id)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // two Lloyd rounds replayed in SQL: assign (round-6dp cosine,
+    // cent_id tie-break) → per-dimension mean → empty clusters keep
+    // their previous centroid; then the llm_ann_ivf probe shape
+    "llm_ann_ivf_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c0 AS (SELECT vec_id AS cent_id, e AS ec FROM e WHERE vec_id % 40 = 0),
+        |a1 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c0 c) WHERE r <= 1),
+        |m1 AS (SELECT a1.cent_id, j, avg(v.e[j+1]) AS m
+        |       FROM a1 JOIN e v USING (vec_id), range(64) rj(j)
+        |       GROUP BY a1.cent_id, j),
+        |c1 AS (SELECT c0.cent_id, coalesce(n.ec, c0.ec) AS ec
+        |       FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
+        |                          FROM m1 GROUP BY cent_id) n USING (cent_id)),
+        |a2 AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c1 c) WHERE r <= 1),
+        |m2 AS (SELECT a2.cent_id, j, avg(v.e[j+1]) AS m
+        |       FROM a2 JOIN e v USING (vec_id), range(64) rj(j)
+        |       GROUP BY a2.cent_id, j),
+        |c2 AS (SELECT c1.cent_id, coalesce(n.ec, c1.ec) AS ec
+        |       FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
+        |                          FROM m2 GROUP BY cent_id) n USING (cent_id)),
+        |ab AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c2 c) WHERE r <= 1),
+        |aq AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c2 c WHERE v.vec_id % 25 = 0) WHERE r <= 2),
         |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS nb_id,
         |                  round(list_cosine_similarity(qe.e, be.e), 6) AS cos
         |           FROM aq q JOIN ab b USING (cent_id)

@@ -54,12 +54,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *   The cutoff joins the pushed-filter set, so it prunes parquet row
   *   groups like any other ts predicate. */
 class KVBatchTable(path: String, tsMax: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft-kv `$path`" + tsMax.fold("")(v => s" @v<=$v")
   override def schema(): StructType = KVBatchTable.CELL_SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** SQL INSERT appends to the KV log — see [[KVLogWrite]]. A
+    * time-travel handle stays read-only: writing "as of v" has no
+    * defined semantics here. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(tsMax.isEmpty, "cannot write to a VERSION AS OF read handle")
+    new KVWriteBuilder(path, info)
+  }
 
   override def partitioning(): Array[Transform] = {
     val layout = KVLayout(path)

@@ -20,10 +20,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * min) — exact re-splitting of an open tail would require retaining
   * its events, which is precisely the unbounded state this avoids.
   *
-  * With `idleCloseMs > 0` a processing-time timeout force-closes and
-  * emits the open session of any user idle that long, so the state
-  * store's key population is also bounded by activity, not by the
-  * all-time user count.
+  * With `idleCloseMs > 0` a timeout force-closes and emits the open
+  * session of any user idle that long, so the state store's key
+  * population is also bounded by activity, not by the all-time user
+  * count. Two clocks are offered:
+  *  - `eventTimeIdle = false`: processing-time timeout — wall-clock
+  *    idle eviction, right for a live 24/7 pipeline but
+  *    REPLAY-DEPENDENT (a re-run at different speed closes different
+  *    sessions);
+  *  - `eventTimeIdle = true`: event-time timeout keyed to the
+  *    watermark — a user's tail closes when the WATERMARK passes
+  *    `last_sec + idleCloseMs`, which depends only on the data, so a
+  *    replayed stream closes exactly the same sessions (spec-pinned).
   */
 object Sessionize {
 
@@ -34,7 +42,8 @@ object Sessionize {
   case class OpenTail(session_start: Long, n_events: Long, sum_cents: Long,
                       last_sec: Long)
 
-  def sessionFn(gapSec: Long, idleCloseMs: Long = 0L)(
+  def sessionFn(gapSec: Long, idleCloseMs: Long = 0L,
+                eventTimeIdle: Boolean = false)(
       uid: Long, rows: Iterator[Ev], state: GroupState[OpenTail]): Iterator[Session] = {
     if (state.hasTimedOut) {
       // idle user: force-close and evict — the state store must not
@@ -60,7 +69,16 @@ object Sessionize {
       }
       if (open != null) {
         state.update(open)
-        if (idleCloseMs > 0L) state.setTimeoutDuration(idleCloseMs)
+        if (idleCloseMs > 0L) {
+          if (eventTimeIdle)
+            // the engine rejects a timeout at-or-before the current
+            // watermark; a tail already idle past the horizon closes in
+            // the very next (no-data) batch instead
+            state.setTimeoutTimestamp(math.max(
+              open.last_sec * 1000L + idleCloseMs,
+              state.getCurrentWatermarkMs + 1L))
+          else state.setTimeoutDuration(idleCloseMs)
+        }
       }
       out.result().iterator
     }
@@ -80,20 +98,28 @@ object Sessionize {
     * the log's latest-wins resolve is the exactly-once-by-idempotence
     * path the KV store already provides. */
   def run(spark: SparkSession, stageDir: String, schema: org.apache.spark.sql.types.StructType,
-          sinkPath: String, gapSec: Long, idleCloseMs: Long = 0L): DataFrame = {
+          sinkPath: String, gapSec: Long, idleCloseMs: Long = 0L,
+          eventTimeIdle: Boolean = false): DataFrame = {
     import spark.implicits._
-    val src = spark.readStream.schema(schema).parquet(stageDir)
+    val base = spark.readStream.schema(schema).parquet(stageDir)
       .select($"user_id",
         expr("ts DIV 1000000000").as("sec"),
         round($"value" * 100).cast("long").as("cents"),
         $"event_id")
-      .as[Ev]
+    // event-time idle needs a watermark column; 0s delay = the
+    // watermark is the max event time seen, so idle-close timing is a
+    // pure function of the data
+    val src = (if (eventTimeIdle && idleCloseMs > 0L)
+        base.withColumn("ets", timestamp_seconds($"sec"))
+          .withWatermark("ets", "0 seconds")
+      else base).as[Ev]
     val timeoutConf =
-      if (idleCloseMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
-      else GroupStateTimeout.NoTimeout
+      if (idleCloseMs <= 0L) GroupStateTimeout.NoTimeout
+      else if (eventTimeIdle) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     val sessions = src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        sessionFn(gapSec, idleCloseMs))
+        sessionFn(gapSec, idleCloseMs, eventTimeIdle))
     val sink = graft.write.KVTable(spark, sinkPath, wipe = true)
     val q = sessions.toDF().writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -111,6 +111,75 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"LSH precision vs brute top-50 too low: $hits/${lsh.length}")
   }
 
+  test("ANN recall is a measured contract: floors at registered settings, " +
+    "monotone in the tuning knobs") {
+    // recall@1 = |approx NN ∩ true NN| / |queries| over the registered
+    // query subset (vec_id%25==0). This testdata is a HARD instance —
+    // embeddings are near-random (max pairwise cos < 0.5), so the true
+    // NN is barely above noise; on a real corpus where near-dups have
+    // cos ≳ 0.9 bucketed recall approaches 1 (the minhash test above
+    // shows exactly that at J≈0.99). The contract pinned here:
+    // (a) a regression floor at the registered settings, and (b) the
+    // tuning claim — recall rises monotonically with wider buckets
+    // (fewer LSH planes) / more probes (IVF nprobe), reaching ≥0.85 at
+    // nprobe=6 and ≥0.95 at nprobe=12 of the ~15 centroids. All the
+    // math is 6-dp-rounded and seeded, so these measurements are
+    // deterministic, not flaky.
+    val emb = Tables.embeddings(spark, sf).cache()
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    def recallAt(k: Int, approx: org.apache.spark.sql.DataFrame): Double = {
+      val brute = Similarity.bruteForceTopK(emb, queries, k)
+        .select($"query_id", $"nb_id").as[(Long, Long)].collect().toSet
+      val got = approx.select($"query_id", $"nb_id")
+        .as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val lshR1 = recallAt(1, Similarity.lshTopK(emb, queries, 4, 1))
+    val lshR1w = recallAt(1, Similarity.lshTopK(emb, queries, 2, 1))
+    val lshR1w1 = recallAt(1, Similarity.lshTopK(emb, queries, 1, 1))
+    val ivfR1 = recallAt(1, Similarity.ivfTopK(emb, queries, 40, 1, 2))
+    val ivfR1w = recallAt(1, Similarity.ivfTopK(emb, queries, 40, 1, 6))
+    val ivfR1w2 = recallAt(1, Similarity.ivfTopK(emb, queries, 40, 1, 12))
+    info(f"LSH recall@1: planes=4 $lshR1%.3f, planes=2 $lshR1w%.3f, " +
+      f"planes=1 $lshR1w1%.3f")
+    info(f"IVF recall@1: nprobe=2 $ivfR1%.3f, nprobe=6 $ivfR1w%.3f, " +
+      f"nprobe=12 $ivfR1w2%.3f")
+    assert(lshR1 >= 0.25, f"LSH recall@1 floor broken: $lshR1%.3f")
+    assert(lshR1w >= lshR1 && lshR1w1 >= lshR1w,
+      "LSH recall must not drop as buckets widen")
+    assert(ivfR1 >= 0.5, f"IVF recall@1 floor broken: $ivfR1%.3f")
+    assert(ivfR1w >= ivfR1 && ivfR1w2 >= ivfR1w,
+      "IVF recall must not drop with more probes")
+    assert(ivfR1w >= 0.85, f"IVF recall@1 at nprobe=6: $ivfR1w%.3f < 0.85")
+    assert(ivfR1w2 >= 0.95, f"IVF recall@1 at nprobe=12: $ivfR1w2%.3f < 0.95")
+  }
+
+  test("banded cosine-LSH pair recall vs the exact verifier") {
+    // pair recall = |LSH pairs| / |exact pairs| at the registered
+    // llm_dedup_embcos banding (planes=4, bands=14). The subset test
+    // below pins precision = 1 (exact verification); this one pins the
+    // other direction — banding must surface nearly every true pair
+    val emb = Tables.embeddings(spark, sf).cache()
+    val exact = Similarity.cosinePairs(emb, 0.4)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshCosinePairs(emb, 0.4, planes = 4, bands = 14)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    val lshWide = Similarity.lshCosinePairs(emb, 0.4, planes = 3, bands = 40)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    val recallWide = lshWide.intersect(exact).size.toDouble / exact.size
+    info(f"cosine-LSH pair recall = $recall%.3f (${lsh.size}/${exact.size}), " +
+      f"wide = $recallWide%.3f (${lshWide.size}/${exact.size})")
+    // near-random pairs at cos barely over 0.4 are the hardest case for
+    // banding (on real near-dups at cos≳0.9 every band collides); the
+    // contract: a floor at the registered banding, and recall must rise
+    // with more/wider bands. Deterministic math — not flaky.
+    assert(recall >= 0.6, f"pair recall floor broken: $recall%.3f")
+    assert(recallWide >= recall,
+      "recall must not drop with more, wider bands")
+  }
+
   test("IVF ANN: bucket-local results never beat brute force, structure holds") {
     val emb = Tables.embeddings(spark, sf).cache()
     val queries = emb.filter($"vec_id" % 100 === 0)

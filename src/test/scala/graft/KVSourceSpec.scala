@@ -175,6 +175,30 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0) === df.count())
   }
 
+  test("SQL INSERT INTO a catalog table appends to the log and resolves") {
+    val t = mkTable("ins", "st", 1L)
+    spark.conf.set("spark.sql.catalog.grafti",
+      classOf[graft.sources.kv.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grafti.root",
+      new java.io.File(targetPath("graft_kv_test")).getAbsolutePath)
+    val before = t.resolved().count()
+    // an overwrite of key 1 at a later ts, and a brand-new key —
+    // through SQL, not the library API
+    spark.sql("""INSERT INTO grafti.dsv2_ins VALUES
+      (1, 'f', 'st', 'SQL', 99, CAST(NULL AS STRING)),
+      (900000001, 'f', 'st', 'NEW', 99, CAST(NULL AS STRING))""")
+    val after = t.resolved()
+    assert(after.count() === before + 1, "one new key must appear")
+    val got = after.filter($"key".isin(1L, 900000001L))
+      .select($"key", $"value").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "SQL", 900000001L -> "NEW"),
+      "latest-wins must see the SQL-inserted cells")
+    // round-trip through the same catalog identifier too
+    assert(spark.sql(
+      "SELECT count(*) FROM grafti.dsv2_ins WHERE value = 'SQL'")
+      .head().getLong(0) >= 1L)
+  }
+
   test("merged read is columnar; VERSION AS OF stays row-wise exact") {
     val t = mkTable("vec", "st", 1L)
     // the merged read should plan columnar (vectorized compacted decode

@@ -70,6 +70,15 @@ def main(sf_dir: str, out_dir: str) -> None:
             n_pass += 1
         else:
             print(f"pass {name}: rows={len(g)}"); n_pass += 1
+    # an oracle with no output dir means the Spark side THREW during the
+    # dump ([verify] line in the run log) — that must fail loudly, not
+    # vanish from the tally (nine events-table queries hid this way for
+    # a whole round when the testdata's ts type changed)
+    dumped = {os.path.basename(d.rstrip("/"))
+              for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracles) - dumped):
+        print(f"FAIL {name}: no output dump (query threw during Verify)")
+        n_fail += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noorc} no-oracle ==")
     if n_fail: sys.exit(1)
 
