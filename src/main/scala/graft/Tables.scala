@@ -33,7 +33,15 @@ object Tables {
     * the NTZ leg converts via the UTC session clock so it agrees with
     * DuckDB's `epoch_ns` on the same naive values. Every consumer
     * (`ts DIV 1000000000` seconds math, streaming stage dirs, KV cell
-    * timestamps) sees one stable Long type either way. */
+    * timestamps) sees one stable Long type either way.
+    *
+    * Scale note: this conversion happens ONCE, at the ingest boundary —
+    * everything the engine itself writes (KV cell logs, staged
+    * streaming dirs, compacted tables) stores the Long, so ts range
+    * predicates on engine-written data push down to parquet row-group
+    * stats untouched. Only a foreign NTZ-typed file pays the
+    * conversion, and a 100 TB deployment would normalize it at load
+    * exactly like this. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = apply(s, d, "events")
     df.schema("ts").dataType match {

@@ -75,10 +75,16 @@ object Filters {
     // P6: time-range filter (HBaseRDDFunctions.scala:39-46 setTimeRange).
     "p6_time_range" -> ((s, d) => {
       import s.implicits._
-      // ts is epoch-nanos Long (see GraftSession); integer DIV to seconds.
+      // Range comparison directly on the nanos column, NOT on
+      // `ts DIV 1e9`: arithmetic over the column blocks filter
+      // translation, a plain range lands in PushedFilters and prunes
+      // parquet row groups by min/max — the setTimeRange analogue. On
+      // engine-written events (KV logs, staged stream dirs — always
+      // Long ts) this reaches the scan; the driver's NTZ-typed file
+      // pays one boundary conversion (Tables.events) instead.
       Tables.events(s, d)
-        .filter(expr("ts DIV 1000000000") >= 1704070800L &&
-                expr("ts DIV 1000000000") <  1704157200L)
+        .filter($"ts" >= 1704070800L * 1000000000L &&
+                $"ts" <  1704157200L * 1000000000L)
         .groupBy($"event_type").agg(count(lit(1)).as("n"))
         .orderBy($"event_type")
     }),
