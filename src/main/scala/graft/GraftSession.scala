@@ -20,6 +20,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft functions + optimizer rules (nanos-range pushdown rewrite)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.warehouse.dir", graft.RepoPaths.target("warehouse"))
       // graft KV catalog + V2 bucketing: lets the DSv2 KV scan report
       // KeyGroupedPartitioning(bucket(n,key)) that Catalyst can use for

@@ -8,14 +8,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * function available in any session built with
   * `.withExtensions(new GraftExtensions)` (or
   * `spark.sql.extensions=graft.functions.GraftExtensions`) — no
-  * imperative register() call needed. This is the injection point where
-  * a custom Rule/Strategy would also go; none is needed for this
-  * engine's surface (SURVEY.md §7.3 — built-ins + expressions suffice).
+  * imperative register() call needed — and injects the engine's
+  * optimizer rules (currently [[graft.plans.NanosRangeRewrite]], which
+  * turns epoch-nanos time-range predicates over TIMESTAMP_NTZ sources
+  * back into pushdown-able scan ranges).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExpressions.builders.foreach { case (name, b) =>
       e.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.GraftExpressions", name), b))
     }
+    e.injectOptimizerRule(_ => graft.plans.NanosRangeRewrite)
+  }
 }
