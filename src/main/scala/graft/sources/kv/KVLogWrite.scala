@@ -81,6 +81,10 @@ class KVLogDataWriter(inflight: String, partitionId: Int, taskId: Long)
   private val writer = ExampleParquetWriter
     .builder(new HPath(s"$inflight/$name"))
     .withConf(conf)
+    // same codec Spark's parquet sink defaults to — log files read
+    // identically whichever path appended them
+    .withCompressionCodec(
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
     .build()
   private val groups = new SimpleGroupFactory(CELL_TYPE)
 
