@@ -98,6 +98,93 @@ object Analytics {
         .orderBy($"l_linestatus")
     }),
 
+    // TPC-H Q4-flavored order-priority check: the EXISTS decorrelates
+    // to a LEFT SEMI join — orders stream past a shuffled semi probe,
+    // no lineitem columns survive the join, and the date window is
+    // pushed to both scans. (Adapted: no l_commitdate/l_receiptdate in
+    // this schema, so "late" = shipped >60 days after the order date.)
+    "tpch_q4" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+          && $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      val late = Tables.lineitem(s, d)
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .filter(datediff($"l_shipdate", $"o_orderdate") > 60)
+        .select($"l_orderkey")
+      o.join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // TPC-H Q10-flavored returned-item report: three-table join with
+    // the two dimension sides broadcast, revenue agg per customer,
+    // then TakeOrderedAndProject for the top 20 — a global sort never
+    // materializes.
+    "tpch_q10" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R")
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+            && $"o_orderdate" < lit("1996-07-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q13-flavored customer distribution: LEFT OUTER join so
+    // zero-order customers survive, then a two-level aggregation
+    // (orders per customer → customers per order-count).
+    "tpch_q13" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // TPC-H Q14-flavored promo revenue share: fact-dim join (part
+    // broadcast), conditional aggregation folding to one row.
+    "tpch_q14" -> ((s, d) => {
+      import s.implicits._
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp")
+          && $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .agg(round(lit(100.0) *
+          sum(when($"p_type".startsWith("PROMO"), rev).otherwise(0.0)) /
+          sum(rev), 4).as("promo_revenue"))
+    }),
+
+    // TPC-H Q18-flavored large-volume customers: the HAVING subquery
+    // becomes an aggregated semi side joined back to the fact — the
+    // qty-per-order agg runs once, and only qualifying orders reach the
+    // customer join (both remaining sides AQE-sized).
+    "tpch_q18" -> ((s, d) => {
+      import s.implicits._
+      val big = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+        .filter($"total_qty" > 140)
+      big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice",
+          $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(100)
+    }),
+
     // ROLLUP (absent in the reference; native here).
     "an_rollup" -> ((s, d) => {
       import s.implicits._
@@ -257,6 +344,50 @@ object Analytics {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND datediff('day', o.o_orderdate, l.l_shipdate) > 60)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q14" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type LIKE 'PROMO%'
+        |           THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 140)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "an_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,

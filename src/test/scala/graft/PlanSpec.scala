@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(broadcasts >= 3, s"expected >=3 broadcast joins, plan:\n${plan.take(1500)}")
   }
 
+  test("tpch_q4 plans the EXISTS as a semi join; q10/q18 top-k avoid global sorts") {
+    val q4 = SparkEntry.queries("tpch_q4")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS not a semi join:\n${q4.take(1500)}")
+    for (q <- Seq("tpch_q10", "tpch_q18")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q limit should plan TakeOrdered, not a global sort:\n${plan.take(1500)}")
+    }
+  }
+
   test("w6 topk plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("w6_topk")(spark, sf)
       .queryExecution.sparkPlan.toString
