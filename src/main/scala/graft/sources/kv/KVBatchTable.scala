@@ -186,9 +186,17 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
     // evaluated driver-side; `graft.kv.vectorized=false` restores the
     // row-wise reader everywhere (debug / differential-testing escape
     // hatch). Time-travel scans are row-wise regardless (see ctor doc).
-    val vectorized = org.apache.spark.sql.SparkSession.getActiveSession
-      .forall(_.conf.get("graft.kv.vectorized", "true").toBoolean)
-    new KVReaderFactory(required, pushed, vectorized && tsMax.isEmpty)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val vectorized =
+      session.forall(_.conf.get("graft.kv.vectorized", "true").toBoolean)
+    // snapshot the DRIVER's Hadoop conf for the executor-side parquet
+    // opens — a bare `new Configuration(false)` would strip the
+    // cluster's filesystem settings (HDFS auth, buffer sizes, S3
+    // credentials providers) from every read task
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      session.map(_.sessionState.newHadoopConf())
+        .getOrElse(GraftFs.hadoopConf))
+    new KVReaderFactory(required, pushed, vectorized && tsMax.isEmpty, hconf)
   }
 }
 
@@ -216,11 +224,12 @@ case class KVBucketPartition(bucket: Int, numBuckets: Int,
   * log rows (a partition-integrity property, not a filter) must be —
   * and is — enforced inside the reader. */
 class KVReaderFactory(required: StructType, filters: Array[Filter],
-                      vectorized: Boolean = false)
+                      vectorized: Boolean,
+                      hconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KVBucketPartition]
-    new KVPartitionReader(p, required, filters)
+    new KVPartitionReader(p, required, filters, hconf)
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -229,7 +238,7 @@ class KVReaderFactory(required: StructType, filters: Array[Filter],
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[KVBucketPartition]
-    new KVColumnarPartitionReader(p, required, filters)
+    new KVColumnarPartitionReader(p, required, filters, hconf)
   }
 }
 
@@ -238,7 +247,8 @@ class KVReaderFactory(required: StructType, filters: Array[Filter],
   * are applied per row; log rows are additionally gated on their bucket
   * hash so the partition's output is exactly bucket-local. */
 class KVPartitionReader(p: KVBucketPartition, required: StructType,
-                        filters: Array[Filter])
+                        filters: Array[Filter],
+                        hconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   // columns to decode = required ∪ filter references ∪ key (for the
@@ -277,7 +287,8 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
     val (f, isLog) = files(fileIdx)
     fileIdx += 1
     inLog = isLog
-    val conf = new Configuration(false)
+    // copy: PARQUET_READ_SCHEMA is per-file state, the snapshot is shared
+    val conf = new Configuration(hconf.value)
     val hpath = new HPath(f)
     val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hpath, conf))
@@ -339,7 +350,8 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
   * then log) is irrelevant: every consumer of this scan resolves or
   * aggregates per key. */
 class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
-                                filters: Array[Filter])
+                                filters: Array[Filter],
+                                hconf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
@@ -359,7 +371,7 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
     else new KVPartitionReader(
       KVBucketPartition(p.bucket, p.numBuckets, Array.empty, Array.empty,
         p.logFiles),
-      required, filters)
+      required, filters, hconf)
 
   private def openNextCompacted(): Boolean = {
     if (compIdx >= p.compactedFiles.length) return false
@@ -369,7 +381,7 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
     // and a zero-length split selects no row groups
     val fLen = p.compactedLens(compIdx)
     compIdx += 1
-    val conf = new Configuration(false)
+    val conf = new Configuration(hconf.value)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
