@@ -185,6 +185,44 @@ object Analytics {
         .limit(100)
     }),
 
+    // TPC-H Q19-flavored disjunctive revenue: OR-of-conjuncts over the
+    // fact-dim join — the whole disjunction is scan-translatable, so
+    // row groups matching neither branch never decode; part broadcasts.
+    "tpch_q19" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+        .filter(($"p_brand" === "Brand#1" && $"l_quantity".between(1, 15))
+          || ($"p_brand" === "Brand#3" && $"l_quantity".between(20, 35)))
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q7-flavored bilateral shipping volume: nation joins BOTH
+    // sides of the fact (supplier's and customer's), so the same
+    // broadcast dim enters twice under different aliases and the
+    // nation-pair filter prunes the cross of the two.
+    "tpch_q7" -> ((s, d) => {
+      import s.implicits._
+      val n1 = Tables.nation(s, d)
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+        .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+        .filter(($"supp_nation" === "NATION_20" && $"cust_nation" === "NATION_11")
+          || ($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
     // ROLLUP (absent in the reference; native here).
     "an_rollup" -> ((s, d) => {
       import s.implicits._
@@ -388,6 +426,29 @@ object Analytics {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 35)"""
+        .stripMargin,
+    "tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |         l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |     OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "an_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,
