@@ -223,6 +223,141 @@ object Analytics {
         .orderBy($"supp_nation", $"cust_nation", $"l_year")
     }),
 
+    // TPC-H Q8-flavored national market share: the widest star in the
+    // suite — fact joins six dims (part filter first, so the fact
+    // shrinks before the wide joins), nation enters twice (customer's
+    // and supplier's side), and the share is a conditional-sum ratio
+    // per order year. All dims broadcast; the only shuffle is the
+    // 2-row year agg.
+    "tpch_q8" -> ((s, d) => {
+      import s.implicits._
+      val promoParts = Tables.part(s, d).filter($"p_type" === "PROMO")
+        .select($"p_partkey")
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .select($"c_custkey")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"sn_key")
+        .select($"s_suppkey", $"supp_nation")
+      val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      Tables.lineitem(s, d)
+        .join(broadcast(promoParts), $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+            && $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(round(
+          sum(when($"supp_nation" === "NATION_12", vol).otherwise(0.0)) /
+            sum(vol), 6).as("mkt_share"))
+        .orderBy($"o_year")
+    }),
+
+    // TPC-H Q15-flavored top supplier: the revenue CTE aggregates once
+    // and is reused for both the max (a 1-row broadcast) and the
+    // equality probe — no recomputation, no correlated subquery.
+    "tpch_q15" -> ((s, d) => {
+      import s.implicits._
+      val revenue = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("total_revenue"))
+      val top = revenue.agg(max($"total_revenue").as("max_rev"))
+      revenue
+        .join(broadcast(top), $"total_revenue" === $"max_rev")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q17-flavored small-quantity-order revenue: the correlated
+    // scalar subquery (0.2 × avg qty per part) decorrelates to a
+    // per-part aggregate joined back to the fact. Only lineitems of the
+    // ~1/150 filtered parts reach the threshold join (semi-pruned by
+    // the broadcast), so the avg is computed over a shrunken fact, not
+    // the full table. (Adapted: p_size < 10 stands in for the missing
+    // p_container.)
+    "tpch_q17" -> ((s, d) => {
+      import s.implicits._
+      val parts = Tables.part(s, d)
+        .filter($"p_brand" === "Brand#3" && $"p_size" < 10)
+        .select($"p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      val avgQty = li.groupBy($"p_partkey".as("a_partkey"))
+        .agg((lit(0.2) * avg($"l_quantity")).as("qty_limit"))
+      li.join(broadcast(avgQty), $"l_partkey" === $"a_partkey")
+        .filter($"l_quantity" < $"qty_limit")
+        .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q21-flavored waiting-supplier audit: both EXISTS and NOT
+    // EXISTS collapse into ONE per-(order, supplier) aggregation — a
+    // supplier qualifies on an order iff the order has >1 supplier and
+    // exactly one late one (itself). The late-row count (TPC-H counts
+    // join ROWS, not orders) rides through both agg levels as a carried
+    // sum, so lineitem is scanned ONCE and the two aggs chain on the
+    // same o_orderkey shuffle — no join-back, no second scan. (Adapted:
+    // "late" = shipped >60 days after the order date, standing in for
+    // the missing l_receiptdate/l_commitdate.)
+    "tpch_q21" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .withColumn("late",
+          datediff($"l_shipdate", $"o_orderdate") > 60)
+        .select($"l_orderkey", $"l_suppkey", $"late")
+      val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max($"late").as("supp_late"),
+          sum(when($"late", 1L).otherwise(0L)).as("late_rows"))
+      val lone = perSupp.groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("nsupp"),
+          sum(when($"supp_late", 1L).otherwise(0L)).as("nlate"),
+          max(when($"supp_late", $"l_suppkey")).as("late_supp"),
+          max(when($"supp_late", $"late_rows")).as("late_rows"))
+        .filter($"nsupp" > 1 && $"nlate" === 1)
+      lone.groupBy($"late_supp")
+        .agg(sum($"late_rows").as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)), $"late_supp" === $"s_suppkey")
+        .select($"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_name".asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q22-flavored dormant-customer opportunity: the scalar
+    // subquery (avg positive balance) broadcasts as a 1-row cross
+    // join; the NOT EXISTS is a LEFT ANTI join against only the
+    // recent-order keys (date filter pushed to the orders scan, so the
+    // anti side is a fraction of the table). (Adapted: "dormant" = no
+    // orders since 2000, and c_nationkey stands in for the missing
+    // phone country code.)
+    "tpch_q22" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter($"c_acctbal" > 0.0)
+        .agg(avg($"c_acctbal").as("avg_bal"))
+      val active = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      cust.join(broadcast(avgBal))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(active, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey".as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum($"c_acctbal"), 2).as("totacctbal"))
+        .orderBy($"cntrycode")
+    }),
+
     // ROLLUP (absent in the reference; native here).
     "an_rollup" -> ((s, d) => {
       import s.implicits._
@@ -449,6 +584,75 @@ object Analytics {
         |     OR (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19'))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q8" ->
+      """SELECT o_year,
+        |       round(sum(CASE WHEN supp_nation = 'NATION_12' THEN volume
+        |                      ELSE 0 END) / sum(volume), 6) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         l_extendedprice * (1.0 - l_discount) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND p_type = 'PROMO')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |           AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_size < 10
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND datediff('day', o_orderdate, l1.l_shipdate) > 60
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND datediff('day', o_orderdate, l3.l_shipdate)
+        |                        > 60)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin,
+    "tpch_q22" ->
+      """SELECT c_nationkey AS cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "an_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -226,6 +226,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"prepared() round-robin-shuffled an already-wide input:\n${planE.take(1500)}")
   }
 
+  test("tpch_q8 broadcasts every dimension side of the six-table star") {
+    val plan = SparkEntry.queries("tpch_q8")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4,
+      s"expected >=4 broadcast joins (part keys, asia custs, supp nation, "
+        + s"plus nested dims), got $broadcasts:\n${plan.take(2000)}")
+  }
+
+  test("tpch_q21 scans lineitem ONCE: the EXISTS pair folds into chained aggs") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("tpch_q21")(spark, sf).queryExecution
+    val liScans = qe.sparkPlan.collect {
+      case s: FileSourceScanExec
+        if s.output.exists(_.name.startsWith("l_")) => s
+    }
+    assert(liScans.size === 1,
+      s"q21 should fold both EXISTS into one lineitem pass, found "
+        + s"${liScans.size} lineitem scans")
+    // the two agg levels chain on the same o_orderkey hash partitioning:
+    // exactly one shuffle carries lineitem-derived rows (the orders join
+    // + both groupBys reuse it; the final broadcast join adds none)
+    val plan = qe.sparkPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, plan.take(2000))
+  }
+
+  test("tpch_q22 plans the dormancy check as an anti join with the date pushed") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("tpch_q22")(spark, sf).queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val ordScan = qe.sparkPlan.collect {
+      case s: FileSourceScanExec
+        if s.output.exists(_.name == "o_custkey") => s
+    }.head
+    assert(ordScan.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate,"),
+      s"recent-order date filter not pushed: ${ordScan.metadata("PushedFilters")}")
+  }
+
   test("no registered query plans an unpartitioned (single-task) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
