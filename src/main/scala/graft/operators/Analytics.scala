@@ -261,12 +261,17 @@ object Analytics {
 
     // TPC-H Q15-flavored top supplier: the revenue CTE aggregates once
     // and is reused for both the max (a 1-row broadcast) and the
-    // equality probe — no recomputation, no correlated subquery.
+    // equality probe — no recomputation, no correlated subquery. The
+    // explicit isnotnull(l_suppkey) matters: the supplier join infers
+    // it on the probe branch only, and a one-filter difference below
+    // the shuffle defeats ReuseExchange — with it stated on both
+    // branches the scan+partial-agg subtree is computed ONCE.
     "tpch_q15" -> ((s, d) => {
       import s.implicits._
       val revenue = Tables.lineitem(s, d)
         .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
-          && $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          && $"l_shipdate" < lit("1996-04-01").cast("timestamp")
+          && $"l_suppkey".isNotNull)
         .groupBy($"l_suppkey")
         .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
           .as("total_revenue"))

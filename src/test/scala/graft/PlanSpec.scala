@@ -235,6 +235,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         + s"plus nested dims), got $broadcasts:\n${plan.take(2000)}")
   }
 
+  test("tpch_q15 computes the revenue CTE once (exchange reused by the max branch)") {
+    val df = SparkEntry.queries("tpch_q15")(spark, sf)
+    df.collect() // reuse is decided at runtime, when AQE materializes stages
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"),
+      s"revenue agg ran twice (no ReusedExchange):\n${fin.take(3000)}")
+  }
+
   test("tpch_q21 scans lineitem ONCE: the EXISTS pair folds into chained aggs") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val qe = SparkEntry.queries("tpch_q21")(spark, sf).queryExecution
