@@ -399,6 +399,45 @@ object WriteQueries {
         .run(s, stage, Tables.events(s, d).schema,
           sinkPath = base("st3_sessions"), gapSec = 14400L)
         .orderBy($"user_id", $"session_start")
+    }),
+
+    // §2.10 (extra): stream-stream INTERVAL join — clicks matched to
+    // the same user's purchases within 30 minutes. Both sides carry
+    // watermarks, so at 100 TB/day each side's join state holds only
+    // the watermark horizon (1h) + interval (30min) of events per
+    // user, evicted as event time advances — never the full history.
+    // The staged input is a single file on purpose: one AvailableNow
+    // micro-batch means the watermark can't drop in-window matches
+    // mid-run, which keeps the result equal to the static join the
+    // oracle runs.
+    "st5_stream_join" -> ((s, d) => {
+      import s.implicits._
+      val stage = RepoPaths.target("graft_stream/st5")
+      Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(stage)
+      val schema = Tables.events(s, d).schema
+      def side(tpe: String, prefix: String) =
+        s.readStream.schema(schema).parquet(stage)
+          .filter($"event_type" === tpe)
+          .select($"user_id".as(s"${prefix}_user"),
+            $"event_id".as(s"${prefix}_id"),
+            expr("CAST(ts DIV 1000000000 AS TIMESTAMP)").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "1 hour")
+      val clicks = side("click", "c")
+      val purchases = side("purchase", "p")
+      val joined = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+          $"p_ts" >= $"c_ts" &&
+          $"p_ts" < $"c_ts" + expr("INTERVAL 30 MINUTES"))
+      val sink = "st5_stream_join_sink"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select($"c_user".as("user_id"), $"c_id".as("click_id"),
+          $"p_id".as("purchase_id"),
+          (unix_timestamp($"p_ts") - unix_timestamp($"c_ts")).as("gap_sec"))
+        .orderBy($"user_id", $"click_id", $"purchase_id")
     })
   )
 
@@ -486,6 +525,16 @@ object WriteQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+    "st5_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_ns(ts) // 1000000000 AS sec FROM events)
+        |SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |       p.event_id AS purchase_id,
+        |       CAST(p.sec - c.sec AS BIGINT) AS gap_sec
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.sec >= c.sec AND p.sec < c.sec + 1800
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
     "st3_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
         |                  CAST(round(value*100) AS BIGINT) AS cents, event_id
