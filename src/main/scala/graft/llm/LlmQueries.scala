@@ -242,6 +242,30 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Overlapping token-window chunking (window 32, stride 16) — the
+    // op behind RAG/context-window corpus preparation. Pure per-row
+    // array work (sequence → explode → slice): chunking 100 TB is
+    // embarrassingly parallel, no shuffle until the presentation sort;
+    // chunk identity is the engine-portable sharedHash of the joined
+    // tokens, so chunks dedup/join across pipelines without carrying
+    // the text.
+    "llm_chunk_windows" -> ((s, d) => {
+      import s.implicits._
+      val window = 32
+      val stride = 16
+      Tables.documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .withColumn("n", size($"w"))
+        .withColumn("start",
+          explode(sequence(lit(1), greatest($"n", lit(1)), lit(stride))))
+        .withColumn("chunk", slice($"w", $"start", lit(window)))
+        .select($"doc_id",
+          (($"start" - 1) / stride).cast("long").as("chunk_idx"),
+          size($"chunk").cast("long").as("n_tokens"),
+          sharedHash(concat_ws(" ", $"chunk")).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // Vocabulary build: corpus-wide term + document frequency, top-k —
     // the op behind frequency-filtered vocabularies and BPE seeding.
     // Scale shape: per-doc counts first (one shuffle, map-side
@@ -784,6 +808,20 @@ object LlmQueries {
         |       round(0.4*least(1.0, n/50.0) + 0.3*(1.0 - stopn*1.0/n)
         |             + 0.3*(nu*1.0/n), 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+    "llm_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, w,
+        |             unnest(generate_series(1, greatest(len(w), 1), 16))
+        |               AS start
+        |      FROM t)
+        |SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS chunk_idx,
+        |       CAST(len(w[start:least(start + 31, len(w))]) AS BIGINT)
+        |         AS n_tokens,
+        |       ('0x' || substr(md5(array_to_string(
+        |           w[start:least(start + 31, len(w))], ' ')), 1, 15))::BIGINT
+        |         AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,

@@ -94,10 +94,32 @@ object Scans {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink).orderBy($"event_type")
+    }),
+
+    // S11 (extra): z-order clustered bulk layout — the multi-column
+    // upgrade of S9's key-sorted sink. Lineitem lands along the Morton
+    // curve of (l_orderkey, l_partkey); the read-back filters on the
+    // SECONDARY column only, which a key-sorted layout cannot prune
+    // (ZOrderSpec measures the per-file stats-range shrink that makes
+    // row-group pruning bite at scale).
+    "s11_zorder_scan" -> ((s, d) => {
+      import s.implicits._
+      val path = RepoPaths.target("graft_bulk/s11")
+      ZOrder.writeZOrdered(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", path, numFiles = 8)
+      s.read.parquet(path)
+        .filter($"l_partkey" < 100)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "s11_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem WHERE l_partkey < 100
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity"""
+        .stripMargin,
     "s1_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_extendedprice > 5000.0
