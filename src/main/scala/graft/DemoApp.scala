@@ -113,6 +113,12 @@ object DemoApp {
         "user_id", "ts", Seq("event_id"), "qval")
       .orderBy($"user_id", $"ts").show(5)
 
+    // --- analytics + layout -------------------------------------------
+    println("== tpch_q9 profit by supplier nation/year (all 22 TPC-H shapes registered) ==")
+    SparkEntry.queries("tpch_q9")(spark, d).show(5)
+    println("== z-order clustered layout: read-back filtered on the secondary column ==")
+    SparkEntry.queries("s11_zorder_scan")(spark, d).show(3)
+
     spark.stop()
   }
 }

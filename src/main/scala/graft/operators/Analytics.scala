@@ -13,6 +13,38 @@ import graft.Tables
 object Analytics {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Derived partsupp: the testdata ships no partsupp table, so the
+    * five TPC-H queries that need one (q2/q9/q11/q16/q20) run over the
+    * DISTINCT (part, supplier) pairs observed in lineitem, with
+    * supplycost/availqty derived from an engine-portable md5 hash —
+    * both engines (Spark here, DuckDB in the oracle CTE below) compute
+    * bit-identical values, so the queries stay hash-checkable. At scale
+    * this is one distinct-aggregation over the fact's two key columns;
+    * real deployments would read the actual table.
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey").distinct()
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"),
+        (conv(substring(md5(concat($"l_partkey".cast("string"), lit("_"),
+          $"l_suppkey".cast("string"))), 1, 6), 16, 10).cast("long")
+          % 100000L / lit(100.0)).as("ps_supplycost"),
+        (conv(substring(md5(concat($"l_suppkey".cast("string"), lit("#"),
+          $"l_partkey".cast("string"))), 1, 6), 16, 10).cast("long")
+          % 9999L + 1L).as("ps_availqty"))
+  }
+
+  /** The same derivation as a DuckDB CTE, prepended to the oracles. */
+  private val PS_SQL: String =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         (('0x' || substr(md5(l_partkey || '_' || l_suppkey), 1, 6))
+      |           ::BIGINT % 100000) / 100.0 AS ps_supplycost,
+      |         (('0x' || substr(md5(l_suppkey || '#' || l_partkey), 1, 6))
+      |           ::BIGINT % 9999) + 1 AS ps_availqty
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))"""
+      .stripMargin
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-flavored pricing summary: one scan, one hash agg.
     "tpch_q1" -> ((s, d) => {
@@ -363,6 +395,139 @@ object Analytics {
         .orderBy($"cntrycode")
     }),
 
+    // TPC-H Q2-flavored minimum-cost supplier: the correlated min
+    // subquery decorrelates to a per-part min over the region-filtered
+    // partsupp, equality-joined back — the min agg and the probe share
+    // one subtree. Ties on the min keep every tying supplier, exactly
+    // like the correlated form.
+    "tpch_q2" -> ((s, d) => {
+      import s.implicits._
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val ps = partsupp(s, d)
+        .join(broadcast(asiaSupp), $"ps_suppkey" === $"s_suppkey")
+      val minCost = ps.groupBy($"ps_partkey".as("m_partkey"))
+        .agg(min($"ps_supplycost").as("min_cost"))
+      ps.join(broadcast(Tables.part(s, d)
+          .filter($"p_type" === "LARGE" && $"p_size".between(10, 20))
+          .select($"p_partkey")), $"ps_partkey" === $"p_partkey")
+        .join(minCost,
+          $"ps_partkey" === $"m_partkey" && $"ps_supplycost" === $"min_cost")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"ps_supplycost")
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    }),
+
+    // TPC-H Q9-flavored product-type profit: the deepest join tree in
+    // the suite — the fact narrows on the broadcast part filter FIRST,
+    // then the big-big joins (partsupp on the composite key, orders on
+    // orderkey) run over the shrunken fact; supplier/nation broadcast.
+    "tpch_q9" -> ((s, d) => {
+      import s.implicits._
+      val gearParts = Tables.part(s, d).filter($"p_name".contains("gear"))
+        .select($"p_partkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(gearParts), $"l_partkey" === $"p_partkey")
+        .join(partsupp(s, d),
+          $"l_partkey" === $"ps_partkey" && $"l_suppkey" === $"ps_suppkey")
+        .join(Tables.orders(s, d).select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, d)
+          .select($"s_suppkey", $"s_nationkey")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name".as("nation"),
+          year($"o_orderdate").cast("long").as("o_year"))
+        // exact integer-cents arithmetic: revenue minus supply cost
+        // accumulates as a long, so the sum is order-independent and
+        // bit-identical across engines (a double sum of +/- terms
+        // rounds differently at the 2-dp boundary)
+        .agg(round(sum(
+          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+            .cast("long")
+            - round($"ps_supplycost" * $"l_quantity" * 100).cast("long"))
+          / 100.0, 2).as("sum_profit"))
+        .orderBy($"nation", $"o_year".desc)
+    }),
+
+    // TPC-H Q11-flavored important stock: per-part inventory value vs
+    // a scalar threshold over the SAME aggregate — the grouped relation
+    // feeds both the 1-row avg broadcast and the filter probe (adapted:
+    // threshold = 2× the average part value, which is scale-free where
+    // the spec's 0.0001/SF fraction is not).
+    "tpch_q11" -> ((s, d) => {
+      import s.implicits._
+      val asiaKeys = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .select($"s_suppkey")
+      val g = partsupp(s, d)
+        .join(broadcast(asiaKeys), $"ps_suppkey" === $"s_suppkey")
+        .groupBy($"ps_partkey")
+        .agg(sum($"ps_supplycost" * $"ps_availqty").as("val"))
+      val thr = g.agg((lit(2.0) * avg($"val")).as("thr"))
+      g.join(broadcast(thr))
+        .filter($"val" > $"thr")
+        .select($"ps_partkey", round($"val", 2).as("value"))
+        .orderBy($"value".desc, $"ps_partkey")
+        .limit(50)
+    }),
+
+    // TPC-H Q16-flavored supplier diversity: NOT IN becomes a LEFT
+    // ANTI join against the (tiny) excluded-supplier set, then a
+    // count(DISTINCT) per part attribute triple — the one deliberate
+    // Expand plan in the suite, over already part-pruned rows.
+    "tpch_q16" -> ((s, d) => {
+      import s.implicits._
+      val negSupp = Tables.supplier(s, d).filter($"s_acctbal" < 0)
+        .select($"s_suppkey")
+      val parts = Tables.part(s, d)
+        .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO"
+          && $"p_size".isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      partsupp(s, d)
+        .join(negSupp, $"ps_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(parts), $"ps_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"ps_suppkey").cast("long").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+        .limit(50)
+    }),
+
+    // TPC-H Q20-flavored excess-inventory suppliers: the correlated
+    // half-of-shipped-quantity subquery decorrelates to a grouped agg
+    // on the SAME composite key partsupp joins on — one shuffle serves
+    // both; the absent-shipment case (NULL comparison in the spec's
+    // correlated form) is reproduced by the inner join. Region
+    // membership semi-joins last over the small supplier dim.
+    "tpch_q20" -> ((s, d) => {
+      import s.implicits._
+      val smallParts = Tables.part(s, d)
+        .filter($"p_name".startsWith("small")).select($"p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg((lit(0.5) * sum($"l_quantity")).as("half_qty"))
+      val eligible = partsupp(s, d)
+        .join(broadcast(smallParts), $"ps_partkey" === $"p_partkey")
+        .join(shipped,
+          $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey")
+        .filter($"ps_availqty" > $"half_qty")
+        .select($"ps_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA")
+        .join(eligible, $"s_suppkey" === $"ps_suppkey", "left_semi")
+        .select($"s_name", $"s_acctbal")
+        .orderBy($"s_name")
+    }),
+
     // ROLLUP (absent in the reference; native here).
     "an_rollup" -> ((s, d) => {
       import s.implicits._
@@ -658,6 +823,86 @@ object Analytics {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "tpch_q2" ->
+      s"""WITH $PS_SQL
+        |SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+        |FROM part
+        |JOIN ps ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+        |  AND r_name = 'ASIA'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost) FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q9" ->
+      s"""WITH $PS_SQL
+        |SELECT nation, o_year,
+        |       round(sum(cents) / 100.0, 2) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |         CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |              AS BIGINT)
+        |           - CAST(round(ps_supplycost * l_quantity * 100) AS BIGINT)
+        |           AS cents
+        |  FROM lineitem
+        |  JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%gear%')
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q11" ->
+      s"""WITH $PS_SQL,
+        |g AS (
+        |  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS val
+        |  FROM ps
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey, round(val, 2) AS value FROM g
+        |WHERE val > (SELECT 2.0 * avg(val) FROM g)
+        |ORDER BY value DESC, ps_partkey LIMIT 50""".stripMargin,
+    "tpch_q16" ->
+      s"""WITH $PS_SQL
+        |SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 50""".stripMargin,
+    "tpch_q20" ->
+      s"""WITH $PS_SQL
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'small%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+        |ORDER BY s_name""".stripMargin,
     "an_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,
