@@ -6,7 +6,7 @@ object QPlan {
     df.collect()
     val s = df.queryExecution.executedPlan.toString
     println("PLAN_BEGIN")
-    println(s.split("== Initial Plan ==")(0).take(6000))
+    println(s.split("== Initial Plan ==")(0).take(20000))
     println("PLAN_END")
     spark.stop()
   }

@@ -559,6 +559,25 @@ object Analytics {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // lag/lead/first_value offset windows (absent in the reference) —
+    // per-customer order history navigation; partitioned windows only,
+    // so no single-task sort at any scale.
+    "an_lag_lead" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 50)
+        .select($"o_custkey", $"o_orderkey",
+          coalesce(lag($"o_orderkey", 1).over(w), lit(-1L)).cast("long")
+            .as("prev_order"),
+          coalesce(lead($"o_orderkey", 1).over(w), lit(-1L)).cast("long")
+            .as("next_order"),
+          first($"o_orderkey").over(w).cast("long").as("first_order"),
+          round($"o_totalprice" - lag($"o_totalprice", 1).over(w), 2)
+            .as("delta_price"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // PIVOT: orders long→wide on status (native relational pivot).
     "an_pivot" -> ((s, d) => {
       import s.implicits._
@@ -923,6 +942,18 @@ object Analytics {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |         AS running_total
         |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "an_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(coalesce(lag(o_orderkey) OVER w, -1) AS BIGINT)
+        |         AS prev_order,
+        |       CAST(coalesce(lead(o_orderkey) OVER w, -1) AS BIGINT)
+        |         AS next_order,
+        |       CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_order,
+        |       round(o_totalprice - lag(o_totalprice) OVER w, 2)
+        |         AS delta_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "an_pivot" ->
       """SELECT o_orderpriority,
