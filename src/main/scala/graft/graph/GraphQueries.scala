@@ -294,6 +294,35 @@ object GraphQueries {
         .groupBy($"src")
         .agg(sum(when($"dst" % 3 === 0, 1L).otherwise(0L)).as("n_edges"))
         .orderBy($"src")
+    }),
+
+    // G10 (extra): triangle counting over the part co-purchase
+    // projection (parts sharing an order within a shipdate year).
+    // The classic two-join formulation with ID-ordered orientation
+    // (u < v) so each triangle counts once: wedge join on the shared
+    // middle vertex, then a SEMI join probes the closing edge —
+    // candidate triangles never materialize. At 100 TB the projection
+    // fan-out is bounded by (rows per order)^2 and the wedge join by
+    // the max oriented out-degree; production would orient by degree
+    // instead of ID (same plan, smaller skew bound) and cap
+    // super-vertices with a13's cutoff first.
+    "g10_triangles" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_partkey")
+      val e = li
+        .join(li.select($"l_orderkey", $"l_partkey".as("v")), Seq("l_orderkey"))
+        .filter($"l_partkey" < $"v")
+        .select($"l_partkey".as("u"), $"v")
+        .distinct()
+      val wedges = e
+        .join(e.select($"u".as("w_u"), $"v".as("w_v")), $"v" === $"w_u")
+      wedges
+        .join(e.select($"u".as("c_u"), $"v".as("c_v")),
+          $"u" === $"c_u" && $"w_v" === $"c_v", "left_semi")
+        .agg(count(lit(1)).cast("long").as("triangles"))
     })
   )
 
@@ -443,6 +472,18 @@ object GraphQueries {
       """SELECT src, CAST(sum(CASE WHEN dst % 3 = 0 THEN 1 ELSE 0 END)
         |              AS BIGINT) AS n_edges
         |FROM pairs2 WHERE src % 3 = 0
-        |GROUP BY src ORDER BY src""".stripMargin)
+        |GROUP BY src ORDER BY src""".stripMargin),
+    "g10_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS triangles
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
   )
 }
