@@ -195,6 +195,26 @@ object Joins {
         .orderBy($"hot_id", $"ts", $"event_id")
     }),
 
+    // J13 (extra): NEAREST-in-time join — each purchase matched to the
+    // same user's closest view, before OR after, backward winning
+    // ties. One shuffle, one sort, two frames (Temporal.nearestJoin);
+    // the oracle cross-checks with two DuckDB ASOF JOINs (>= and <)
+    // merged by the smaller gap.
+    "j13_nearest_join" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).withColumn("ts", expr("ts DIV 1000"))
+      val quotes = e.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max($"value").as("qval"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      Temporal.nearestJoin(purchases, quotes, "user_id", "ts",
+          Seq("event_id"), "qval")
+        .select($"user_id", $"ts", $"event_id",
+          $"nearest_gap".cast("long").as("gap_us"),
+          round($"nearest_value", 6).as("nearest_value"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    }),
+
     // J11 (extra): range join with no equi-key — events against 20
     // overlapping campaign windows via fixed-width bin bucketing
     // (equi-join on the bin + exact range filter; no cartesian).
@@ -276,6 +296,30 @@ object Joins {
         |FROM p ASOF LEFT JOIN q
         |  ON p.hot_id = q.hot_id AND p.ts >= q.ts
         |ORDER BY p.hot_id, p.ts, p.event_id""".stripMargin,
+    "j13_nearest_join" ->
+      """WITH q AS (SELECT user_id, epoch_us(ts) AS ts, max(value) AS qval
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT p.user_id, p.ts, p.event_id, q.ts AS bts, q.qval AS bval
+        |      FROM p ASOF LEFT JOIN q
+        |        ON p.user_id = q.user_id AND p.ts >= q.ts),
+        |f AS (SELECT p.user_id AS f_user, p.ts AS f_ts, p.event_id AS f_id,
+        |             q.ts AS fts, q.qval AS fval
+        |      FROM p ASOF LEFT JOIN q
+        |        ON p.user_id = q.user_id AND p.ts < q.ts)
+        |SELECT b.user_id, b.ts, b.event_id,
+        |       CAST(CASE WHEN bts IS NULL THEN fts - b.ts
+        |                 WHEN fts IS NULL THEN b.ts - bts
+        |                 WHEN b.ts - bts <= fts - b.ts THEN b.ts - bts
+        |                 ELSE fts - b.ts END AS BIGINT) AS gap_us,
+        |       round(CASE WHEN bts IS NULL THEN fval
+        |                  WHEN fts IS NULL THEN bval
+        |                  WHEN b.ts - bts <= fts - b.ts THEN bval
+        |                  ELSE fval END, 6) AS nearest_value
+        |FROM b JOIN f ON b.user_id = f_user AND b.ts = f_ts
+        |              AND b.event_id = f_id
+        |ORDER BY b.user_id, b.ts, b.event_id""".stripMargin,
     "j11_range_join" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts) AS ts, value FROM events),
         |b AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM e),

@@ -112,6 +112,59 @@ object Temporal {
     }
   }
 
+  /** Nearest-in-time join: for every left row, the right row with the
+    * same key whose ts is CLOSEST — backward (`right.ts <= left.ts`)
+    * or forward (`right.ts > left.ts`), whichever gap is smaller;
+    * backward wins exact ties (an equal-ts right is a gap-0 backward
+    * match). Null match and gap when the key has no right rows.
+    *
+    * Shape: the asofJoin union with ONE shuffle and ONE sort, but TWO
+    * frames over it — a backward running `last(match)` and a forward
+    * running `first(match)` share the same window partitioning and
+    * ordering, so Spark computes both without a second exchange or
+    * sort. Rights sort before lefts at equal ts, which makes the
+    * forward frame strictly later — no double counting. Same 100 TB
+    * properties (and the same single-hot-key caveat) as asofJoin.
+    *
+    * The right side must be deduplicated per (key, ts) by the caller
+    * (determinism of which same-ts right wins). */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  key: String, ts: String,
+                  leftCols: Seq[String], rightVal: String,
+                  valCol: String = "nearest_value",
+                  gapCol: String = "nearest_gap"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val tsType = right.schema(ts).dataType
+    val valType = right.schema(rightVal).dataType
+    val rvType = StructType(Seq(
+      StructField("_rts", tsType), StructField("_v", valType)))
+    val lu = left.select(
+      (Seq(col(key), col(ts)) ++ leftCols.map(col) :+
+        lit(null).cast(rvType).as("_rv") :+ lit(1).as("_side")): _*)
+    val ru = right.select(
+      (Seq(col(key), col(ts)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(ts).as("_rts"), col(rightVal).as("_v")).as("_rv") :+
+        lit(0).as("_side")): _*)
+    val wb = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = col("_mb")
+    val fwd = col("_mf")
+    val gapB = col(ts) - back.getField("_rts")
+    val gapF = fwd.getField("_rts") - col(ts)
+    val pickB = fwd.isNull || (back.isNotNull && gapB <= gapF)
+    val m = when(pickB, back).otherwise(fwd)
+    lu.unionByName(ru)
+      .withColumn("_mb", last(col("_rv"), ignoreNulls = true).over(wb))
+      .withColumn("_mf", first(col("_rv"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+      .select((Seq(col(key), col(ts)) ++ leftCols.map(col) :+
+        m.getField("_v").as(valCol) :+
+        when(pickB, gapB).otherwise(gapF).as(gapCol)): _*)
+  }
+
   /** Range (interval) join: points joined to every range containing
     * them (`start <= pt < end`), with NO equi-key available.
     *

@@ -69,6 +69,25 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(base(9001L) === None)
   }
 
+  test("nearestJoin: picks the smaller gap either direction, backward wins ties") {
+    val left = Seq((1L, 10L, 1L), (1L, 100L, 2L), (1L, 52L, 3L),
+      (2L, 5L, 4L), (3L, 7L, 5L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, 13L, 1.0), (1L, 50L, 2.0), (1L, 54L, 3.0),
+      (2L, 5L, 4.0))
+      .toDF("user_id", "ts", "qval")
+    val got = Temporal.nearestJoin(left, right, "user_id", "ts",
+        Seq("event_id"), "qval")
+      .select($"event_id", $"nearest_value", $"nearest_gap")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(1.0), Some(3L))))  // forward 13 beats nothing backward
+    assert(got(2L) === ((Some(3.0), Some(46L)))) // backward 54 beats nothing forward
+    assert(got(3L) === ((Some(2.0), Some(2L))))  // gap 2 both ways → backward 50 wins
+    assert(got(4L) === ((Some(4.0), Some(0L))))  // equal ts → gap-0 backward match
+    assert(got(5L) === ((None, None)))           // key with no right rows
+  }
+
   test("rangeJoin: [start, end) boundaries, multi-bin ranges match once") {
     val points = Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 35L))
       .toDF("pid", "ts")
