@@ -72,6 +72,16 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("degenerate domains survive: constant column, single file") {
+    val df = (0L until 100L).map(i => (i, 7L)).toDF("a", "b")
+    val dir = targetPath("graft_zorder/const")
+    // b's domain collapses to a point (mx == mn) — rank must not
+    // divide by zero, and the layout degrades to a plain sort on a
+    graft.operators.ZOrder.writeZOrdered(df, "a", "b", dir, numFiles = 1)
+    val back = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    assert(back === (0L until 100L).map(i => (i, 7L)).toSet)
+  }
+
   test("interleave is monotone per dimension on a fixed other-dimension") {
     // z(x, y0) must order like x (same y) — the property that makes
     // range-partitioning on z a valid clustering of both dimensions
