@@ -413,10 +413,15 @@ object WriteQueries {
     "st5_stream_join" -> ((s, d) => {
       import s.implicits._
       val stage = RepoPaths.target("graft_stream/st5")
-      Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(stage)
+      Tables.events(s, d).write.mode("overwrite").parquet(stage)
       val schema = Tables.events(s, d).schema
+      // unbounded maxFilesPerTrigger pins the drop-free single-batch
+      // semantics explicitly (all staged files in one micro-batch, so
+      // the watermark can't discard in-window matches mid-run)
       def side(tpe: String, prefix: String) =
-        s.readStream.schema(schema).parquet(stage)
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString)
+          .parquet(stage)
           .filter($"event_type" === tpe)
           .select($"user_id".as(s"${prefix}_user"),
             $"event_id".as(s"${prefix}_id"),
@@ -429,10 +434,23 @@ object WriteQueries {
           $"p_ts" >= $"c_ts" &&
           $"p_ts" < $"c_ts" + expr("INTERVAL 30 MINUTES"))
       val sink = "st5_stream_join_sink"
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(sink)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state-store granularity: a stateful join commits 4 state
+      // stores per shuffle partition per micro-batch; at this volume
+      // the commit fan-out dominates, so run the stream at a quarter
+      // of the session's partitions (the count is baked into the
+      // checkpoint at first start — a restart keeps it — so this is a
+      // per-pipeline sizing decision, exactly as it is at 100 TB where
+      // it would instead be SET HIGHER than the session default)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(prev.toInt / 4, 1).toString)
+      val q = try {
+        val q0 = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink)
+          .trigger(Trigger.AvailableNow()).start()
+        q0.awaitTermination()
+        q0
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(sink)
         .select($"c_user".as("user_id"), $"c_id".as("click_id"),
           $"p_id".as("purchase_id"),
