@@ -277,6 +277,39 @@ object GraphOps {
     }
   }
 
+  /** G11 PageRank: `iters` power iterations over a symmetric pair list
+    * (so every vertex has out-edges — no dangling-mass term), uniform
+    * start, damping `damp`. Returns `(vertex, degree, pr)` with each
+    * iteration's rank rounded at 12 dp so results are engine-portable
+    * (the DuckDB oracle re-derives the identical fixpoint).
+    *
+    * Scale shape: per iteration, ONE equi-join of the edge list against
+    * the vertex-sized rank vector (bucket both by the vertex key and
+    * the join plans with zero Exchange — BucketingSpec pattern) and ONE
+    * partial-agg'd sum shuffled by dst; the rank/degree vectors are
+    * vertex-sized, never edge-sized, and N rides in as a broadcast
+    * scalar. No driver-side state, no lineage growth concern at 2-3
+    * iterations (use localCheckpoint per round if iterating deep, as
+    * [[bspIterateDelta]] does). */
+  def pageRank(pairs: DataFrame, iters: Int, damp: Double = 0.85): DataFrame = {
+    val deg = pairs.groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("degree"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    def step(pr: DataFrame): DataFrame = {
+      val contrib = pairs
+        .join(pr.withColumnRenamed("vertex", "src"), "src")
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("pr") / col("degree")).as("c"))
+      deg.join(contrib, Seq("vertex"), "left").crossJoin(broadcast(n))
+        .select(col("vertex"), col("degree"),
+          round(lit(1.0 - damp) / col("n")
+            + lit(damp) * coalesce(col("c"), lit(0.0)), 12).as("pr"))
+    }
+    val pr0 = deg.crossJoin(broadcast(n))
+      .select(col("vertex"), col("degree"), (lit(1.0) / col("n")).as("pr"))
+    (1 to iters).foldLeft(pr0)((pr, _) => step(pr))
+  }
+
   /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two
     * edge sets restricted to keys present in both networks, then one
     * global reduce → precision/recall/F1. */

@@ -323,6 +323,32 @@ object GraphQueries {
         .join(e.select($"u".as("c_u"), $"v".as("c_v")),
           $"u" === $"c_u" && $"w_v" === $"c_v", "left_semi")
         .agg(count(lit(1)).cast("long").as("triangles"))
+    }),
+
+    // G11: PageRank, two unrolled power iterations over the symmetric
+    // pair list (d = 0.85, uniform start) — the canonical importance
+    // score over the reference's NETWORK graph. Scale shape: each
+    // iteration is ONE join (edges against the current rank vector,
+    // both hash-partitioned on the vertex key — at 100 TB the edge
+    // table would be bucketed by src so the join plans with zero
+    // Exchange, the BucketingSpec pattern) plus ONE partial-agg'd
+    // sum shuffled by dst; degree and rank vectors are vertex-sized,
+    // never edge-sized. N rides in as a broadcast scalar. The
+    // symmetric graph has no dangling vertices (every vertex has
+    // outgoing edges by construction), so no dangling-mass term.
+    // Determinism: intermediate ranks round at 12 dp so iteration 2
+    // starts from engine-identical doubles; output rounds at 10 dp;
+    // top-k is TakeOrderedAndProject with row_number AFTER the limit.
+    "g11_pagerank" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pr2 = GraphOps.pageRank(pairs2(s, d), iters = 2)
+      val top = pr2.select($"vertex", round($"pr", 10).as("pagerank"))
+        .orderBy($"pagerank".desc, $"vertex").limit(100)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy($"pagerank".desc, $"vertex")).cast("long"))
+        .select($"rank", $"vertex", $"pagerank")
+        .orderBy($"rank")
     })
   )
 
@@ -484,6 +510,27 @@ object GraphQueries {
         |  WHERE a.l_partkey < b.l_partkey)
         |SELECT CAST(count(*) AS BIGINT) AS triangles
         |FROM e e1 JOIN e e2 ON e1.v = e2.u
-        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "g11_pagerank" -> (CTE +
+      """, n AS (SELECT count(*) AS n FROM deg),
+        |c1 AS (SELECT p.dst AS vertex, sum((1.0 / n.n) / d.degree) AS c
+        |  FROM pairs2 p JOIN deg d ON p.src = d.vertex CROSS JOIN n
+        |  GROUP BY p.dst),
+        |pr1 AS (SELECT d.vertex, d.degree,
+        |    round(0.15 / n.n + 0.85 * coalesce(c1.c, 0), 12) AS pr
+        |  FROM deg d LEFT JOIN c1 USING (vertex) CROSS JOIN n),
+        |c2 AS (SELECT p.dst AS vertex, sum(r.pr / r.degree) AS c
+        |  FROM pairs2 p JOIN pr1 r ON p.src = r.vertex
+        |  GROUP BY p.dst),
+        |pr2 AS (SELECT d.vertex,
+        |    round(round(0.15 / n.n + 0.85 * coalesce(c2.c, 0), 12), 10)
+        |      AS pagerank
+        |  FROM deg d LEFT JOIN c2 USING (vertex) CROSS JOIN n),
+        |ranked AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY pagerank DESC, vertex)
+        |      AS BIGINT) AS rank, vertex, pagerank
+        |  FROM pr2)
+        |SELECT rank, vertex, pagerank FROM ranked
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin)
   )
 }

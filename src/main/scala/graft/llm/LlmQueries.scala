@@ -321,6 +321,30 @@ object LlmQueries {
         .orderBy($"doc_id", $"rk")
     }),
 
+    // BM25 retrieval: top-50 documents for a fixed term query — the op
+    // behind retrieval-augmented corpus curation and quality-targeted
+    // sampling. Scale shape: the query terms are a literal IN-list, so
+    // the (doc_id, token) shuffle carries ONLY rows matching the query
+    // (three terms out of the whole vocabulary — the corpus tokenizes
+    // but never shuffles its full token stream); document length is a
+    // per-row `size`, no explode-aggregate; df and the (N, avgdl)
+    // corpus stats ride in as broadcast cross joins; the top-k plans
+    // as TakeOrderedAndProject, with row_number applied AFTER the
+    // limit so the rank window sorts 50 rows, not the corpus.
+    // Determinism: per-term scores round at 6 dp before the per-doc
+    // sum (<= 3 addends), and rank breaks ties on doc_id.
+    "llm_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scored = Retrieval.bm25Scores(Tables.documents(s, d),
+        Seq("merge", "scan", "window"))
+      val top = scored.orderBy($"score".desc, $"doc_id").limit(50)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+        .select($"rank", $"doc_id", $"score")
+        .orderBy($"rank")
+    }),
+
     // PII scrub: redact emails and long digit runs (the C4/CCNet-style
     // pre-training hygiene pass). Pure per-row codegen'd regex — no
     // shuffle, scales linearly. The synthetic docs carry no PII, so the
@@ -856,6 +880,31 @@ object LlmQueries {
         |           FROM scored)
         |SELECT doc_id, rk, token, tfidf FROM ranked
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "llm_bm25_topk" ->
+      """WITH lens AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('merge', 'scan', 'window') GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |scored AS (SELECT doc_id, round(sum(contrib), 6) AS score FROM (
+        |    SELECT tf.doc_id, round(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |        * (tf * 2.2) /
+        |        (tf + 1.2 * (0.25 + 0.75 * dl / (total_dl * 1.0 / n_docs))),
+        |      6) AS contrib
+        |    FROM tf JOIN df USING (token) JOIN lens USING (doc_id)
+        |    CROSS JOIN stats)
+        |  GROUP BY doc_id),
+        |ranked AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS rank, doc_id, score
+        |  FROM scored)
+        |SELECT rank, doc_id, score FROM ranked
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "llm_pii_scrub" ->
       """WITH dirty AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com ref '

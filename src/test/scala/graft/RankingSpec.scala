@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+import graft.llm.Retrieval
+
+/** Ranking operators on hand-crafted fixtures: PageRank (g11) and BM25
+  * retrieval (llm_bm25_topk). */
+class RankingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def symPairs(edges: Seq[(Long, Long)]) =
+    GraphOps.reverse(edges.toDF("src", "dst"))
+
+  test("pageRank: ranks sum to 1 and the star center dominates") {
+    // star: 0 — {1,2,3,4}
+    val pr = GraphOps.pageRank(
+      symPairs(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))), iters = 2)
+      .select($"vertex", $"pr").as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(0L) > pr(1L))
+    // leaves are symmetric, so their ranks agree exactly
+    assert(Seq(pr(1L), pr(2L), pr(3L), pr(4L)).distinct.size === 1)
+  }
+
+  test("pageRank: a regular graph stays uniform at 1/N") {
+    // 4-cycle: every vertex has degree 2, rank must remain 1/4
+    val pr = GraphOps.pageRank(
+      symPairs(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))), iters = 3)
+      .select($"vertex", $"pr").as[(Long, Double)].collect().toMap
+    pr.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9))
+  }
+
+  test("pageRank: iterations contract toward the fixpoint") {
+    // the star is bipartite so ranks OSCILLATE around the fixpoint —
+    // assert the damped contraction, not monotonicity
+    val pairs = symPairs(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    def center(iters: Int): Double =
+      GraphOps.pageRank(pairs, iters).filter($"vertex" === 0)
+        .select($"pr").as[Double].head()
+    val fix = center(20)
+    assert(math.abs(center(3) - fix) < math.abs(center(1) - fix))
+    assert(fix > 0.2) // the hub ends above the uniform 1/N start
+  }
+
+  private val corpus = Seq(
+    (0L, "apple apple pie and cake"),     // tf(apple)=2
+    (1L, "apple tart with some cream"),   // tf(apple)=1, same length
+    (2L, "banana bread with no fruit"),   // rare term, tf=1
+    (3L, "plain sponge with no fruit"),   // no query term at all
+    (4L, "apple apple apple apple apple") // saturation probe
+  ).toDF("doc_id", "text")
+
+  test("bm25: higher tf wins at equal length; no-term docs are absent") {
+    val s = Retrieval.bm25Scores(corpus, Seq("apple", "banana"))
+      .as[(Long, Double)].collect().toMap
+    assert(s(0L) > s(1L))      // tf 2 beats tf 1, identical dl
+    assert(!s.contains(3L))    // no query term → no row
+    assert(s.values.forall(_ > 0))
+  }
+
+  test("bm25: rarer terms score higher at equal tf and length") {
+    // apple df=3, banana df=1 → banana's idf (and score) must win
+    val s = Retrieval.bm25Scores(corpus, Seq("apple", "banana"))
+      .as[(Long, Double)].collect().toMap
+    assert(s(2L) > s(1L))
+  }
+
+  test("bm25: term-frequency saturation — tf 5 gains less than 5x") {
+    val s = Retrieval.bm25Scores(corpus, Seq("apple"))
+      .as[(Long, Double)].collect().toMap
+    assert(s(4L) > s(0L))            // more hits still scores higher
+    assert(s(4L) < 5.0 * s(1L))      // but sub-linearly (k1 saturation)
+  }
+}
