@@ -292,11 +292,20 @@ object GraphOps {
     * iterations (use localCheckpoint per round if iterating deep, as
     * [[bspIterateDelta]] does). */
   def pageRank(pairs: DataFrame, iters: Int, damp: Double = 0.85): DataFrame = {
-    val deg = pairs.groupBy(col("src").as("vertex"))
+    import org.apache.spark.storage.StorageLevel
+    // The edge list is the immutable giant of the iteration: partition
+    // it by the join key ONCE and cache that layout (the same
+    // iterative-join discipline as [[bspIterateDeltaFrom]]) — otherwise
+    // every iteration replays the edge list's upstream plan (scan +
+    // dedup + reverse) AND re-shuffles it for its join.
+    val p = pairs.repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = p.groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.agg(count(lit(1)).as("n"))
     def step(pr: DataFrame): DataFrame = {
-      val contrib = pairs
+      val contrib = p
         .join(pr.withColumnRenamed("vertex", "src"), "src")
         .groupBy(col("dst").as("vertex"))
         .agg(sum(col("pr") / col("degree")).as("c"))
@@ -308,6 +317,8 @@ object GraphOps {
     val pr0 = deg.crossJoin(broadcast(n))
       .select(col("vertex"), col("degree"), (lit(1.0) / col("n")).as("pr"))
     (1 to iters).foldLeft(pr0)((pr, _) => step(pr))
+    // edge/degree cache blocks back the returned plan; the caller's
+    // session sweep (Bench does) or GC releases them.
   }
 
   /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two
