@@ -342,8 +342,12 @@ object GraphQueries {
     "g11_pagerank" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // output the 12 dp iteration value AS IS — re-rounding a rounded
+      // decimal (12 → 10 dp) lands 1-in-100 values on an exact ".50"
+      // half-way case, where Spark (shortest-repr HALF_UP) and other
+      // engines (binary-value round) legitimately disagree
       val pr2 = GraphOps.pageRank(pairs2(s, d), iters = 2)
-      val top = pr2.select($"vertex", round($"pr", 10).as("pagerank"))
+      val top = pr2.select($"vertex", $"pr".as("pagerank"))
         .orderBy($"pagerank".desc, $"vertex").limit(100)
       top.withColumn("rank", row_number()
           .over(Window.orderBy($"pagerank".desc, $"vertex")).cast("long"))
@@ -523,8 +527,7 @@ object GraphQueries {
         |  FROM pairs2 p JOIN pr1 r ON p.src = r.vertex
         |  GROUP BY p.dst),
         |pr2 AS (SELECT d.vertex,
-        |    round(round(0.15 / n.n + 0.85 * coalesce(c2.c, 0), 12), 10)
-        |      AS pagerank
+        |    round(0.15 / n.n + 0.85 * coalesce(c2.c, 0), 12) AS pagerank
         |  FROM deg d LEFT JOIN c2 USING (vertex) CROSS JOIN n),
         |ranked AS (SELECT
         |    CAST(row_number() OVER (ORDER BY pagerank DESC, vertex)

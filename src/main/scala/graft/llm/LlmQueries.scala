@@ -345,6 +345,16 @@ object LlmQueries {
         .orderBy($"rank")
     }),
 
+    // Temperature-weighted domain mixing (see Retrieval.domainMix):
+    // stratum weights ∝ count^0.5 flatten the mix toward rare
+    // (source, lang) domains; the deterministic md5 gate draws the
+    // identical sample in any engine.
+    "llm_domain_mix" -> ((s, d) => {
+      import s.implicits._
+      Retrieval.domainMix(Tables.documents(s, d))
+        .orderBy($"source", $"lang")
+    }),
+
     // PII scrub: redact emails and long digit runs (the C4/CCNet-style
     // pre-training hygiene pass). Pure per-row codegen'd regex — no
     // shuffle, scales linearly. The synthetic docs carry no PII, so the
@@ -905,6 +915,26 @@ object LlmQueries {
         |  FROM scored)
         |SELECT rank, doc_id, score FROM ranked
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "llm_domain_mix" ->
+      s"""WITH strata AS (SELECT source, lang, count(*) AS n_docs
+        |  FROM documents GROUP BY source, lang),
+        |z AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM strata),
+        |w AS (SELECT source, lang, n_docs,
+        |    round(pow(n_docs, 0.5) / z.z, 6) AS weight
+        |  FROM strata CROSS JOIN z),
+        |wq AS (SELECT source, lang, n_docs, weight,
+        |    CAST(floor(weight * 200) AS BIGINT) AS quota,
+        |    CAST(floor(least(1.0, weight * 200 / n_docs) * 1000000)
+        |      AS BIGINT) AS p_ppm
+        |  FROM w),
+        |sampled AS (SELECT d.source, d.lang, count(*) AS n_sampled
+        |  FROM documents d JOIN wq USING (source, lang)
+        |  WHERE ${h("d.text")} % 1000000 < p_ppm
+        |  GROUP BY d.source, d.lang)
+        |SELECT source, lang, n_docs, weight, quota,
+        |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
+        |FROM wq LEFT JOIN sampled USING (source, lang)
+        |ORDER BY source, lang""".stripMargin,
     "llm_pii_scrub" ->
       """WITH dirty AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com ref '

@@ -48,4 +48,41 @@ object Retrieval {
         6))
       .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 6).as("score"))
   }
+
+  /** Temperature-weighted domain mixing over `docs(source, lang, text)`:
+    * stratum weights ∝ count^alpha (alpha < 1 flattens the mix toward
+    * rare domains — the standard pre-training recipe), then a
+    * DETERMINISTIC hash-gated sample toward a total budget of `target`
+    * documents. Returns per-stratum (n_docs, weight, quota, n_sampled).
+    *
+    * Scale shape: stratum stats are one partial-agg'd groupBy; the
+    * normalizer and the per-stratum admission thresholds broadcast back
+    * onto the corpus, so selection is a PER-ROW hash gate — no
+    * per-stratum window, no one-reducer-per-stratum, and the corpus
+    * never shuffles (the final count is the only aggregation). The
+    * hash gate (md5 ppm vs. threshold) makes the sample reproducible
+    * across runs AND engines — the DuckDB oracle draws the identical
+    * documents. */
+  def domainMix(docs: DataFrame, alpha: Double = 0.5,
+                target: Long = 200L): DataFrame = {
+    val strata = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val z = strata.agg(sum(pow(col("n_docs"), alpha)).as("z"))
+    val weighted = strata.crossJoin(broadcast(z))
+      .withColumn("weight", round(pow(col("n_docs"), alpha) / col("z"), 6))
+      .withColumn("quota", floor(col("weight") * target).cast("long"))
+      .withColumn("p_ppm",
+        floor(least(lit(1.0), col("weight") * target / col("n_docs"))
+          * 1000000).cast("long"))
+    val sampled = docs
+      .join(broadcast(weighted.select(col("source"), col("lang"),
+        col("p_ppm"))), Seq("source", "lang"))
+      .filter(pmod(TextOps.sharedHash(col("text")), lit(1000000L))
+        < col("p_ppm"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+    weighted.join(sampled, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), col("n_docs"), col("weight"),
+        col("quota"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
 }

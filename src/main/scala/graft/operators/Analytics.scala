@@ -578,6 +578,38 @@ object Analytics {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Batch sessionization: gap-based sessions over the event stream
+    // (the batch twin of st3_sessionize — same 30-minute gap rule,
+    // expressed as lag + cumulative-sum instead of state). Scale
+    // shape: ONE shuffle by user_id serves the lag window, the
+    // session-id running sum AND the per-session aggregate (hash
+    // partitioning on user_id satisfies the (user_id, session_idx)
+    // grouping — no second Exchange); window state per task is one
+    // user's events. ts is epoch-nanos.
+    "an_sessions" -> ((s, d) => {
+      import s.implicits._
+      val gapNs = 30L * 60 * 1000000000L
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .filter($"user_id" < 200)
+        .withColumn("new_sess",
+          when($"ts" - lag($"ts", 1).over(w) > gapNs, 1L)
+            .otherwise(when(lag($"ts", 1).over(w).isNull, 1L)
+              .otherwise(0L)))
+        .withColumn("session_idx", sum($"new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+        // integer DIV, not `/`: epoch-nanos exceed double's 2^53 exact
+        // range, so a double division here would round the seconds
+        .select($"user_id", $"session_idx", $"n_events",
+          expr("min_ts DIV 1000000000").as("start_s"),
+          expr("max_ts DIV 1000000000").as("end_s"),
+          expr("(max_ts - min_ts) DIV 1000000000").as("duration_s"))
+        .orderBy($"user_id", $"session_idx")
+    }),
+
     // PIVOT: orders long→wide on status (native relational pivot).
     "an_pivot" -> ((s, d) => {
       import s.implicits._
@@ -955,6 +987,27 @@ object Analytics {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "an_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns
+        |           FROM events WHERE user_id < 200),
+        |m AS (SELECT user_id, event_id, tns,
+        |        CASE WHEN lag(tns) OVER w IS NULL
+        |               OR tns - lag(tns) OVER w > 1800000000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY tns, event_id)),
+        |s AS (SELECT user_id, tns,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |          ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM m)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(tns) // 1000000000 AS BIGINT) AS start_s,
+        |       CAST(max(tns) // 1000000000 AS BIGINT) AS end_s,
+        |       CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT)
+        |         AS duration_s
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "an_pivot" ->
       """SELECT o_orderpriority,
         |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F",

@@ -73,4 +73,33 @@ class RankingSpec extends AnyFunSuite with SparkSpec {
     assert(s(4L) > s(0L))            // more hits still scores higher
     assert(s(4L) < 5.0 * s(1L))      // but sub-linearly (k1 saturation)
   }
+
+  test("domainMix: alpha<1 flattens the mix toward rare strata") {
+    // 90 docs in (srcA, en), 10 in (srcB, de) — temperature 0.5
+    val docs = ((0 until 90).map(i => ("srcA", "en", s"common doc $i"))
+      ++ (0 until 10).map(i => ("srcB", "de", s"rare doc $i")))
+      .toDF("source", "lang", "text")
+    val mix = Retrieval.domainMix(docs, alpha = 0.5, target = 20L)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    val (nA, wA, _, sA) = mix("srcA")
+    val (nB, wB, _, sB) = mix("srcB")
+    assert(math.abs(wA + wB - 1.0) < 1e-5)   // weights normalize
+    // proportional shares are 0.9/0.1; sqrt flattening must pull the
+    // rare stratum ABOVE its share and the common one below
+    assert(wB > 0.1 && wA < 0.9)
+    assert(sA <= nA && sB <= nB)             // never oversample a stratum
+    // the hash gate admits roughly p_ppm of each stratum (exactness is
+    // the oracle's job; here just pin that both strata sampled SOMETHING)
+    assert(sA > 0 && sB > 0)
+  }
+
+  test("domainMix: equal strata get equal weights and quotas") {
+    val docs = (0 until 40).map(i => (s"src${i % 4}", "en", s"doc $i"))
+      .toDF("source", "lang", "text")
+    val mix = Retrieval.domainMix(docs, alpha = 0.5, target = 40L)
+      .collect().map(r => (r.getDouble(3), r.getLong(4)))
+    assert(mix.map(_._1).distinct.length === 1)
+    assert(mix.map(_._2).distinct.length === 1)
+  }
 }
