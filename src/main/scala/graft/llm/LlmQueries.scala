@@ -355,6 +355,42 @@ object LlmQueries {
         .orderBy($"source", $"lang")
     }),
 
+    // Stable train/val/test split + leakage audit: assignment is a
+    // pure function of the CONTENT hash (md5 ppm: <800k train, <900k
+    // val, else test), so re-running the pipeline — or running it in
+    // another engine — assigns every document identically, and adding
+    // documents never reshuffles existing ones (the property random
+    // splits lack). The audit counts, per split, the distinct content
+    // hashes that ALSO appear in another split — exact-duplicate
+    // contamination across the boundary (the synthetic corpus has
+    // exact dups by construction, so the count is non-vacuous).
+    // Scale shape: one hash-groupBy over (hash, split) pairs; the
+    // leaked-hash set (dups only — tiny) broadcasts back via a semi
+    // join; token totals are per-row sizes summed in the same
+    // partial agg. No window, no driver state.
+    "llm_split_stable" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("h", sharedHash($"text"))
+        .withColumn("split",
+          when(pmod($"h", lit(1000000L)) < 800000L, "train")
+            .when(pmod($"h", lit(1000000L)) < 900000L, "val")
+            .otherwise("test"))
+      val leakedHashes = docs.groupBy($"h")
+        .agg(countDistinct($"split").as("ns"))
+        .filter($"ns" > 1).select($"h")
+      val leaks = docs.join(leakedHashes, Seq("h"), "left_semi")
+        .groupBy($"split")
+        .agg(countDistinct($"h").as("n_leaked_hashes"))
+      docs.groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(words($"text"))).cast("long").as("n_tokens"))
+        .join(leaks, Seq("split"), "left")
+        .select($"split", $"n_docs", $"n_tokens",
+          coalesce($"n_leaked_hashes", lit(0L)).as("n_leaked_hashes"))
+        .orderBy($"split")
+    }),
+
     // PII scrub: redact emails and long digit runs (the C4/CCNet-style
     // pre-training hygiene pass). Pure per-row codegen'd regex — no
     // shuffle, scales linearly. The synthetic docs carry no PII, so the
@@ -935,6 +971,25 @@ object LlmQueries {
         |  CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled
         |FROM wq LEFT JOIN sampled USING (source, lang)
         |ORDER BY source, lang""".stripMargin,
+    "llm_split_stable" ->
+      s"""WITH d AS (SELECT doc_id, text, ${h("text")} AS h FROM documents),
+        |sp AS (SELECT doc_id, text, h,
+        |    CASE WHEN h % 1000000 < 800000 THEN 'train'
+        |         WHEN h % 1000000 < 900000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM d),
+        |leaked AS (SELECT h FROM sp GROUP BY h
+        |           HAVING count(DISTINCT split) > 1),
+        |leaks AS (SELECT split, count(DISTINCT h) AS n_leaked_hashes
+        |  FROM sp WHERE h IN (SELECT h FROM leaked) GROUP BY split),
+        |stats AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM sp GROUP BY split)
+        |SELECT split, n_docs, n_tokens,
+        |  CAST(coalesce(n_leaked_hashes, 0) AS BIGINT) AS n_leaked_hashes
+        |FROM stats LEFT JOIN leaks USING (split)
+        |ORDER BY split""".stripMargin,
     "llm_pii_scrub" ->
       """WITH dirty AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com ref '

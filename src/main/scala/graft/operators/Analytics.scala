@@ -610,6 +610,35 @@ object Analytics {
         .orderBy($"user_id", $"session_idx")
     }),
 
+    // Ordered event funnel: view → click-after-view → purchase-after-
+    // click, counted per stage (the event-analytics staple). Scale
+    // shape: each stage is a user-keyed partial-agg'd min + ONE
+    // user-keyed equi-join against the previous stage's (user, ts)
+    // vector — stage vectors are user-sized, never event-sized, all
+    // three joins cluster on the same key so AQE reuses the
+    // partitioning, and nothing is ordered until the 3-row output.
+    "an_funnel" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      def firstAfter(evType: String, prev: DataFrame, tcol: String,
+                     out: String): DataFrame =
+        ev.filter($"event_type" === evType)
+          .join(prev, "user_id")
+          .filter($"ts" > col(tcol))
+          .groupBy($"user_id").agg(min($"ts").as(out))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = firstAfter("click", v, "t1", "t2")
+      val p = firstAfter("purchase", c, "t2", "t3")
+      def stage(idx: Long, name: String, df: DataFrame): DataFrame =
+        df.agg(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          count(lit(1)).as("n_users"))
+      stage(1L, "view", v)
+        .unionAll(stage(2L, "click_after_view", c))
+        .unionAll(stage(3L, "purchase_after_click", p))
+        .orderBy($"stage_idx")
+    }),
+
     // PIVOT: orders long→wide on status (native relational pivot).
     "an_pivot" -> ((s, d) => {
       import s.implicits._
@@ -987,6 +1016,26 @@ object Analytics {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "an_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |       CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click_after_view',
+        |       CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase_after_click',
+        |       CAST(count(*) AS BIGINT) FROM p
+        |ORDER BY stage_idx""".stripMargin,
     "an_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns
         |           FROM events WHERE user_id < 200),
