@@ -170,6 +170,19 @@ object LlmQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // PQ/ADC ANN (see Similarity.pqTopK): the corpus is compressed to
+    // 4 centroid codes per vector; queries scan codes via a broadcast
+    // distance table and only the 10-deep shortlist touches the float
+    // vectors for the exact re-rank. The third ANN family next to the
+    // data-independent LSH and the coarse-partition IVF.
+    "llm_ann_pq" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter($"vec_id" % 25 === 0),
+          stride = 10, k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Incremental IVF ANN: a NEW vector batch (vec_id%25==0) probes the
     // standing corpus's prebuilt centroid assignment — the corpus never
     // re-assigns for a query batch, only the batch crosses the wire
@@ -722,6 +735,45 @@ object LlmQueries {
         |           JOIN e qe ON qe.vec_id = q.vec_id
         |           JOIN e be ON be.vec_id = b.vec_id
         |           WHERE b.vec_id <> q.vec_id)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sub AS (SELECT vec_id, r.m AS sub, e[r.m*16+1 : r.m*16+16] AS se
+        |        FROM e, range(4) r(m)),
+        |cb AS (SELECT vec_id // 10 AS cid, sub, se AS ce FROM sub
+        |       WHERE vec_id % 10 = 0),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |  SELECT s.vec_id, s.sub, c.cid,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |           ORDER BY round(list_inner_product(s.se, s.se)
+        |                    - 2*list_inner_product(s.se, c.ce)
+        |                    + list_inner_product(c.ce, c.ce), 6) ASC,
+        |                    c.cid) AS rk
+        |  FROM sub s JOIN cb c USING (sub)) WHERE rk = 1),
+        |qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+        |         round(list_inner_product(s.se, s.se)
+        |           - 2*list_inner_product(s.se, c.ce)
+        |           + list_inner_product(c.ce, c.ce), 6) AS qd2
+        |       FROM sub s JOIN cb c USING (sub) WHERE s.vec_id % 25 = 0),
+        |adc AS (SELECT q.query_id, k.vec_id AS nb_id,
+        |               round(sum(q.qd2), 6) AS adist
+        |        FROM codes k JOIN qd q ON k.sub = q.sub AND k.cid = q.cid
+        |        WHERE k.vec_id <> q.query_id
+        |        GROUP BY q.query_id, k.vec_id),
+        |short AS (SELECT query_id, nb_id FROM (
+        |  SELECT query_id, nb_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY adist ASC, nb_id) AS rk FROM adc) WHERE rk <= 10),
+        |scored AS (SELECT s.query_id, s.nb_id,
+        |             round(list_cosine_similarity(qe.e, ne.e), 6) AS cos
+        |           FROM short s
+        |           JOIN e qe ON qe.vec_id = s.query_id
+        |           JOIN e ne ON ne.vec_id = s.nb_id)
         |SELECT query_id, rank, nb_id, cos FROM (
         |  SELECT query_id, nb_id, cos,
         |         CAST(row_number() OVER (PARTITION BY query_id

@@ -220,6 +220,83 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
   }
 
+  /** Per-subspace view of a vector set: `(id, sub, se, nse)` — the
+    * vector sliced into `m` contiguous sub-vectors with their squared
+    * norms precomputed (one native dot per slice). */
+  private def pqSubspaces(emb: DataFrame, idAlias: String,
+                          m: Int, subDim: Int): DataFrame =
+    prepared(emb, idAlias)
+      .select(col(idAlias), posexplode(array((0 until m).map(i =>
+        slice(col("e"), i * subDim + 1, subDim)): _*)).as(Seq("sub", "se")))
+      .withColumn("nse", expr("graft_dot(se, se)"))
+
+  /** PQ codebook: per subspace, the sub-vectors of the deterministic
+    * stride sample (`vec_id % stride == 0`, dense ids `vec_id/stride`)
+    * — the third ANN family's index seed (k-means would refine it the
+    * same way [[kmeansCentroids]] refines IVF's). Tiny by construction
+    * (m · N/stride rows) — always broadcast. */
+  def pqCodebook(emb: DataFrame, stride: Int, m: Int, subDim: Int): DataFrame =
+    pqSubspaces(emb.filter(col("vec_id") % stride === 0), "src_id", m, subDim)
+      .select(expr(s"src_id DIV $stride").as("cid"), col("sub"),
+        col("se").as("ce"), col("nse").as("nce"))
+
+  /** PQ encoding: every corpus vector compressed to `m` centroid ids —
+    * one broadcast-codebook pass; squared L2 via the dot identity
+    * (‖a‖² − 2a·b + ‖b‖²), 6-dp rounded BEFORE the argmin so the code
+    * assignment is engine-portable. At 100 TB the codes table (m
+    * smallints per vector) is the index that lives on disk — the
+    * ~100× compression is the point of PQ. */
+  def pqEncode(subs: DataFrame, codebook: DataFrame, idCol: String): DataFrame = {
+    val scored = subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2",
+        round(col("nse") - lit(2.0) * dotExpr("se", "ce") + col("nce"), 6))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col(idCol), col("sub"), col("cid"), col("d2"))
+  }
+
+  /** PQ/ADC search: asymmetric-distance top-k. The query batch builds
+    * its per-(subspace, centroid) distance table (Q·m·K rows — always
+    * broadcast), the CODES table is scanned and summed per (query,
+    * vector) — the corpus's float vectors are touched only for the
+    * `shortlist` exact re-rank, so the scan reads m codes per vector
+    * instead of the full embedding. Complements LSH (data-independent
+    * hashes) and IVF (coarse partitions): PQ compresses the residual
+    * scan itself. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, stride: Int, k: Int,
+             m: Int = 4, subDim: Int = 16, shortlist: Int = 10): DataFrame = {
+    val codebook = pqCodebook(emb, stride, m, subDim)
+    val codes = pqEncode(pqSubspaces(emb, "nb_id", m, subDim),
+      codebook, "nb_id")
+    val dtable = pqSubspaces(queries, "query_id", m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(col("nse") - lit(2.0) * dotExpr("se", "ce") + col("nce"), 6)
+          .as("qd2"))
+    val adc = codes.join(broadcast(dtable), Seq("sub", "cid"))
+      .filter(col("nb_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("nb_id"))
+      .agg(round(sum(col("qd2")), 6).as("adist"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("nb_id").asc)
+    val cand = adc.withColumn("rk", row_number().over(ws))
+      .filter(col("rk") <= shortlist).select(col("query_id"), col("nb_id"))
+    // exact re-rank of the shortlist: join the float vectors back in
+    val base = prepared(emb, "nb_id")
+      .select(col("nb_id"), col("e").as("eb"), col("nrm").as("nb"))
+    val q = prepared(queries, "query_id")
+      .select(col("query_id"), col("e").as("ea"), col("nrm").as("na"))
+    val exact = cand.join(base, Seq("nb_id")).join(q, Seq("query_id"))
+      .withColumn("cos",
+        round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nb_id").asc)
+    exact.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nb_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
     * Brute-force form — the exact VERIFIER for [[lshCosinePairs]] and the
     * test-suite baseline, size-capped; the bucketed form is the

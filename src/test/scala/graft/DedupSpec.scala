@@ -219,6 +219,48 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(probed.forall { case (q, nb) => nb % 25 != 0 && q % 25 == 0 })
   }
 
+  test("PQ/ADC with a corpus-wide shortlist equals brute force; " +
+    "registered shortlist keeps a recall floor") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val n = emb.count().toInt
+    // shortlisting the whole corpus makes the ADC stage a no-op filter
+    // and the exact re-rank exhaustive — must equal brute force exactly
+    // (same 6-dp rounding, same tie order, same self-exclusion)
+    val exhaustive = Similarity.pqTopK(emb, queries, stride = 10, k = 3,
+        shortlist = n)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, 3)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(exhaustive.nonEmpty)
+    assert(exhaustive === brute)
+    // registered settings (shortlist 10): approximate, but (a) never
+    // beats exact search and (b) holds a measured recall floor on this
+    // near-random (hard) corpus; deeper shortlists can only help
+    val bruteTop = Similarity.bruteForceTopK(emb, queries, 1)
+      .select($"query_id", $"cos").as[(Long, Double)].collect().toMap
+    def recall1(shortlist: Int): Double = {
+      val got = Similarity.pqTopK(emb, queries, stride = 10, k = 1,
+          shortlist = shortlist)
+        .select($"query_id", $"nb_id").as[(Long, Long)].collect().toSet
+      val b1 = Similarity.bruteForceTopK(emb, queries, 1)
+        .select($"query_id", $"nb_id").as[(Long, Long)].collect().toSet
+      got.intersect(b1).size.toDouble / b1.size
+    }
+    val pq = Similarity.pqTopK(emb, queries, stride = 10, k = 3)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pq.forall { case (q, _, nb, _) => q != nb })
+    assert(pq.filter(_._2 == 1L).forall { case (q, _, _, c) => c <= bruteTop(q) })
+    val r10 = recall1(10)
+    val r40 = recall1(40)
+    info(f"PQ recall@1: shortlist=10 $r10%.3f, shortlist=40 $r40%.3f")
+    assert(r10 >= 0.2, f"PQ recall@1 floor broken: $r10%.3f")
+    assert(r40 >= r10, "PQ recall must not drop as the shortlist deepens")
+  }
+
   test("spherical k-means refinement never decreases the cosine objective") {
     val emb = Tables.embeddings(spark, sf).cache()
     def objective(cents: org.apache.spark.sql.DataFrame): Double =
