@@ -298,6 +298,38 @@ object LlmQueries {
         .limit(100)
     }),
 
+    // Bigram language-model table: conditional next-token
+    // probabilities for the 20 highest-mass contexts — the count
+    // table behind n-gram LM scoring, perplexity-proxy quality
+    // filters and BPE-merge seeding. Scale shape: bigrams explode
+    // per-row (no shuffle), then TWO partial-agg'd count shuffles
+    // ((w1,w2) then w1 — never a token-partitioned window over the
+    // raw stream); the 20 surviving contexts broadcast back, so the
+    // rank window sees only their successor rows. p = n12/n1 is a
+    // ratio of exact longs — engine-portable at 6 dp.
+    "llm_ngram_lm" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bigrams = Tables.documents(s, d)
+        .select(words($"text").as("w"))
+        .withColumn("n", size($"w"))
+        .filter($"n" >= 2)
+        .select(explode(transform(sequence(lit(1), $"n" - 1),
+          i => struct(element_at($"w", i).as("w1"),
+            element_at($"w", i + 1).as("w2")))).as("bg"))
+        .select($"bg.w1", $"bg.w2")
+      val c12 = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n12"))
+      val c1 = c12.groupBy($"w1").agg(sum($"n12").as("n1"))
+      val top = c1.orderBy($"n1".desc, $"w1").limit(20)
+      val wN = Window.partitionBy($"w1").orderBy($"n12".desc, $"w2")
+      c12.join(broadcast(top), "w1")
+        .withColumn("p", round($"n12" * 1.0 / $"n1", 6))
+        .withColumn("rk", row_number().over(wN).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"w1", $"rk", $"w2", $"n12", $"p")
+        .orderBy($"w1", $"rk")
+    }),
+
     // TF-IDF keyword extraction: top-3 scoring terms per document —
     // the op behind keyword tagging and relevance-weighted filtering.
     // Scale shape: document frequency comes from a partial-agg'd
@@ -961,6 +993,22 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS doc_freq
         |FROM per GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "llm_ngram_lm" ->
+      """WITH tok AS (SELECT string_split(trim(text), ' ') AS w
+        |             FROM documents),
+        |bg AS (SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |       FROM tok WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg
+        |        GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12
+        |       GROUP BY w1),
+        |top AS (SELECT w1, n1 FROM c1 ORDER BY n1 DESC, w1 LIMIT 20),
+        |r AS (SELECT c.w1, c.w2, c.n12, round(c.n12 * 1.0 / t.n1, 6) AS p,
+        |        CAST(row_number() OVER (PARTITION BY c.w1
+        |          ORDER BY c.n12 DESC, c.w2) AS BIGINT) AS rk
+        |      FROM c12 c JOIN top t USING (w1))
+        |SELECT w1, rk, w2, n12, p FROM r WHERE rk <= 3
+        |ORDER BY w1, rk""".stripMargin,
     "llm_tfidf_topterms" ->
       """WITH tok AS (SELECT doc_id,
         |                    unnest(string_split(trim(text), ' ')) AS token

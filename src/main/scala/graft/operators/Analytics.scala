@@ -610,6 +610,33 @@ object Analytics {
         .orderBy($"user_id", $"session_idx")
     }),
 
+    // Cohort retention: users grouped by first-active week, tracked
+    // over the next 3 weeks (the growth-analytics staple). Scale
+    // shape: activity collapses to distinct (user, week) FIRST — the
+    // event stream reduces before anything joins; the cohort vector is
+    // user-sized; retention is integer per-mille (n*1000 DIV cohort),
+    // so no float crosses an engine boundary. All keys are user_id or
+    // (cohort, offset) — partial-agg'd shuffles, no windows.
+    "an_retention" -> ((s, d) => {
+      import s.implicits._
+      val act = Tables.events(s, d)
+        .select($"user_id",
+          expr("(ts DIV 1000000000) DIV 604800").as("week"))
+        .distinct()
+      val cohorts = act.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      val sizes = cohorts.groupBy($"cohort_week")
+        .agg(count(lit(1)).as("n_cohort"))
+      act.join(cohorts, "user_id")
+        .withColumn("week_offset", $"week" - $"cohort_week")
+        .filter($"week_offset" >= 0 && $"week_offset" <= 3)
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_week")
+        .select($"cohort_week", $"week_offset", $"n_active",
+          expr("n_active * 1000 DIV n_cohort").as("retention_pm"))
+        .orderBy($"cohort_week", $"week_offset")
+    }),
+
     // Ordered event funnel: view → click-after-view → purchase-after-
     // click, counted per stage (the event-analytics staple). Scale
     // shape: each stage is a user-keyed partial-agg'd min + ONE
@@ -1016,6 +1043,23 @@ object Analytics {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "an_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 604800 AS week FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM act
+        |            GROUP BY user_id),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        |          FROM cohorts GROUP BY cohort_week),
+        |ret AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |               CAST(count(*) AS BIGINT) AS n_active
+        |        FROM act a JOIN cohorts c USING (user_id)
+        |        WHERE a.week - c.cohort_week BETWEEN 0 AND 3
+        |        GROUP BY c.cohort_week, a.week - c.cohort_week)
+        |SELECT r.cohort_week, r.week_offset, r.n_active,
+        |       CAST(r.n_active * 1000 // s.n_cohort AS BIGINT)
+        |         AS retention_pm
+        |FROM ret r JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "an_funnel" ->
       """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
