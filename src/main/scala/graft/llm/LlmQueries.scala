@@ -330,6 +330,21 @@ object LlmQueries {
         .orderBy($"w1", $"rk")
     }),
 
+    // Perplexity-proxy quality score: per-document mean negative
+    // log-likelihood under the corpus's own bigram LM (the CCNet-style
+    // LM quality filter — repetitive/templated docs score LOW nll,
+    // incoherent token soup scores HIGH). Scale shape: the model table
+    // is the (w1, w2) count relation — corpus-sized, so scoring is a
+    // CO-PARTITIONED join of the bigram stream against it (both sides
+    // keyed (w1, w2); at 100 TB bucket both by bigram and the join
+    // plans with zero Exchange), never a broadcast of the model; the
+    // per-doc mean is one partial-agg'd shuffle by doc_id. p = n12/n1
+    // is a ratio of exact longs — identical doubles in any engine.
+    "llm_quality_lm" -> ((s, d) => {
+      import s.implicits._
+      Retrieval.bigramNll(Tables.documents(s, d)).orderBy($"doc_id")
+    }),
+
     // TF-IDF keyword extraction: top-3 scoring terms per document —
     // the op behind keyword tagging and relevance-weighted filtering.
     // Scale shape: document frequency comes from a partial-agg'd
@@ -993,6 +1008,22 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS doc_freq
         |FROM per GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "llm_quality_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |             FROM documents),
+        |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+        |              unnest(w[2:len(w)]) AS w2
+        |       FROM tok WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg
+        |        GROUP BY w1, w2),
+        |probs AS (SELECT c.w1, c.w2, c.n12 * 1.0 / t.n1 AS p
+        |          FROM c12 c JOIN (SELECT w1, CAST(sum(n12) AS BIGINT)
+        |                             AS n1 FROM c12 GROUP BY w1) t
+        |          USING (w1))
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln(p.p)), 6) AS nll
+        |FROM bg b JOIN probs p USING (w1, w2)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "llm_ngram_lm" ->
       """WITH tok AS (SELECT string_split(trim(text), ' ') AS w
         |             FROM documents),

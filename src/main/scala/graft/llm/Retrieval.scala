@@ -49,6 +49,33 @@ object Retrieval {
       .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 6).as("score"))
   }
 
+  /** Per-document mean negative log-likelihood under the corpus's own
+    * bigram LM (the perplexity-proxy quality filter): predictable,
+    * templated text scores LOW; incoherent token soup scores HIGH.
+    * p(w2|w1) = n12/n1 — exact-integer ratios, engine-portable; the
+    * model relation is corpus-sized and joins CO-PARTITIONED on
+    * (w1, w2), never broadcast. Returns (doc_id, n_bigrams, nll). */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val probs = c12.join(
+      c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1")), "w1")
+      .select(col("w1"), col("w2"), (col("n12") * 1.0 / col("n1")).as("p"))
+    bg.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("nll"))
+  }
+
   /** Temperature-weighted domain mixing over `docs(source, lang, text)`:
     * stratum weights ∝ count^alpha (alpha < 1 flattens the mix toward
     * rare domains — the standard pre-training recipe), then a

@@ -94,6 +94,25 @@ class RankingSpec extends AnyFunSuite with SparkSpec {
     assert(sA > 0 && sB > 0)
   }
 
+  test("bigramNll: predictable text scores lower than unpredictable text") {
+    // context 's' has successors a (3x) and b/c/d (1x each):
+    // doc 10 repeats the MAJORITY continuation, docs 11-13 each take a
+    // minority one — the LM must score doc 10 as more predictable
+    val docs = Seq(
+      (10L, "s a s a s a"),
+      (11L, "s b q q"), (12L, "s c q q"), (13L, "s d q q"))
+      .toDF("doc_id", "text")
+    val nll = Retrieval.bigramNll(docs)
+      .select($"doc_id", $"nll").as[(Long, Double)].collect().toMap
+    assert(nll(10L) < nll(11L))
+    assert(nll(11L) === nll(12L)) // symmetric minority docs tie exactly
+    // a certain continuation (p=1 everywhere) has zero information
+    val certain = Retrieval.bigramNll(
+      Seq((1L, "u v u v u v")).toDF("doc_id", "text"))
+      .select($"nll").as[Double].head()
+    assert(certain === 0.0)
+  }
+
   test("domainMix: equal strata get equal weights and quotas") {
     val docs = (0 until 40).map(i => (s"src${i % 4}", "en", s"doc $i"))
       .toDF("source", "lang", "text")
