@@ -330,6 +330,30 @@ object LlmQueries {
         .orderBy($"w1", $"rk")
     }),
 
+    // Within-document repetition (the C4/Gopher repetition filter):
+    // fraction of duplicated 4-gram shingles per document. Pure
+    // per-row array algebra — shingle, distinct, ratio — so a 100 TB
+    // corpus scores at scan speed with ZERO shuffle (the presentation
+    // sort is the only exchange). Complements llm_text_quality's
+    // word-level ratios with phrase-level looping detection.
+    "llm_repetition" -> ((s, d) => {
+      import s.implicits._
+      val k = 4
+      Tables.documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .withColumn("n", size($"w"))
+        .filter($"n" >= k)
+        .withColumn("sh", transform(sequence(lit(1), $"n" - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(o =>
+            element_at($"w", i + o)): _*)))
+        .select($"doc_id",
+          size($"sh").cast("long").as("n_shingles"),
+          size(array_distinct($"sh")).cast("long").as("n_distinct"),
+          round(lit(1.0) - size(array_distinct($"sh")) * 1.0 / size($"sh"),
+            6).as("rep_ratio"))
+        .orderBy($"doc_id")
+    }),
+
     // Perplexity-proxy quality score: per-document mean negative
     // log-likelihood under the corpus's own bigram LM (the CCNet-style
     // LM quality filter — repetitive/templated docs score LOW nll,
@@ -1008,6 +1032,19 @@ object LlmQueries {
         |       CAST(count(*) AS BIGINT) AS doc_freq
         |FROM per GROUP BY token
         |ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+    "llm_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |             FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(w[1:len(w)-3]) || ' ' || unnest(w[2:len(w)-2])
+        |           || ' ' || unnest(w[3:len(w)-1]) || ' ' ||
+        |           unnest(w[4:len(w)]) AS s
+        |       FROM tok WHERE len(w) >= 4)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(count(DISTINCT s) AS BIGINT) AS n_distinct,
+        |       round(1.0 - count(DISTINCT s) * 1.0 / count(*), 6)
+        |         AS rep_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_quality_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
         |             FROM documents),
