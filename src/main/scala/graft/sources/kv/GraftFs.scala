@@ -145,6 +145,39 @@ object GraftFs {
     }
   }
 
+  /** Put-if-absent: create `path` with `content` ONLY if it does not
+    * exist. Returns false (and writes nothing) if another writer got
+    * there first. This is the local/HDFS emulation of S3's conditional
+    * PUT (`If-None-Match: *`) — the primitive [[CasPointerStore]]
+    * builds its no-rename pointer protocol on.
+    *
+    *  - local: NIO `CREATE_NEW` — a kernel-atomic exclusive create
+    *    (O_CREAT|O_EXCL), no tmp file, no window;
+    *  - HDFS: `create(overwrite = false)` is namenode-atomic;
+    *  - S3A (Hadoop 3.4.1+): `fs.s3a.create.conditional.enabled` maps
+    *    the same call onto the real conditional PUT. */
+  def createExclusive(path: String, content: String): Boolean = {
+    val p = new Path(path); val fs = fsFor(p)
+    fs.mkdirs(p.getParent)
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      val nio = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      try {
+        java.nio.file.Files.write(nio,
+          content.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
   /** Move `src` over `dst` (overwrite). Used only inside the legacy
     * migration, which runs under the pointer lock — no reader races
     * this. */

@@ -4,17 +4,19 @@ package graft.sources.kv
   * write path (write/KVStore.scala) and the scan path ([[KVLayout]])
   * resolve the live compacted generation through here, so the
   * durability rules live in exactly one place — and every byte moves
-  * through the [[GraftFs]] storage seam, so the protocol is the same
-  * on local disk and HDFS (S3's conditional-put variant slots in
-  * behind `GraftFs.atomicReplace`, see its scaladoc):
+  * through the [[GraftFs]] storage seam, with the flip itself delegated
+  * to the scheme-appropriate [[PointerStore]] protocol:
   *
-  *  - `compacted/_graft_current.txt` holds `"<gen> <numBuckets>"` and is
-  *    only ever REPLACED via tmp-file + atomic rename
-  *    ([[GraftFs.atomicReplace]]: NIO `ATOMIC_MOVE` locally, namenode
-  *    rename on HDFS) — a reader racing a compaction's publish sees the
-  *    old pointer or the new one, never a truncated file (the
-  *    reference's equivalent guarantee is HBase's atomic HFile
-  *    bulk-load commit, HBaseTable.scala:316-344);
+  *  - POSIX/HDFS: `compacted/_graft_current.txt` holds
+  *    `"<gen> <numBuckets>"` and is only ever REPLACED via tmp-file +
+  *    atomic rename ([[RenamePointerStore]] — NIO `ATOMIC_MOVE`
+  *    locally, namenode rename on HDFS); S3-class schemes: immutable
+  *    generation-numbered pointer objects created with conditional PUT
+  *    ([[CasPointerStore]] — no rename exists there). Either way a
+  *    reader racing a compaction's publish sees the old pointer or the
+  *    new one, never a truncated file (the reference's equivalent
+  *    guarantee is HBase's atomic HFile bulk-load commit,
+  *    HBaseTable.scala:316-344);
   *  - each generation directory carries its own
   *    `gen-<N>/_graft_meta.txt` completeness marker (written AFTER the
   *    parquet job commits, BEFORE the pointer flips). If the pointer is
@@ -31,30 +33,39 @@ object KVPointer {
   private val POINTER = "_graft_current.txt"
   private val GEN_META = "_graft_meta.txt"
   private val LEGACY = "_graft_buckets.txt"
-  /** Serializes recovery/migration within this JVM; the pointer file
-    * itself (atomic rename) serializes across JVMs. */
+  /** Serializes recovery/migration within this JVM; the pointer
+    * protocol itself (atomic rename / conditional put, by scheme —
+    * [[PointerStore]]) serializes across JVMs. */
   private val lock = new Object
 
-  private def pointerPath(tablePath: String) =
-    s"$tablePath/compacted/$POINTER"
+  private def store(tablePath: String): PointerStore =
+    PointerStore.forPath(tablePath)
 
   /** `(generation, numBuckets)` of the live compacted state, or None if
     * the table was never compacted. Malformed pointers recover; only a
     * truly absent compacted state returns None. */
   def read(tablePath: String): Option[(Int, Int)] =
-    parse(pointerPath(tablePath)).orElse(lock.synchronized {
+    store(tablePath).readLatest(tablePath).orElse(lock.synchronized {
       // re-check under the lock: another thread may have just repaired
       // or migrated, or a racing publish may have landed a valid pointer
-      parse(pointerPath(tablePath))
+      store(tablePath).readLatest(tablePath)
         .orElse(recoverFromGenerations(tablePath))
         .orElse(migrateLegacy(tablePath))
     })
 
-  /** Atomically publish `gen` as the live generation. Write-tmp +
-    * atomic rename: readers never observe a partial pointer, and a
-    * crash at any point leaves either the old pointer or the new. */
+  /** Publish `gen` as the live generation through the scheme's
+    * protocol ([[PointerStore]]): atomic rename where the filesystem
+    * has one, immutable conditional-put objects where it does not.
+    * Readers never observe a partial pointer, and a crash at any point
+    * leaves either the old pointer or the new. Throws if ANOTHER
+    * writer already published this generation (conditional-put loser:
+    * the caller's compaction raced and its output is not the live
+    * generation — silent last-writer-wins would orphan data). */
   def publish(tablePath: String, gen: Int, numBuckets: Int): Unit =
-    GraftFs.atomicReplace(pointerPath(tablePath), s"$gen $numBuckets")
+    if (!store(tablePath).publish(tablePath, gen, numBuckets))
+      throw new java.util.ConcurrentModificationException(
+        s"generation $gen of $tablePath was concurrently published by " +
+          "another writer; this compaction lost the race")
 
   /** Completeness marker inside the generation directory — written after
     * the parquet job commits and before the pointer flips, so "marker
@@ -63,14 +74,6 @@ object KVPointer {
   def writeGenMeta(tablePath: String, gen: Int, numBuckets: Int): Unit =
     GraftFs.writeString(s"$tablePath/compacted/gen-$gen/$GEN_META",
       s"$numBuckets")
-
-  private def parse(ptr: String): Option[(Int, Int)] =
-    GraftFs.readString(ptr).flatMap { s =>
-      try {
-        val parts = s.trim.split(" ")
-        Some((parts(0).toInt, parts(1).toInt))
-      } catch { case _: Exception => None } // empty/garbage → recover below
-    }
 
   /** Newest complete generation: prefer its `_graft_meta.txt`; for
     * generations written before the marker existed, accept parquet's
@@ -97,9 +100,10 @@ object KVPointer {
       // taken earlier cannot see). Re-parse immediately before the
       // repair and skip it unless the pointer is still invalid or
       // strictly older than what we recovered.
-      val live = parse(pointerPath(tablePath))
+      val live = store(tablePath).readLatest(tablePath)
       if (live.forall(_._1 < g))
-        try publish(tablePath, g, n) catch { case _: Exception => () }
+        try store(tablePath).publish(tablePath, g, n)
+        catch { case _: Exception => () }
     }
     recovered
   }

@@ -1,0 +1,119 @@
+package graft.sources.kv
+
+/** Storage-scheme-appropriate protocol for the generation pointer.
+  *
+  * The pointer is the ONE mutable piece of table state, so its
+  * durability story must match what the object store can actually
+  * promise:
+  *
+  *  - POSIX / HDFS have an atomic rename, so a single mutable pointer
+  *    file replaced via tmp + rename is torn-read-free
+  *    ([[RenamePointerStore]] — the [[GraftFs.atomicReplace]] path).
+  *  - S3-class stores have NO atomic rename (rename = copy + delete
+  *    with a visible gap) but DO have atomic single-object PUT and
+  *    conditional create (`If-None-Match: *`). [[CasPointerStore]]
+  *    therefore never mutates anything: each publish creates an
+  *    IMMUTABLE, generation-numbered pointer object via put-if-absent,
+  *    and readers resolve the max-numbered object. Torn reads are
+  *    impossible (objects appear atomically or not at all), and a
+  *    publish race surfaces as an explicit loser instead of a silent
+  *    last-writer-wins (S3 listings have been strongly consistent —
+  *    list-after-write — since 2020, so the max is the truth).
+  *
+  * The scheme decides ([[PointerStore.forPath]]); both stores speak
+  * through [[GraftFs]], so local tests drive the exact S3 protocol
+  * (create-exclusive is the local emulation of conditional PUT).
+  */
+trait PointerStore {
+  /** Publish `gen` as live. Returns false if ANOTHER writer already
+    * published this generation (CAS loser — the caller's compaction
+    * raced and must not assume its files are the live ones). */
+  def publish(tablePath: String, gen: Int, numBuckets: Int): Boolean
+  /** The live `(generation, numBuckets)`, or None if never published. */
+  def readLatest(tablePath: String): Option[(Int, Int)]
+}
+
+object PointerStore {
+  /** Schemes with no atomic rename — pointer flips must be CAS. */
+  val NoRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "wasb", "abfs")
+
+  def schemeOf(path: String): Option[String] =
+    Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+
+  def forScheme(scheme: Option[String]): PointerStore =
+    if (scheme.exists(NoRenameSchemes.contains)) CasPointerStore
+    else RenamePointerStore
+
+  def forPath(tablePath: String): PointerStore =
+    forScheme(schemeOf(tablePath))
+
+  private[kv] def parsePair(s: String): Option[(Int, Int)] =
+    try {
+      val parts = s.trim.split(" ")
+      Some((parts(0).toInt, parts(1).toInt))
+    } catch { case _: Exception => None }
+}
+
+/** Mutable single-file pointer, replaced atomically (POSIX/HDFS). */
+object RenamePointerStore extends PointerStore {
+  private[kv] def pointerPath(tablePath: String) =
+    s"$tablePath/compacted/_graft_current.txt"
+
+  override def publish(tablePath: String, gen: Int, numBuckets: Int): Boolean = {
+    GraftFs.atomicReplace(pointerPath(tablePath), s"$gen $numBuckets")
+    true // rename-overwrite cannot observe a loser; last writer wins
+  }
+
+  override def readLatest(tablePath: String): Option[(Int, Int)] =
+    GraftFs.readString(pointerPath(tablePath))
+      .flatMap(PointerStore.parsePair)
+}
+
+/** Immutable generation-numbered pointer objects, created with
+  * put-if-absent; the live generation is the max-numbered object.
+  * The S3-class protocol — no rename, no overwrite, no torn state. */
+object CasPointerStore extends PointerStore {
+  private val Name = "ptr-(\\d{10})\\.txt".r
+
+  private[graft] def ptrDir(tablePath: String) =
+    s"$tablePath/compacted/_graft_ptr"
+  private def ptrPath(tablePath: String, gen: Int) =
+    f"${ptrDir(tablePath)}/ptr-$gen%010d.txt"
+
+  override def publish(tablePath: String, gen: Int, numBuckets: Int): Boolean = {
+    val won = GraftFs.createExclusive(ptrPath(tablePath, gen),
+      s"$gen $numBuckets")
+    if (won) {
+      // best-effort retirement of pointers older than gen-1: readers
+      // resolve the MAX object, so removing strictly-older ones can
+      // never change what they see (gen and gen-1 are kept, matching
+      // the generation-directory retention window)
+      GraftFs.list(ptrDir(tablePath)).foreach { e =>
+        e.name match {
+          case Name(g) if g.toInt < gen - 1 =>
+            try GraftFs.delete(e.path, recursive = false)
+            catch { case _: Exception => () }
+          case _ => ()
+        }
+      }
+    }
+    won
+  }
+
+  override def readLatest(tablePath: String): Option[(Int, Int)] = {
+    val candidates = GraftFs.list(ptrDir(tablePath))
+      .flatMap(e => e.name match {
+        case Name(g) => Some((g.toInt, e.path))
+        case _ => None // partial-upload tmp junk, foreign files: ignored
+      })
+      .sortBy(-_._1)
+    // objects are immutable, but a racing retirement may delete an old
+    // candidate between list and read — skip to the next newest
+    candidates.iterator
+      .flatMap { case (_, p) =>
+        GraftFs.readString(p).flatMap(PointerStore.parsePair)
+      }
+      .buffered.headOption
+  }
+}
