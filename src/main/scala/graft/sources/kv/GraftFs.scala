@@ -160,14 +160,25 @@ object GraftFs {
     val p = new Path(path); val fs = fsFor(p)
     fs.mkdirs(p.getParent)
     if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      // S3's conditional PUT is atomic WITH its content — emulate that
+      // exactly: stage the bytes in a private tmp file, then hard-LINK
+      // it into place (link(2) is atomic and fails if the name exists),
+      // so a racing reader sees the full object or nothing, never a
+      // created-but-unwritten file
       val nio = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      val tmp = nio.resolveSibling(
+        s".${nio.getFileName}.${java.util.UUID.randomUUID()}.tmp")
       try {
-        java.nio.file.Files.write(nio,
-          content.getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
+        java.nio.file.Files.write(tmp,
+          content.getBytes(StandardCharsets.UTF_8))
+        java.nio.file.Files.createLink(nio, tmp)
         true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Exception => () }
+      }
     } else {
       try {
         val out = fs.create(p, false)

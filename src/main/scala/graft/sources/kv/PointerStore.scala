@@ -45,8 +45,17 @@ object PointerStore {
     if (scheme.exists(NoRenameSchemes.contains)) CasPointerStore
     else RenamePointerStore
 
+  /** Operational override (`-Dgraft.kv.pointer.protocol=cas|rename`)
+    * for filesystems whose scheme lies about its semantics — e.g. NFS
+    * mounts exposed as `file://` where rename atomicity is dubious, or
+    * an S3-compatible store mounted under a custom scheme. Tests also
+    * use it to drive the full table lifecycle over the CAS protocol. */
   def forPath(tablePath: String): PointerStore =
-    forScheme(schemeOf(tablePath))
+    sys.props.get("graft.kv.pointer.protocol") match {
+      case Some("cas")    => CasPointerStore
+      case Some("rename") => RenamePointerStore
+      case _              => forScheme(schemeOf(tablePath))
+    }
 
   private[kv] def parsePair(s: String): Option[(Int, Int)] =
     try {

@@ -59,22 +59,51 @@ class PointerStoreSpec extends AnyFunSuite with SparkSpec {
     assert(CasPointerStore.readLatest(t) === Some((5, 4)))
   }
 
+  test("full table lifecycle over the CAS protocol: put, compact x2, resolve") {
+    // -Dgraft.kv.pointer.protocol=cas forces the S3-shaped pointer onto
+    // the local table, so every generation flip in this test goes
+    // through conditional-put objects instead of rename
+    import spark.implicits._
+    import graft.write.KVTable
+    sys.props("graft.kv.pointer.protocol") = "cas"
+    try {
+      val t = KVTable(spark, fresh("lifecycle"), wipe = true)
+      t.put(Seq((1L, "F", "a", "v1", 1L), (2L, "F", "a", "w1", 1L))
+        .toDF("key", "family", "qualifier", "value", "ts"))
+      t.compact() // gen 0 published via CAS
+      t.put(Seq((1L, "F", "a", "v2", 5L))
+        .toDF("key", "family", "qualifier", "value", "ts"))
+      t.compact() // gen 1
+      val got = t.resolved().select($"key", $"value")
+        .as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "v2", 2L -> "w1"))
+      assert(CasPointerStore.readLatest(t.path).map(_._1) === Some(1))
+      // the rename-protocol pointer file must not exist — nothing in
+      // the flow fell back to the mutable-file path
+      assert(!GraftFs.exists(s"${t.path}/compacted/_graft_current.txt"))
+    } finally sys.props.remove("graft.kv.pointer.protocol")
+  }
+
   test("CAS: concurrent publishers — one winner per generation, readers " +
     "never see torn or regressing state") {
     val t = fresh("race")
     val gens = 40
     val winners = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val seen = new java.util.concurrent.atomic.AtomicInteger(-1)
     val torn = new java.util.concurrent.atomic.AtomicInteger(0)
     val readers = (1 to 4).map { _ =>
       new Thread(() => {
+        // monotonicity is a PER-READER guarantee: this thread's next
+        // list starts after its previous one finished, so with
+        // strongly-consistent listing its own max never regresses
+        // (cross-thread completion order proves nothing — a thread
+        // that listed earlier may finish reading later)
+        var seen = -1
         while (!stop.get()) {
           CasPointerStore.readLatest(t).foreach { case (g, n) =>
             if (n != g + 100) torn.incrementAndGet() // content must be intact
-            // monotone: a later read never observes an older max
-            val prev = seen.getAndAccumulate(g, math.max)
-            if (g < prev) torn.incrementAndGet()
+            if (g < seen) torn.incrementAndGet()
+            seen = math.max(seen, g)
           }
         }
       })
