@@ -183,6 +183,20 @@ object LlmQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Incremental PQ ANN: a NEW vector batch probes the standing
+    // corpus's persisted codebook + codes — the corpus never
+    // re-encodes for a query batch (the PQ leg of the incremental
+    // triad: exact-hash, minhash band index, IVF assignment, PQ codes).
+    "llm_ann_pq_incr" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter($"vec_id" % 25 =!= 0)
+      val (codebook, codes) = Similarity.pqIndex(corpus, 10)
+      Similarity.pqProbe(codebook, codes, corpus,
+          emb.filter($"vec_id" % 25 === 0), k = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Incremental IVF ANN: a NEW vector batch (vec_id%25==0) probes the
     // standing corpus's prebuilt centroid assignment — the corpus never
     // re-assigns for a query batch, only the batch crosses the wire
@@ -826,6 +840,46 @@ object LlmQueries {
         |                    + list_inner_product(c.ce, c.ce), 6) ASC,
         |                    c.cid) AS rk
         |  FROM sub s JOIN cb c USING (sub)) WHERE rk = 1),
+        |qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
+        |         round(list_inner_product(s.se, s.se)
+        |           - 2*list_inner_product(s.se, c.ce)
+        |           + list_inner_product(c.ce, c.ce), 6) AS qd2
+        |       FROM sub s JOIN cb c USING (sub) WHERE s.vec_id % 25 = 0),
+        |adc AS (SELECT q.query_id, k.vec_id AS nb_id,
+        |               round(sum(q.qd2), 6) AS adist
+        |        FROM codes k JOIN qd q ON k.sub = q.sub AND k.cid = q.cid
+        |        WHERE k.vec_id <> q.query_id
+        |        GROUP BY q.query_id, k.vec_id),
+        |short AS (SELECT query_id, nb_id FROM (
+        |  SELECT query_id, nb_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY adist ASC, nb_id) AS rk FROM adc) WHERE rk <= 10),
+        |scored AS (SELECT s.query_id, s.nb_id,
+        |             round(list_cosine_similarity(qe.e, ne.e), 6) AS cos
+        |           FROM short s
+        |           JOIN e qe ON qe.vec_id = s.query_id
+        |           JOIN e ne ON ne.vec_id = s.nb_id)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_pq_incr" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sub AS (SELECT vec_id, r.m AS sub, e[r.m*16+1 : r.m*16+16] AS se
+        |        FROM e, range(4) r(m)),
+        |cb AS (SELECT vec_id // 10 AS cid, sub, se AS ce FROM sub
+        |       WHERE vec_id % 10 = 0 AND vec_id % 25 <> 0),
+        |codes AS (SELECT vec_id, sub, cid FROM (
+        |  SELECT s.vec_id, s.sub, c.cid,
+        |         row_number() OVER (PARTITION BY s.vec_id, s.sub
+        |           ORDER BY round(list_inner_product(s.se, s.se)
+        |                    - 2*list_inner_product(s.se, c.ce)
+        |                    + list_inner_product(c.ce, c.ce), 6) ASC,
+        |                    c.cid) AS rk
+        |  FROM sub s JOIN cb c USING (sub)
+        |  WHERE s.vec_id % 25 <> 0) WHERE rk = 1),
         |qd AS (SELECT s.vec_id AS query_id, s.sub, c.cid,
         |         round(list_inner_product(s.se, s.se)
         |           - 2*list_inner_product(s.se, c.ce)

@@ -223,7 +223,7 @@ object Similarity {
   /** Per-subspace view of a vector set: `(id, sub, se, nse)` — the
     * vector sliced into `m` contiguous sub-vectors with their squared
     * norms precomputed (one native dot per slice). */
-  private def pqSubspaces(emb: DataFrame, idAlias: String,
+  private[llm] def pqSubspaces(emb: DataFrame, idAlias: String,
                           m: Int, subDim: Int): DataFrame =
     prepared(emb, idAlias)
       .select(col(idAlias), posexplode(array((0 until m).map(i =>
@@ -269,6 +269,27 @@ object Similarity {
     val codebook = pqCodebook(emb, stride, m, subDim)
     val codes = pqEncode(pqSubspaces(emb, "nb_id", m, subDim),
       codebook, "nb_id")
+    pqProbe(codebook, codes, emb, queries, k, m, subDim, shortlist)
+  }
+
+  /** Build the persistable PQ index for a corpus: `(codebook, codes)`
+    * — what lives on disk between query batches (the PQ sibling of
+    * [[ivfIndex]] and the minhash band index). */
+  def pqIndex(emb: DataFrame, stride: Int, m: Int = 4,
+              subDim: Int = 16): (DataFrame, DataFrame) = {
+    val codebook = pqCodebook(emb, stride, m, subDim)
+    (codebook, pqEncode(pqSubspaces(emb, "nb_id", m, subDim),
+      codebook, "nb_id"))
+  }
+
+  /** Search a PREBUILT PQ index (codebook + codes): the incremental
+    * path — a query batch never re-encodes the standing corpus, it
+    * broadcasts its distance table against the persisted codes (the PQ
+    * sibling of [[ivfProbe]] and the minhash band-index probe). `emb`
+    * supplies the corpus float vectors for the shortlist re-rank only. */
+  def pqProbe(codebook: DataFrame, codes: DataFrame, emb: DataFrame,
+              queries: DataFrame, k: Int, m: Int = 4, subDim: Int = 16,
+              shortlist: Int = 10): DataFrame = {
     val dtable = pqSubspaces(queries, "query_id", m, subDim)
       .join(broadcast(codebook), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),

@@ -261,6 +261,27 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(r40 >= r10, "PQ recall must not drop as the shortlist deepens")
   }
 
+  test("PQ probe over a prebuilt index (incremental path) is exhaustive-exact") {
+    // a batch probing the standing corpus's persisted codebook+codes,
+    // with the shortlist covering the corpus, must equal brute force of
+    // the batch against the corpus — proves pqProbe searches the index,
+    // not some re-derived state
+    val emb = Tables.embeddings(spark, sf).cache()
+    val corpus = emb.filter($"vec_id" % 25 =!= 0)
+    val batch = emb.filter($"vec_id" % 25 === 0)
+    val (codebook, codes) = Similarity.pqIndex(corpus, 10)
+    val n = corpus.count().toInt
+    val probe = Similarity.pqProbe(codebook, codes, corpus, batch, k = 3,
+        shortlist = n)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, batch, 3)
+      .select($"query_id", $"rank", $"nb_id", $"cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(probe.nonEmpty)
+    assert(probe === brute)
+  }
+
   test("spherical k-means refinement never decreases the cosine objective") {
     val emb = Tables.embeddings(spark, sf).cache()
     def objective(cents: org.apache.spark.sql.DataFrame): Double =
