@@ -831,7 +831,7 @@ object LlmQueries {
         |sub AS (SELECT vec_id, r.m AS sub, e[r.m*16+1 : r.m*16+16] AS se
         |        FROM e, range(4) r(m)),
         |cb AS (SELECT vec_id // 10 AS cid, sub, se AS ce FROM sub
-        |       WHERE vec_id % 10 = 0),
+        |       WHERE vec_id % 10 = 0 AND vec_id < 640),
         |codes AS (SELECT vec_id, sub, cid FROM (
         |  SELECT s.vec_id, s.sub, c.cid,
         |         row_number() OVER (PARTITION BY s.vec_id, s.sub
@@ -870,7 +870,8 @@ object LlmQueries {
         |sub AS (SELECT vec_id, r.m AS sub, e[r.m*16+1 : r.m*16+16] AS se
         |        FROM e, range(4) r(m)),
         |cb AS (SELECT vec_id // 10 AS cid, sub, se AS ce FROM sub
-        |       WHERE vec_id % 10 = 0 AND vec_id % 25 <> 0),
+        |       WHERE vec_id % 10 = 0 AND vec_id < 640
+        |         AND vec_id % 25 <> 0),
         |codes AS (SELECT vec_id, sub, cid FROM (
         |  SELECT s.vec_id, s.sub, c.cid,
         |         row_number() OVER (PARTITION BY s.vec_id, s.sub

@@ -231,12 +231,16 @@ object Similarity {
       .withColumn("nse", expr("graft_dot(se, se)"))
 
   /** PQ codebook: per subspace, the sub-vectors of the deterministic
-    * stride sample (`vec_id % stride == 0`, dense ids `vec_id/stride`)
-    * — the third ANN family's index seed (k-means would refine it the
-    * same way [[kmeansCentroids]] refines IVF's). Tiny by construction
-    * (m · N/stride rows) — always broadcast. */
-  def pqCodebook(emb: DataFrame, stride: Int, m: Int, subDim: Int): DataFrame =
-    pqSubspaces(emb.filter(col("vec_id") % stride === 0), "src_id", m, subDim)
+    * stride sample (`vec_id % stride == 0`, dense ids `vec_id/stride`),
+    * CAPPED at `maxCentroids` — a PQ codebook is fixed-K by definition
+    * (the codes must fit a small integer), so its size is bounded by
+    * construction and never grows with the corpus. The third ANN
+    * family's index seed (k-means would refine it the same way
+    * [[kmeansCentroids]] refines IVF's); always broadcast. */
+  def pqCodebook(emb: DataFrame, stride: Int, m: Int, subDim: Int,
+                 maxCentroids: Int = 64): DataFrame =
+    pqSubspaces(emb.filter(col("vec_id") % stride === 0
+        && col("vec_id") < stride.toLong * maxCentroids), "src_id", m, subDim)
       .select(expr(s"src_id DIV $stride").as("cid"), col("sub"),
         col("se").as("ce"), col("nse").as("nce"))
 
