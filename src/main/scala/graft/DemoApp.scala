@@ -119,6 +119,20 @@ object DemoApp {
     println("== z-order clustered layout: read-back filtered on the secondary column ==")
     SparkEntry.queries("s11_zorder_scan")(spark, d).show(3)
 
+    // --- retrieval, ranking, event analytics (round 8c) ---------------
+    println("== BM25 retrieval for the query {merge, scan, window} ==")
+    SparkEntry.queries("llm_bm25_topk")(spark, d).show(5)
+    println("== PageRank over the order-part graph (2 power iterations) ==")
+    SparkEntry.queries("g11_pagerank")(spark, d).show(5)
+    println("== PQ/ADC ANN: codes scan + broadcast distance tables + re-rank ==")
+    SparkEntry.queries("llm_ann_pq")(spark, d).show(5)
+    println("== temperature domain mixing (count^0.5 stratum weights) ==")
+    SparkEntry.queries("llm_domain_mix")(spark, d).show(5)
+    println("== event funnel: view -> click -> purchase, in order ==")
+    SparkEntry.queries("an_funnel")(spark, d).show()
+    println("== bigram-LM quality: most- and least-predictable docs ==")
+    SparkEntry.queries("llm_quality_lm")(spark, d).orderBy($"nll").show(3)
+
     spark.stop()
   }
 }
