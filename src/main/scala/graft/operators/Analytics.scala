@@ -610,6 +610,36 @@ object Analytics {
         .orderBy($"user_id", $"session_idx")
     }),
 
+    // Z-score anomaly detection per event type (the monitoring /
+    // data-quality staple). Variance comes from EXPLICIT power sums
+    // (n, Σx, Σx²) so any engine reproduces the identical doubles —
+    // Welford/streaming variance differs across engines (production
+    // would use per-partition Welford + merge; the power-sum form is
+    // fine while sd is far from the cancellation regime, as here).
+    // Scale shape: one partial-agg'd stats pass (5 groups — broadcast
+    // back), one per-row z pass, one partial-agg'd rollup; no windows.
+    "an_zscore" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"value")
+      val stats = ev.groupBy($"event_type").agg(
+          count(lit(1)).as("n"),
+          sum($"value").as("s1"),
+          sum($"value" * $"value").as("s2"))
+        .withColumn("mean", $"s1" / $"n")
+        .withColumn("sd",
+          sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", round(($"value" - $"mean") / $"sd", 6))
+        .groupBy($"event_type", $"n", $"mean", $"sd")
+        .agg(
+          count(when(abs($"z") > 3, 1)).as("n_outliers"),
+          round(min($"z"), 6).as("min_z"),
+          round(max($"z"), 6).as("max_z"))
+        .select($"event_type", $"n", round($"mean", 6).as("mean"),
+          round($"sd", 6).as("sd"), $"n_outliers", $"min_z", $"max_z")
+        .orderBy($"event_type")
+    }),
+
     // Cohort retention: users grouped by first-active week, tracked
     // over the next 3 weeks (the growth-analytics staple). Scale
     // shape: activity collapses to distinct (user, week) FIRST — the
@@ -1043,6 +1073,24 @@ object Analytics {
         |FROM orders WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "an_zscore" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(value) AS s1, sum(value*value) AS s2
+        |       FROM ev GROUP BY event_type),
+        |stats AS (SELECT event_type, n, s1/n AS mean,
+        |            sqrt((s2 - s1*s1/n)/(n-1)) AS sd
+        |          FROM st),
+        |z AS (SELECT e.event_type, round((e.value - s.mean)/s.sd, 6) AS z
+        |      FROM ev e JOIN stats s USING (event_type))
+        |SELECT event_type, n, round(mean, 6) AS mean,
+        |       round(sd, 6) AS sd,
+        |       CAST(count(*) FILTER (abs(z) > 3) AS BIGINT)
+        |         AS n_outliers,
+        |       round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+        |FROM z JOIN stats USING (event_type)
+        |GROUP BY event_type, n, mean, sd
+        |ORDER BY event_type""".stripMargin,
     "an_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    (epoch_ns(ts) // 1000000000) // 604800 AS week FROM events),
