@@ -456,6 +456,23 @@ object WriteQueries {
           $"p_id".as("purchase_id"),
           (unix_timestamp($"p_ts") - unix_timestamp($"c_ts")).as("gap_sec"))
         .orderBy($"user_id", $"click_id", $"purchase_id")
+    }),
+
+    // §2.10 (extra): streaming running statistics — per-type power
+    // sums carried across micro-batches in mapGroupsWithState state
+    // (streaming/StreamStats.scala). Staged as 4 files with
+    // maxFilesPerTrigger=1, so the state accumulates over 4 genuine
+    // batches and the final emission equals the batch formula the
+    // oracle computes. State is O(#event types) x 3 numbers at any
+    // stream volume.
+    "st6_stream_stats" -> ((s, d) => {
+      import s.implicits._
+      val stage = RepoPaths.target("graft_stream/st6")
+      Tables.events(s, d).repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      graft.streaming.StreamStats
+        .run(s, stage, Tables.events(s, d).schema)
+        .orderBy($"event_type")
     })
   )
 
@@ -543,6 +560,13 @@ object WriteQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+    "st6_stream_stats" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              sum(value) AS s1, sum(value*value) AS s2
+        |            FROM events GROUP BY event_type)
+        |SELECT event_type, n, round(s1/n, 6) AS mean,
+        |       round(sqrt((s2 - s1*s1/n)/(n-1)), 6) AS sd
+        |FROM st ORDER BY event_type""".stripMargin,
     "st5_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_ns(ts) // 1000000000 AS sec FROM events)
