@@ -460,15 +460,15 @@ object WriteQueries {
 
     // §2.10 (extra): streaming running statistics — per-type power
     // sums carried across micro-batches in mapGroupsWithState state
-    // (streaming/StreamStats.scala). Staged as 4 files with
-    // maxFilesPerTrigger=1, so the state accumulates over 4 genuine
-    // batches and the final emission equals the batch formula the
-    // oracle computes. State is O(#event types) x 3 numbers at any
-    // stream volume.
+    // (streaming/StreamStats.scala). Staged as 2 files with
+    // maxFilesPerTrigger=1, so the state crosses a genuine batch
+    // boundary and the final emission equals the batch formula the
+    // oracle computes (StreamStatsSpec drives 4 batches). State is
+    // O(#event types) x 3 numbers at any stream volume.
     "st6_stream_stats" -> ((s, d) => {
       import s.implicits._
       val stage = RepoPaths.target("graft_stream/st6")
-      Tables.events(s, d).repartition(4)
+      Tables.events(s, d).repartition(2)
         .write.mode("overwrite").parquet(stage)
       graft.streaming.StreamStats
         .run(s, stage, Tables.events(s, d).schema)
