@@ -303,6 +303,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("llm_repetition is per-row: ZERO hash shuffles reach the plan") {
+    val plan = SparkEntry.queries("llm_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // shingle, distinct, ratio are array algebra inside the scan's
+    // projection; the only exchange is the presentation sort's range
+    // partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan.take(2000))
+  }
+
+  test("funnel and retention stay window-free (user-keyed joins + aggs only)") {
+    for (q <- Seq("an_funnel", "an_retention")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q grew a window:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    }
+  }
+
   test("no registered query plans an unpartitioned (single-task) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
