@@ -93,6 +93,32 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Quality-aware dedup: within each near-dup cluster keep the
+    // HIGHEST-QUALITY document (lexical diversity score), not the
+    // smallest id — the production dedup policy (C4 keeps one "best"
+    // member per cluster). Scale shape: cluster labels come from the
+    // pair-graph loop (corpus never enters it); the keeper election is
+    // a partial-agg'd max(struct(quality, -doc_id)) per cluster —
+    // never a per-cluster window over the corpus; the 6-dp-rounded
+    // score + id tie-break make the winner engine-portable.
+    "llm_dedup_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val cl = Dedup.clusters(docs, Dedup.minHashLsh(docs, 0.8))
+        .select($"doc_id", $"cluster")
+      val q = docs.select($"doc_id",
+        round(size(array_distinct(words($"text"))) * 1.0
+          / size(words($"text")), 6).as("quality"))
+      val full = cl.join(q, "doc_id")
+      val best = full.groupBy($"cluster")
+        .agg(max(struct($"quality", (-$"doc_id").as("nid"))).as("b"))
+        .select($"cluster", (-$"b.nid").as("best_doc"))
+      full.join(best, "cluster")
+        .select($"doc_id", $"cluster", $"quality",
+          ($"doc_id" === $"best_doc").cast("long").as("keep"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic stratified sample: per language, the 50 docs with
     // the smallest text hash — an unbiased, engine-agnostic balanced
     // subsample (training-mix construction). Two-phase top-k: a
@@ -726,6 +752,49 @@ object LlmQueries {
         |       CAST(coalesce(l.cluster, d.doc_id) = d.doc_id AS BIGINT) AS keep
         |FROM documents d LEFT JOIN lab l USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin),
+    "llm_dedup_keep_best" -> (DOC_CTE.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((h0 * (i*2+1) + i*999983) % 1000000007) AS mh
+        |       FROM sh0, range(16) r(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS b,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |common AS (SELECT da, db, count(*) AS common FROM cand
+        |           JOIN sh sa ON sa.doc_id = da
+        |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+        |           GROUP BY da, db),
+        |pairs AS (SELECT da, db
+        |          FROM common JOIN cnt ca ON da = ca.doc_id
+        |                      JOIN cnt cb ON db = cb.doc_id
+        |          WHERE common*1.0/(ca.n+cb.n-common) >= 0.8),
+        |e AS (SELECT da AS v, db AS w FROM pairs
+        |      UNION SELECT db, da FROM pairs),
+        |reach AS (SELECT v, w FROM e
+        |          UNION
+        |          SELECT r.v, e.w FROM reach r JOIN e ON r.w = e.v),
+        |lab AS (SELECT v AS doc_id, least(v, min(w)) AS cluster
+        |        FROM reach GROUP BY v),
+        |qual AS (SELECT doc_id,
+        |           round(len(list_distinct(string_split(trim(text), ' ')))
+        |             * 1.0 / len(string_split(trim(text), ' ')), 6)
+        |             AS quality
+        |         FROM documents),
+        |filled AS (SELECT d.doc_id,
+        |             coalesce(l.cluster, d.doc_id) AS cluster, q.quality
+        |           FROM documents d LEFT JOIN lab l USING (doc_id)
+        |           JOIN qual q USING (doc_id)),
+        |best AS (SELECT cluster, doc_id AS best_doc FROM (
+        |  SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY quality DESC, doc_id ASC) AS rn FROM filled)
+        |  WHERE rn = 1)
+        |SELECT f.doc_id, f.cluster, f.quality,
+        |       CAST(f.doc_id = b.best_doc AS BIGINT) AS keep
+        |FROM filled f JOIN best b USING (cluster)
+        |ORDER BY f.doc_id""".stripMargin),
     "llm_dedup_simhash" ->
       (s"""WITH dw AS (SELECT DISTINCT doc_id, word FROM (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
