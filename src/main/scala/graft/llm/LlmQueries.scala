@@ -409,6 +409,49 @@ object LlmQueries {
       Retrieval.bigramNll(Tables.documents(s, d)).orderBy($"doc_id")
     }),
 
+    // PMI co-occurrence: pointwise mutual information of token pairs
+    // within a ±2 window — the association statistic behind
+    // word-vector prep, collocation mining and phrase detection.
+    // Scale shape: skip-gram pairs explode per-row (shift-1 and
+    // shift-2 zips, no shuffle), ONE partial-agg'd pair-count shuffle
+    // + one token-count shuffle; corpus totals ride in as broadcast
+    // scalars; top-k is TakeOrdered. PMI is a ratio of exact longs —
+    // identical doubles in any engine, rounded at 6 dp.
+    "llm_pmi_cooccur" -> ((s, d) => {
+      import s.implicits._
+      def shifted(dist: Int) =
+        Tables.documents(s, d)
+          .select(words($"text").as("w"))
+          .withColumn("n", size($"w"))
+          .filter($"n" > dist)
+          .select(explode(transform(sequence(lit(1), $"n" - dist),
+            i => struct(
+              least(element_at($"w", i), element_at($"w", i + dist))
+                .as("a"),
+              greatest(element_at($"w", i), element_at($"w", i + dist))
+                .as("b")))).as("p"))
+          .select($"p.a", $"p.b")
+      val prs = shifted(1).unionAll(shifted(2)).filter($"a" =!= $"b")
+      val cab = prs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      val toks = Tables.documents(s, d)
+        .select(explode(words($"text")).as("t")).filter($"t" =!= "")
+        .groupBy($"t").agg(count(lit(1)).as("c_t"))
+      val totals = cab.agg(sum($"c_ab").as("pair_total"))
+        .crossJoin(toks.agg(sum($"c_t").as("tok_total")))
+      cab.filter($"c_ab" >= 5)
+        .join(broadcast(toks.withColumnRenamed("t", "a")
+          .withColumnRenamed("c_t", "c_a")), "a")
+        .join(broadcast(toks.withColumnRenamed("t", "b")
+          .withColumnRenamed("c_t", "c_b")), "b")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log(
+          ($"c_ab" * 1.0 / $"pair_total")
+            / (($"c_a" * 1.0 / $"tok_total")
+               * ($"c_b" * 1.0 / $"tok_total"))), 6))
+        .orderBy($"pmi".desc, $"a", $"b").limit(20)
+        .select($"a", $"b", $"c_ab", $"pmi")
+    }),
+
     // TF-IDF keyword extraction: top-3 scoring terms per document —
     // the op behind keyword tagging and relevance-weighted filtering.
     // Scale shape: document frequency comes from a partial-agg'd
@@ -1185,6 +1228,33 @@ object LlmQueries {
         |       round(avg(-ln(p.p)), 6) AS nll
         |FROM bg b JOIN probs p USING (w1, w2)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "llm_pmi_cooccur" ->
+      """WITH tok AS (SELECT string_split(trim(text), ' ') AS w
+        |             FROM documents),
+        |s1 AS (SELECT unnest(w[1:len(w)-1]) AS x, unnest(w[2:len(w)]) AS y
+        |       FROM tok WHERE len(w) > 1),
+        |s2 AS (SELECT unnest(w[1:len(w)-2]) AS x, unnest(w[3:len(w)]) AS y
+        |       FROM tok WHERE len(w) > 2),
+        |prs AS (SELECT least(x, y) AS a, greatest(x, y) AS b
+        |        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |        WHERE x <> y),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM prs
+        |        GROUP BY a, b),
+        |toks AS (SELECT t, CAST(count(*) AS BIGINT) AS c_t FROM (
+        |           SELECT unnest(w) AS t FROM tok)
+        |         WHERE t <> '' GROUP BY t),
+        |tot AS (SELECT (SELECT sum(c_ab) FROM cab) AS pair_total,
+        |               (SELECT sum(c_t) FROM toks) AS tok_total),
+        |res AS (SELECT cab.a, cab.b, cab.c_ab,
+        |          round(ln((c_ab * 1.0 / pair_total) /
+        |            ((ta.c_t * 1.0 / tok_total)
+        |             * (tb.c_t * 1.0 / tok_total))), 6) AS pmi
+        |        FROM cab JOIN toks ta ON cab.a = ta.t
+        |                 JOIN toks tb ON cab.b = tb.t
+        |                 CROSS JOIN tot
+        |        WHERE c_ab >= 5)
+        |SELECT a, b, c_ab, pmi FROM res
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     "llm_ngram_lm" ->
       """WITH tok AS (SELECT string_split(trim(text), ' ') AS w
         |             FROM documents),
