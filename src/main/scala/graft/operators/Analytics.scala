@@ -626,8 +626,13 @@ object Analytics {
           sum($"value").as("s1"),
           sum($"value" * $"value").as("s2"))
         .withColumn("mean", $"s1" / $"n")
+        // a single-observation group has no sample sd (divisor n-1):
+        // emit null explicitly — DuckDB raises on sqrt(negative)/÷0
+        // rather than returning null, so both engines must take the
+        // guarded branch for n=1 to stay hash-identical
         .withColumn("sd",
-          sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)))
+          when($"n" > 1,
+            sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1))))
       ev.join(broadcast(stats), "event_type")
         .withColumn("z", round(($"value" - $"mean") / $"sd", 6))
         .groupBy($"event_type", $"n", $"mean", $"sd")
@@ -1079,7 +1084,8 @@ object Analytics {
         |         sum(value) AS s1, sum(value*value) AS s2
         |       FROM ev GROUP BY event_type),
         |stats AS (SELECT event_type, n, s1/n AS mean,
-        |            sqrt((s2 - s1*s1/n)/(n-1)) AS sd
+        |            CASE WHEN n > 1
+        |                 THEN sqrt((s2 - s1*s1/n)/(n-1)) END AS sd
         |          FROM st),
         |z AS (SELECT e.event_type, round((e.value - s.mean)/s.sd, 6) AS z
         |      FROM ev e JOIN stats s USING (event_type))

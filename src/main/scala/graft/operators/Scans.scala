@@ -88,12 +88,19 @@ object Scans {
       val src = s.readStream.schema(schema).parquet(stageDir)
       val agg = src.groupBy($"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
-      val sink = "s7_stream_agg_sink"
+      // complete-mode state here is O(#event types) — bounded — but the
+      // sink must still be distributed: each micro-batch REPLACES the
+      // parquet snapshot of the aggregate from the executors (the
+      // refreshed-dashboard-table pattern); no driver-memory sink.
+      val out = RepoPaths.target("graft_stream/s7_out")
+      graft.sources.kv.GraftFs.delete(out, recursive = true)
       val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink).orderBy($"event_type")
+      s.read.parquet(out).orderBy($"event_type")
     }),
 
     // S11 (extra): z-order clustered bulk layout — the multi-column

@@ -1,6 +1,6 @@
 package graft.write
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.{RepoPaths, Tables}
@@ -341,24 +341,47 @@ object WriteQueries {
     }),
 
     // §2.10: windowed aggregation with watermark (beyond the reference's
-    // surface, built-in Structured Streaming).
+    // surface, built-in Structured Streaming). APPEND mode: a window
+    // emits exactly once, when the watermark passes its end — so state
+    // holds only the watermark horizon of windows (complete mode would
+    // retain every window ever seen AND re-emit the whole aggregate
+    // each batch). The sink is a distributed parquet append per
+    // micro-batch; nothing lands on the driver. Two far-future flush
+    // rows are staged as the LAST files so the final micro-batches push
+    // the watermark past every real window's end — the streaming
+    // analogue of closing the books — making emission deterministic
+    // without relying on a trailing no-data batch.
     "st2_stream_window" -> ((s, d) => {
       import s.implicits._
       val stage = RepoPaths.target("graft_stream/st2")
-      Tables.events(s, d).write.mode("overwrite").parquet(stage)
-      val src = s.readStream.schema(Tables.events(s, d).schema).parquet(stage)
+      val out = RepoPaths.target("graft_stream/st2_out")
+      KVTable.deleteRecursively(stage)
+      KVTable.deleteRecursively(out)
+      val ev = Tables.events(s, d)
+      ev.repartition(2).write.mode("overwrite").parquet(stage)
+      val maxNs = ev.agg(max($"ts")).as[Long].head()
+      Seq(3L, 4L).foreach { h =>
+        ev.limit(1)
+          .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
+          .withColumn("event_type", lit("__flush__"))
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
         .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
       val agg = src.withWatermark("tsc", "1 hour")
         .groupBy(window($"tsc", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"))
-      val sink = "st2_stream_window_sink"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(sink)
+      val q = agg.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select(unix_timestamp($"window.start").as("hour_start"),
+              col("event_type"), col("n"))
+            .write.mode(SaveMode.Append).parquet(out)
+        }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.table(sink)
-        .select(unix_timestamp($"window.start").as("hour_start"),
-          $"event_type", $"n")
+      s.read.parquet(out)
+        .filter($"event_type" =!= "__flush__")
         .orderBy($"hour_start", $"event_type")
     }),
 
@@ -433,28 +456,35 @@ object WriteQueries {
         $"c_user" === $"p_user" &&
           $"p_ts" >= $"c_ts" &&
           $"p_ts" < $"c_ts" + expr("INTERVAL 30 MINUTES"))
-      val sink = "st5_stream_join_sink"
+      val out = RepoPaths.target("graft_stream/st5_out")
+      KVTable.deleteRecursively(out)
       // state-store granularity: a stateful join commits 4 state
       // stores per shuffle partition per micro-batch; at this volume
       // the commit fan-out dominates, so run the stream at a quarter
       // of the session's partitions (the count is baked into the
       // checkpoint at first start — a restart keeps it — so this is a
       // per-pipeline sizing decision, exactly as it is at 100 TB where
-      // it would instead be SET HIGHER than the session default)
+      // it would instead be SET HIGHER than the session default).
+      // Sink: each micro-batch's matches append to parquet from the
+      // executors — the match stream never materializes on the driver
+      // (the memory sink here would hold the full click×purchase
+      // result in driver heap, the first thing to break at 100 TB).
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions",
         math.max(prev.toInt / 4, 1).toString)
-      val q = try {
+      try {
         val q0 = joined.writeStream.outputMode("append")
-          .format("memory").queryName(sink)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.select(col("c_user").as("user_id"),
+                col("c_id").as("click_id"), col("p_id").as("purchase_id"),
+                (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+                  .as("gap_sec"))
+              .write.mode(SaveMode.Append).parquet(out)
+          }
           .trigger(Trigger.AvailableNow()).start()
         q0.awaitTermination()
-        q0
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(sink)
-        .select($"c_user".as("user_id"), $"c_id".as("click_id"),
-          $"p_id".as("purchase_id"),
-          (unix_timestamp($"p_ts") - unix_timestamp($"c_ts")).as("gap_sec"))
+      s.read.parquet(out)
         .orderBy($"user_id", $"click_id", $"purchase_id")
     }),
 
@@ -464,14 +494,16 @@ object WriteQueries {
     // maxFilesPerTrigger=1, so the state crosses a genuine batch
     // boundary and the final emission equals the batch formula the
     // oracle computes (StreamStatsSpec drives 4 batches). State is
-    // O(#event types) x 3 numbers at any stream volume.
+    // O(#event types) x 3 numbers at any stream volume; each batch's
+    // emission upserts into a KV table (latest-wins on n) from the
+    // executors — the engine's own merge is the sink.
     "st6_stream_stats" -> ((s, d) => {
       import s.implicits._
       val stage = RepoPaths.target("graft_stream/st6")
       Tables.events(s, d).repartition(2)
         .write.mode("overwrite").parquet(stage)
       graft.streaming.StreamStats
-        .run(s, stage, Tables.events(s, d).schema)
+        .run(s, stage, Tables.events(s, d).schema, base("st6_stats"))
         .orderBy($"event_type")
     })
   )
@@ -565,7 +597,8 @@ object WriteQueries {
         |              sum(value) AS s1, sum(value*value) AS s2
         |            FROM events GROUP BY event_type)
         |SELECT event_type, n, round(s1/n, 6) AS mean,
-        |       round(sqrt((s2 - s1*s1/n)/(n-1)), 6) AS sd
+        |       CASE WHEN n > 1
+        |            THEN round(sqrt((s2 - s1*s1/n)/(n-1)), 6) END AS sd
         |FROM st ORDER BY event_type""".stripMargin,
     "st5_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

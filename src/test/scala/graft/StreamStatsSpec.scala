@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamStats
 
 /** st6: running power-sum state genuinely accumulates ACROSS
-  * micro-batches (not a single-batch aggregate in disguise), and the
-  * final emission equals the batch formula. */
+  * micro-batches (not a single-batch aggregate in disguise), the final
+  * emission equals the batch formula, and the sink is the KV table's
+  * own merge — nothing driver-resident. */
 class StreamStatsSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
@@ -14,16 +15,18 @@ class StreamStatsSpec extends AnyFunSuite with SparkSpec {
     val ev = Tables.events(spark, sf)
     val stage = targetPath("streamstats_spec")
     ev.repartition(4).write.mode("overwrite").parquet(stage)
-    val sink = "streamstats_spec_sink"
-    val got = StreamStats.run(spark, stage, ev.schema, sinkName = sink)
+    val sinkPath = targetPath("streamstats_spec_kv")
+    val got = StreamStats.run(spark, stage, ev.schema, sinkPath)
       .orderBy($"event_type")
       .as[(String, Long, Double, Double)].collect()
 
-    // intermediate emissions: with 4 single-file micro-batches, a key
-    // present in several files must emit several GROWING counts — the
-    // proof the state crossed batch boundaries
-    val emissions = spark.table(sink)
-      .groupBy($"event_type").agg(countDistinct($"n").as("emitted"))
+    // per-batch emission history = the KV table's pre-resolve cell log:
+    // with 4 single-file micro-batches, a key present in several files
+    // must have upserted several GROWING n snapshots (ts = n) — the
+    // proof the state crossed batch boundaries, read from the engine's
+    // own storage rather than a driver-memory sink
+    val emissions = graft.write.KVTable(spark, sinkPath).cells
+      .groupBy($"qualifier").agg(countDistinct($"ts").as("emitted"))
       .as[(String, Long)].collect().toMap
     assert(emissions.values.max >= 2,
       s"expected multi-batch accumulation, got $emissions")
@@ -40,5 +43,17 @@ class StreamStatsSpec extends AnyFunSuite with SparkSpec {
     got.zip(batch).foreach { case ((_, _, m1, d1), (_, _, m2, d2)) =>
       assert(math.abs(m1 - m2) < 1e-9 && math.abs(d1 - d2) < 1e-9)
     }
+  }
+
+  test("single-observation key yields null sd, not an error") {
+    val cells = Seq(
+      (1L, "S", "lonely", "1:5.0:25.0", 1L),
+      (2L, "S", "pair", "2:6.0:20.0", 2L))
+      .toDF("key", "family", "qualifier", "value", "ts")
+    val st = StreamStats.finalStats(spark, cells)
+      .orderBy($"event_type")
+      .collect()
+    assert(st(0).getString(0) == "lonely" && st(0).isNullAt(3))
+    assert(st(1).getString(0) == "pair" && !st(1).isNullAt(3))
   }
 }
