@@ -74,6 +74,78 @@ object StreamStats {
     finalStats(spark, sink.resolved())
   }
 
+  // --- st7: event-time z-score alerts over the running stats --------
+
+  /** Exact integer power sums: the alert decision must be a pure
+    * function of the DATA (batch-boundary-independent and
+    * oracle-reproducible), so state carries Σcents/Σcents² as longs —
+    * exact in any accumulation order, unlike double sums. */
+  case class AlertState(n: Long, s1: Long, s2: Long)
+  case class AlertRow(event_type: String, event_id: Long, tsn: Long,
+                      sec: Long, cents: Long)
+  case class Alert(event_type: String, event_id: Long, sec: Long,
+                   cents: Long, z: Double)
+
+  /** Spark's Round-expression semantics for doubles, applied driver/
+    * executor-side so the streamed z equals `round(col, 6)`. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Per-key alert pass: rows ordered by (event-time, id) score
+    * against the stats of STRICTLY PRECEDING rows, then fold into the
+    * state — so each row's z is the "how anomalous was this, given
+    * everything seen so far" of a live monitor, and a replay emits
+    * exactly the same alerts. The positive-variance guard is exact
+    * (BigInt ≙ DuckDB's HUGEINT sums) — no sqrt of a rounding-noise
+    * negative at any scale. */
+  def alertFn(threshold: Double)(key: String, rows: Iterator[AlertRow],
+              st: GroupState[AlertState]): Iterator[Alert] = {
+    var s = st.getOption.getOrElse(AlertState(0L, 0L, 0L))
+    val out = List.newBuilder[Alert]
+    rows.toArray.sortBy(r => (r.tsn, r.event_id)).foreach { r =>
+      if (s.n > 1 && BigInt(s.s2) * s.n > BigInt(s.s1) * s.s1) {
+        val s1d = s.s1.toDouble
+        val z = round6((r.cents - s1d / s.n) /
+          math.sqrt((s.s2 - s1d * s1d / s.n) / (s.n - 1)))
+        if (math.abs(z) > threshold)
+          out += Alert(key, r.event_id, r.sec, r.cents, z)
+      }
+      s = AlertState(s.n + 1, s.s1 + r.cents, s.s2 + r.cents * r.cents)
+    }
+    st.update(s)
+    out.result().iterator
+  }
+
+  /** Runs the alert stream over time-ordered staged files and sinks
+    * each micro-batch's alerts to parquet from the executors (with the
+    * batch id, so specs can prove alerts span batches). State is one
+    * `(n, Σx, Σx²)` triple per key — O(#keys) forever; emission is
+    * alerts only, a vanishing fraction of the stream. */
+  def alerts(spark: SparkSession, stage: String, schema: StructType,
+             outDir: String, threshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    graft.sources.kv.GraftFs.delete(outDir, recursive = true)
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .select($"event_type", $"event_id", $"ts".as("tsn"),
+        expr("ts DIV 1000000000").as("sec"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[AlertRow]
+    val q = src.groupByKey(_.event_type)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(alertFn(threshold))
+      .toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Latest per-key power-sum snapshot (the KV resolve already kept
     * max-n per key) → derived mean/sd. Spark's double↔string cast is
     * shortest-representation, so the KV round-trip is bit-exact. A key

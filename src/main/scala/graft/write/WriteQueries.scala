@@ -505,6 +505,35 @@ object WriteQueries {
       graft.streaming.StreamStats
         .run(s, stage, Tables.events(s, d).schema, base("st6_stats"))
         .orderBy($"event_type")
+    }),
+
+    // §2.10 (extra): st7 — event-time z-score ALERTS against the
+    // running stats (the monitoring twin of an_zscore, on st6's
+    // power-sum state): each event scores against the stats of all
+    // STRICTLY EARLIER events of its type and alerts when |z| > 3.
+    // Staged as time-ordered quartile files so event time advances
+    // batch over batch — the alert decision is a pure function of the
+    // data (exact integer power sums), so a replay emits identical
+    // alerts and the DuckDB oracle reproduces them with a strictly-
+    // preceding window frame. State is 3 longs per key; only alerts
+    // flow to the executor-side parquet sink.
+    "st7_zscore_alerts" -> ((s, d) => {
+      import s.implicits._
+      val stage = RepoPaths.target("graft_stream/st7")
+      KVTable.deleteRecursively(stage)
+      val ev = Tables.events(s, d)
+      val bounds = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
+      cuts.sliding(2).foreach {
+        case Array(lo, hi) =>
+          ev.filter($"ts" > lo && $"ts" <= hi)
+            .coalesce(1).write.mode("append").parquet(stage)
+        case _ => ()
+      }
+      graft.streaming.StreamStats
+        .alerts(s, stage, ev.schema, RepoPaths.target("graft_stream/st7_out"))
+        .select($"event_type", $"event_id", $"sec", $"cents", $"z")
+        .orderBy($"event_id")
     })
   )
 
@@ -600,6 +629,26 @@ object WriteQueries {
         |       CASE WHEN n > 1
         |            THEN round(sqrt((s2 - s1*s1/n)/(n-1)), 6) END AS sd
         |FROM st ORDER BY event_type""".stripMargin,
+    "st7_zscore_alerts" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn,
+        |                  epoch_ns(ts) // 1000000000 AS sec,
+        |                  CAST(round(value*100) AS BIGINT) AS cents
+        |           FROM events),
+        |w AS (SELECT event_type, event_id, sec, cents,
+        |             count(*) OVER win AS n,
+        |             sum(cents) OVER win AS s1,
+        |             sum(cents*cents) OVER win AS s2
+        |      FROM e WINDOW win AS (PARTITION BY event_type
+        |        ORDER BY tsn, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, event_id, sec, cents,
+        |             CASE WHEN n > 1 AND s2*n > s1*s1
+        |                  THEN round((cents - s1*1.0/n)
+        |                    / sqrt((s2 - (s1*1.0)*(s1*1.0)/n)/(n-1)), 6)
+        |             END AS z
+        |      FROM w)
+        |SELECT event_type, event_id, sec, cents, z FROM z
+        |WHERE z IS NOT NULL AND abs(z) > 3 ORDER BY event_id""".stripMargin,
     "st5_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |                  epoch_ns(ts) // 1000000000 AS sec FROM events)

@@ -45,6 +45,55 @@ class StreamStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("st7 alerts match the batch prefix-window formula and span batches") {
+    val ev = Tables.events(spark, sf)
+    val stage = targetPath("streamalerts_spec")
+    graft.sources.kv.GraftFs.delete(stage, recursive = true)
+    val bounds = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
+    cuts.sliding(2).foreach {
+      case Array(lo, hi) =>
+        ev.filter($"ts" > lo && $"ts" <= hi)
+          .coalesce(1).write.mode("append").parquet(stage)
+      case _ => ()
+    }
+    val got = StreamStats.alerts(spark, stage, ev.schema,
+      targetPath("streamalerts_spec_out"))
+
+    // alerts must arrive across several micro-batches — running stats,
+    // not a single-batch recomputation
+    val batches = got.select($"batch_id").distinct().count()
+    assert(batches >= 3, s"alerts landed in only $batches micro-batches")
+
+    // and equal the batch strictly-preceding-window formula
+    val batch = ev.createOrReplaceTempView("ssa_events")
+    val expect = spark.sql(
+      """WITH e AS (SELECT event_type, event_id, ts AS tsn,
+        |                  ts DIV 1000000000 AS sec,
+        |                  CAST(round(value*100) AS BIGINT) AS cents
+        |           FROM ssa_events),
+        |w AS (SELECT event_type, event_id, sec, cents,
+        |             count(*) OVER win AS n,
+        |             sum(cents) OVER win AS s1,
+        |             sum(cents*cents) OVER win AS s2
+        |      FROM e WINDOW win AS (PARTITION BY event_type
+        |        ORDER BY tsn, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id,
+        |             CASE WHEN n > 1 AND s2*n > s1*s1
+        |                  THEN round((cents - s1*1.0/n)
+        |                    / sqrt((s2 - (s1*1.0)*(s1*1.0)/n)/(n-1)), 6)
+        |             END AS z
+        |      FROM w)
+        |SELECT event_id, z FROM z
+        |WHERE z IS NOT NULL AND abs(z) > 3 ORDER BY event_id""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    val gotPairs = got.select($"event_id", $"z").orderBy($"event_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(gotPairs.nonEmpty, "no alerts fired on the test data")
+    assert(gotPairs === expect)
+  }
+
   test("single-observation key yields null sd, not an error") {
     val cells = Seq(
       (1L, "S", "lonely", "1:5.0:25.0", 1L),
