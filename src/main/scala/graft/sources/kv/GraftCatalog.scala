@@ -125,12 +125,18 @@ object GraftBucketFunction extends ScalarFunction[Int] {
 object KVSource {
   val CATALOG = "graft"
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** Registers the catalog (idempotent) and returns the SQL identifier
+    * for a KV path — usable anywhere SQL takes a table name, including
+    * `MERGE INTO` / `DELETE FROM`. */
+  def sqlName(spark: SparkSession, path: String): String = {
     if (!spark.conf.getOption(s"spark.sql.catalog.$CATALOG").isDefined)
       spark.conf.set(s"spark.sql.catalog.$CATALOG", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val parts = new java.io.File(path).getAbsolutePath
       .split("/").filter(_.nonEmpty)
-    spark.table(CATALOG + "." + parts.map(s => s"`$s`").mkString("."))
+    CATALOG + "." + parts.map(s => s"`$s`").mkString(".")
   }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.table(sqlName(spark, path))
 }

@@ -55,7 +55,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *   groups like any other ts predicate. */
 class KVBatchTable(path: String, tsMax: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_cell` — the non-null row-identity struct the row-level delta
+    * rewrite uses as rowId (see [[KVCellIdColumn]]); available to any
+    * scan (the row-wise readers synthesize it from the cell columns). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(KVCellIdColumn)
   override def name(): String =
     s"graft-kv `$path`" + tsMax.fold("")(v => s" @v<=$v")
   override def schema(): StructType = KVBatchTable.CELL_SCHEMA
@@ -70,6 +79,15 @@ class KVBatchTable(path: String, tsMax: Option[Long] = None)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(tsMax.isEmpty, "cannot write to a VERSION AS OF read handle")
     new KVWriteBuilder(path, info)
+  }
+
+  /** SQL MERGE INTO / UPDATE / DELETE — delta-based row-level ops over
+    * the resolved live state; see [[KVRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(tsMax.isEmpty, "cannot mutate a VERSION AS OF read handle")
+    new KVRowLevelBuilder(path, info)
   }
 
   override def partitioning(): Array[Transform] = {
@@ -188,7 +206,8 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
     // hatch). Time-travel scans are row-wise regardless (see ctor doc).
     val session = org.apache.spark.sql.SparkSession.getActiveSession
     val vectorized =
-      session.forall(_.conf.get("graft.kv.vectorized", "true").toBoolean)
+      session.forall(_.conf.get("graft.kv.vectorized", "true").toBoolean) &&
+        !required.fieldNames.contains(KVCellIdColumn.NAME)
     // snapshot the DRIVER's Hadoop conf for the executor-side parquet
     // opens — a bare `new Configuration(false)` would strip the
     // cluster's filesystem settings (HDFS auth, buffer sizes, S3
@@ -252,15 +271,25 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
     extends PartitionReader[InternalRow] {
 
   // columns to decode = required ∪ filter references ∪ key (for the
-  // bucket gate on log rows); output = required only, in order.
+  // bucket gate on log rows) ∪ the `_cell` struct's parts when the
+  // metadata column is requested; output = required only, in order
+  // (`_cell` synthesized from the parts at emit).
   private val filterCols = filters.flatMap(_.references).distinct
   private val needKey = p.numBuckets > 0 && p.logFiles.nonEmpty
+  private val cellParts = Array("key", "family", "qualifier", "ts")
+  private val wantsCell = required.fieldNames.contains(KVCellIdColumn.NAME)
   private val readCols: Array[String] =
-    (required.fieldNames ++ filterCols ++ (if (needKey) Seq("key") else Nil))
+    (required.fieldNames.filter(_ != KVCellIdColumn.NAME) ++
+      (if (wantsCell) cellParts else Array.empty[String]) ++
+      filterCols ++ (if (needKey) Seq("key") else Nil))
       .distinct
   private val colIdx: Map[String, Int] = readCols.zipWithIndex.toMap
   private val readColSet: Set[String] = readCols.toSet
-  private val outIdx: Array[Int] = required.fieldNames.map(colIdx)
+  // -1 marks the `_cell` slot; resolved to a struct of the parts
+  private val outIdx: Array[Int] = required.fieldNames.map(n =>
+    if (n == KVCellIdColumn.NAME) -1 else colIdx(n))
+  private val cellPartIdx: Array[Int] =
+    if (wantsCell) cellParts.map(colIdx) else Array.empty
   private val keyIdx: Int = colIdx.getOrElse("key", -1)
 
   // row-group / dictionary pruning at the parquet layer (min/max
@@ -328,7 +357,12 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
         if (bucketOk && filters.forall(KVFilterEval.eval(_, colIdx, vals))) {
           val out = new Array[Any](outIdx.length)
           var j = 0
-          while (j < outIdx.length) { out(j) = vals(outIdx(j)); j += 1 }
+          while (j < outIdx.length) {
+            out(j) =
+              if (outIdx(j) >= 0) vals(outIdx(j))
+              else new GenericInternalRow(cellPartIdx.map(vals(_)))
+            j += 1
+          }
           row = new GenericInternalRow(out)
           return true
         }

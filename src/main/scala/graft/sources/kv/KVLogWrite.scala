@@ -36,7 +36,8 @@ class KVWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder 
 
 class KVLogWrite(path: String, queryId: String) extends Write with BatchWrite {
   private val logDir = s"$path/log"
-  private val inflight = s"$logDir/.inflight-$queryId"
+  protected val inflightDir: String = s"$logDir/.inflight-$queryId"
+  private def inflight = inflightDir
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"graft-kv append `$path`"

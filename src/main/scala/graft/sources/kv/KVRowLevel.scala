@@ -1,0 +1,301 @@
+package graft.sources.kv
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL row-level operations (`MERGE INTO` / `UPDATE` / `DELETE`) on a
+  * graft KV table — the reference's typed mutation API (M1–M7,
+  * HBaseTable.scala:100-212) driven from SQL, the way a 100-TB pipeline
+  * actually issues upserts.
+  *
+  * DELTA-based by design: a log-structured store never rewrites groups —
+  *  - MERGE UPDATE / UPDATE appends the new cell version (latest-wins
+  *    on `ts` resolves it, so assignments should set `ts` above the
+  *    current version's, exactly like a library `put`);
+  *  - MERGE INSERT appends a fresh cell;
+  *  - DELETE appends a tombstone at the LIVE version's ts (row /
+  *    family / cell granularity inferred from the id's null pattern,
+  *    the same rule as `KVTable.delete`) — masking everything at or
+  *    below it while later writes stay visible, HBase delete-marker
+  *    semantics.
+  * The write lands through the same two-phase inflight-rename commit as
+  * SQL INSERT ([[KVLogWrite]]), so readers racing a MERGE see a prefix
+  * of complete parquet files and failed attempts leave nothing behind.
+  *
+  * The operation's READ side is [[KVResolvedScan]]: row-level SQL must
+  * see the table as ROWS (the live, latest-wins state), not as the raw
+  * version log — a MERGE that matched superseded versions or tombstone
+  * markers would mis-fire its matched/not-matched arms. The resolve
+  * runs bucket-locally inside each scan task (a (key,family,qualifier)
+  * group lives in exactly one bucket), so the scan stays shuffle-free
+  * and reports the same KeyGroupedPartitioning as the plain read path.
+  */
+class KVRowLevelBuilder(path: String, info: RowLevelOperationInfo)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new KVRowLevelOperation(path, info.command)
+}
+
+class KVRowLevelOperation(path: String,
+                          cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-kv $cmd `$path`"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KVResolvedScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new KVDeltaWriteBuilder(path, info)
+
+  /** The `_cell` METADATA column (a cell's identity plus its live
+    * version's ts — the ts rides along so DELETE can place its
+    * tombstone exactly at the version it saw, masking at-or-below while
+    * later writers stay visible). A metadata struct rather than the
+    * data columns because Spark requires row-id attributes NON-NULL,
+    * and the cell schema's family/qualifier are legitimately nullable
+    * (tombstone markers); the struct is non-null by construction on the
+    * resolved scan — the Iceberg `_file`/`_pos` pattern. */
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(KVCellIdColumn.NAME))
+}
+
+/** `_cell` metadata column: the non-null row identity the delta
+  * rewrite projects for UPDATE/DELETE routing. */
+object KVCellIdColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val NAME = "_cell"
+  val SCHEMA: StructType = StructType.fromDDL(
+    "key BIGINT, family STRING, qualifier STRING, ts BIGINT")
+  override def name(): String = NAME
+  override def dataType(): org.apache.spark.sql.types.DataType = SCHEMA
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "graft cell identity (key, family, qualifier, ts of the live version)"
+}
+
+// --- write side ------------------------------------------------------
+
+class KVDeltaWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new KVDeltaWrite(path, info.queryId())
+}
+
+/** Shares [[KVLogWrite]]'s inflight-directory commit protocol; only the
+  * writer factory differs (delta ops instead of plain appends). */
+class KVDeltaWrite(path: String, queryId: String)
+    extends KVLogWrite(path, queryId) with DeltaWrite with DeltaBatchWrite {
+  override def toBatch: DeltaBatchWrite = this
+  override def description(): String = s"graft-kv delta `$path`"
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new KVDeltaWriterFactory(inflightDir)
+}
+
+class KVDeltaWriterFactory(inflight: String) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new KVDeltaDataWriter(inflight, partitionId, taskId)
+}
+
+/** Translates delta ops to cells in one task-local parquet file:
+  * insert/update append the (full-schema) row as-is; delete appends a
+  * tombstone derived from the row id `(key, family, qualifier, ts)` —
+  * granularity by null pattern, as in `KVTable.delete`. */
+class KVDeltaDataWriter(inflight: String, partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+  private val inner = new KVLogDataWriter(inflight, partitionId, taskId)
+
+  override def insert(row: InternalRow): Unit = inner.write(row)
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    inner.write(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // id = the `_cell` struct (key, family, qualifier, ts)
+    val c = id.getStruct(0, 4)
+    val family = if (c.isNullAt(1)) null else c.getUTF8String(1)
+    val qualifier = if (c.isNullAt(2)) null else c.getUTF8String(2)
+    val tomb = if (family == null) "row"
+      else if (qualifier == null) "family" else "cell"
+    inner.write(new GenericInternalRow(Array[Any](
+      if (c.isNullAt(0)) null else java.lang.Long.valueOf(c.getLong(0)),
+      family, qualifier, null,
+      if (c.isNullAt(3)) null else java.lang.Long.valueOf(c.getLong(3)),
+      UTF8String.fromString(tomb))))
+  }
+
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}
+
+// --- read side: the resolved (latest-wins) scan ----------------------
+
+class KVResolvedScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KVBatchTable.CELL_SCHEMA
+
+  /** Only KEY predicates may run below the resolve: a filter on any
+    * other column could drop the winning version or a tombstone marker
+    * BEFORE resolution and resurrect superseded state (e.g.
+    * `family = 'F'` discards row-granularity tombstones, whose family
+    * is null). Key predicates are resolve-safe — every row of a key's
+    * resolve group (versions and its masks alike) carries the key —
+    * and they are what prunes buckets. Everything is returned as
+    * residual for Spark to re-check above the resolve. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      f.references.toSet == Set("key") && KVFilterEval.supported(f))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new KVResolvedScan(path, KVLayout(path), required, pushed)
+}
+
+class KVResolvedScan(path: String, layout: KVLayout,
+                     required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-kv-resolved path=$path buckets=${layout.numBuckets} " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def outputPartitioning(): Partitioning =
+    if (layout.bucketed)
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(layout.numBuckets, "key")), layout.numBuckets)
+    else new UnknownPartitioning(0)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (layout.bucketed) {
+      val allowed = KVFilterEval.keyBuckets(pushed, layout.numBuckets)
+        .getOrElse((0 until layout.numBuckets).toSet)
+      (0 until layout.numBuckets).filter(allowed)
+        .map { b =>
+          val comp = layout.compactedByBucket.getOrElse(b, Seq.empty)
+          KVBucketPartition(b, layout.numBuckets, comp.toArray,
+            comp.map(layout.lenByPath).toArray,
+            layout.logFiles.toArray): InputPartition
+        }
+        .toArray
+    } else if (layout.logFiles.nonEmpty) {
+      // log-only: the resolve group spans files, so ONE task reads them
+      // all — safe by the layout contract (an uncompacted table is
+      // memstore-sized; compaction is what buys distribution)
+      Array(KVBucketPartition(-1, -1, Array.empty, Array.empty,
+        layout.logFiles.toArray))
+    } else Array.empty
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      session.map(_.sessionState.newHadoopConf())
+        .getOrElse(GraftFs.hadoopConf))
+    new KVResolvedReaderFactory(required, pushed, hconf)
+  }
+}
+
+class KVResolvedReaderFactory(required: StructType, pushed: Array[Filter],
+                              hconf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KVResolvedPartitionReader(
+      partition.asInstanceOf[KVBucketPartition], required, pushed, hconf)
+}
+
+/** Bucket-local latest-wins resolve — the executor-side mirror of
+  * `KVTable.resolve` (write/KVStore.scala:377): per (key, family,
+  * qualifier) the max-(ts, value) non-tombstone cell wins, then row /
+  * family / cell tombstones mask winners at-or-below their ts. State is
+  * one entry per LIVE cell of the bucket — the same per-task footprint
+  * as a hash aggregate over the bucket, which is what any engine pays
+  * to resolve; bucket count is the sizing lever at scale. */
+class KVResolvedPartitionReader(p: KVBucketPartition, required: StructType,
+                                pushed: Array[Filter],
+                                hconf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+
+  private type CellKey = (Long, String, String)
+
+  private val iter: Iterator[InternalRow] = {
+    val winners = mutable.HashMap.empty[CellKey, (Long, String)]
+    val rowDel = mutable.HashMap.empty[Long, Long]
+    val famDel = mutable.HashMap.empty[(Long, String), Long]
+    val cellDel = mutable.HashMap.empty[CellKey, Long]
+    // full-schema row-wise read of the bucket (compacted + its log rows,
+    // bucket-gated and key-filtered inside)
+    val raw = new KVPartitionReader(p, KVBatchTable.CELL_SCHEMA, pushed, hconf)
+    try {
+      while (raw.next()) {
+        val r = raw.get()
+        val key = if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        val fam = if (r.isNullAt(1)) null else r.getUTF8String(1).toString
+        val qual = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
+        val ts = if (r.isNullAt(4)) Long.MinValue else r.getLong(4)
+        if (r.isNullAt(5)) {
+          val value = if (r.isNullAt(3)) null else r.getUTF8String(3).toString
+          val ck = (key, fam, qual)
+          winners.get(ck) match {
+            case Some((bts, bv))
+                if bts > ts || (bts == ts && cmpValue(bv, value) >= 0) => ()
+            case _ => winners(ck) = (ts, value)
+          }
+        } else r.getUTF8String(5).toString match {
+          case "row" => bump(rowDel, key, ts)
+          case "family" => bump(famDel, (key, fam), ts)
+          case _ => bump(cellDel, (key, fam, qual), ts)
+        }
+      }
+    } finally raw.close()
+    // -1 marks the `_cell` metadata struct (the delta rewrite's rowId)
+    val outIdx = required.fieldNames.map(n =>
+      if (n == KVCellIdColumn.NAME) -1
+      else KVBatchTable.CELL_SCHEMA.fieldNames.indexOf(n))
+    winners.iterator.collect {
+      case ((key, fam, qual), (ts, value))
+          if ts > rowDel.getOrElse(key, Long.MinValue) &&
+             ts > famDel.getOrElse((key, fam), Long.MinValue) &&
+             ts > cellDel.getOrElse((key, fam, qual), Long.MinValue) =>
+        val kv = if (key == Long.MinValue) null else java.lang.Long.valueOf(key)
+        val full = Array[Any](
+          kv, UTF8String.fromString(fam), UTF8String.fromString(qual),
+          if (value == null) null else UTF8String.fromString(value),
+          java.lang.Long.valueOf(ts), null)
+        new GenericInternalRow(outIdx.map(i =>
+          if (i >= 0) full(i)
+          else new GenericInternalRow(Array[Any](kv,
+            UTF8String.fromString(fam), UTF8String.fromString(qual),
+            java.lang.Long.valueOf(ts))): Any)): InternalRow
+    }
+  }
+
+  private def cmpValue(a: String, b: String): Int =
+    if (a == null && b == null) 0 else if (a == null) -1
+    else if (b == null) 1 else a.compareTo(b)
+
+  private def bump[K](m: mutable.HashMap[K, Long], k: K, ts: Long): Unit =
+    if (ts > m.getOrElse(k, Long.MinValue)) m(k) = ts
+
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (iter.hasNext) { row = iter.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}

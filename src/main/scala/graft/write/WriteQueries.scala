@@ -125,6 +125,43 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M12 (extra): SQL MERGE INTO + DELETE — the reference's typed
+    // mutation surface (M1-M7) driven from SQL through delta-based
+    // row-level operations (sources/kv/KVRowLevel.scala): the MERGE
+    // reads the RESOLVED live state (bucket-local latest-wins scan,
+    // shuffle-free), appends new cell versions for matched rows and
+    // fresh cells for unmatched ones, and DELETE appends tombstones at
+    // each live version's ts — nothing is rewritten in place, exactly
+    // the log-structured write path the library `put`/`delete` use, so
+    // concurrent appends and compactions keep their guarantees.
+    "m12_merge_into" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m12"), wipe = true)
+      t.put(customerCents(s, d, ts = 1L))
+      t.compact()
+      val ident = graft.sources.kv.KVSource.sqlName(s, base("m12"))
+      val cust = Tables.customer(s, d)
+      cust.select($"c_custkey".as("key"),
+          (round($"c_acctbal" * 100).cast("long") + 111L).cast("string")
+            .as("value"))
+        .filter($"key" % 5 === 0)
+        .unionByName(cust
+          .select(($"c_custkey" + 1000000L).as("key"), lit("42").as("value"))
+          .filter($"key" % 5 === 1))
+        .createOrReplaceTempView("m12_updates")
+      s.sql(
+        s"""MERGE INTO $ident t USING m12_updates u
+           |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+           |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 2
+           |WHEN NOT MATCHED THEN
+           |  INSERT (key, family, qualifier, value, ts, tomb)
+           |  VALUES (u.key, 'F', 'bal', u.value, 2, null)""".stripMargin)
+      s.sql(s"DELETE FROM $ident WHERE key % 10 = 3")
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
     // M3/A11 `increment` (HBaseTable.scala:157-179): two rounds of
     // counter deltas (zero deltas skipped), final counter per key.
     "m3_increment" -> ((s, d) => {
@@ -553,6 +590,17 @@ object WriteQueries {
       """SELECT c_custkey AS key,
         |       CAST(round(c_acctbal*100) AS BIGINT) AS cents
         |FROM customer ORDER BY key""".stripMargin,
+    "m12_merge_into" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(round(c_acctbal*100) AS BIGINT)
+        |           + CASE WHEN c_custkey % 5 = 0 THEN 111 ELSE 0 END AS cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS key, CAST(42 AS BIGINT) AS cents
+        |  FROM customer WHERE (c_custkey + 1000000) % 5 = 1)
+        |SELECT key, cents FROM base WHERE key % 10 <> 3
+        |ORDER BY key""".stripMargin,
     "m3_increment" ->
       """SELECT user_id AS key,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS counter

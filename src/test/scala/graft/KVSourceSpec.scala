@@ -232,6 +232,58 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
     assert(tt.filter($"ts" > 1).count() === 0)
   }
 
+  test("SQL MERGE INTO / DELETE round-trip drives latest-wins + tombstones") {
+    val path = targetPath("graft_kv_test/dsv2_merge")
+    val t = KVTable(spark, path, wipe = true)
+    val cust = Tables.customer(spark, sf)
+    t.put(cust.select($"c_custkey".as("key"), lit("F").as("family"),
+      lit("bal").as("qualifier"),
+      round($"c_acctbal" * 100).cast("long").cast("string").as("value"),
+      lit(1L).as("ts")))
+    t.compact()
+    // a post-compaction append so the row-level scan has to resolve
+    // across BOTH legs: key%7==0 overwritten at ts=2
+    t.put(cust.filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey".as("key"), lit("F").as("family"),
+        lit("bal").as("qualifier"), lit("777").as("value"), lit(2L).as("ts")))
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+
+    // source: matched rows (update to cents+111) + unmatched (insert)
+    cust.select(($"c_custkey").as("key"),
+        (round($"c_acctbal" * 100).cast("long") + 111).cast("string").as("value"))
+      .filter($"key" % 5 === 0)
+      .unionByName(cust.select(($"c_custkey" + 1000000).as("key"),
+        lit("42").as("value")).filter($"key" % 5 === 1))
+      .createOrReplaceTempView("kvspec_updates")
+    spark.sql(
+      s"""MERGE INTO $ident t USING kvspec_updates u
+         |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+         |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 3
+         |WHEN NOT MATCHED THEN
+         |  INSERT (key, family, qualifier, value, ts, tomb)
+         |  VALUES (u.key, 'F', 'bal', u.value, 3, null)""".stripMargin)
+    spark.sql(s"DELETE FROM $ident WHERE key % 10 = 3")
+
+    val got = t.resolved().select($"key", $"value".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val base = cust.select($"c_custkey", round($"c_acctbal" * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    base.foreach { case (k, cents) =>
+      if (k % 10 == 3) assert(!got.contains(k), s"key $k not deleted")
+      else if (k % 5 == 0) assert(got(k) === cents + 111, s"key $k not updated")
+      else if (k % 7 == 0) assert(got(k) === 777L, s"key $k lost its log overwrite")
+      else assert(got(k) === cents, s"key $k changed unexpectedly")
+    }
+    base.keys.filter(k => (k + 1000000) % 5 == 1).foreach { k0 =>
+      val k = k0 + 1000000
+      if (k % 10 == 3) assert(!got.contains(k))
+      else assert(got(k) === 42L, s"inserted key $k missing")
+    }
+    assert(got.size ===
+      base.count { case (k, _) => k % 10 != 3 } +
+      base.keys.count(k => (k + 1000000) % 5 == 1 && (k + 1000000) % 10 != 3))
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
