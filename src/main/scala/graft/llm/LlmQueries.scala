@@ -319,6 +319,21 @@ object LlmQueries {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // BPE merge learning (llm/Bpe.scala): 3 rounds of
+    // count-pairs → pick-winner → greedy merge over the word-frequency
+    // table. The corpus collapses to the vocab in ONE shuffle; each
+    // round is a vocab-sized partial-agg'd pair count plus a
+    // broadcast-as-literal per-row rewrite (the k-means/PageRank
+    // iterate-with-broadcast-decision pattern). The space-owning string
+    // encoding makes `replace` = greedy leftmost merge in both engines,
+    // which is what finally made the oracle expressible.
+    "llm_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      Bpe.learn(s, Bpe.wordFreq(Tables.documents(s, d)), rounds = 3)
+        .toDF().select($"round", $"lhs", $"rhs", $"cnt")
+        .orderBy($"round")
+    }),
+
     // Vocabulary build: corpus-wide term + document frequency, top-k —
     // the op behind frequency-filtered vocabularies and BPE seeding.
     // Scale shape: per-doc counts first (one shuffle, map-side
@@ -1189,6 +1204,48 @@ object LlmQueries {
         |         AS re_tokens,
         |       CAST(ceil(len(text)/4.0) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |e0 AS (SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS enc,
+        |              freq FROM words),
+        |p1 AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT freq,
+        |               unnest(list_transform(generate_series(1, len(t) - 1),
+        |                 i -> {'l': t[i], 'r': t[i + 1]})) AS p
+        |             FROM (SELECT freq, string_split(trim(enc), '  ') AS t
+        |                   FROM e0))
+        |       GROUP BY 1, 2),
+        |w1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |e1 AS (SELECT replace(enc,
+        |         ' ' || (SELECT l FROM w1) || '  ' || (SELECT r FROM w1) || ' ',
+        |         ' ' || (SELECT l || r FROM w1) || ' ') AS enc, freq FROM e0),
+        |p2 AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT freq,
+        |               unnest(list_transform(generate_series(1, len(t) - 1),
+        |                 i -> {'l': t[i], 'r': t[i + 1]})) AS p
+        |             FROM (SELECT freq, string_split(trim(enc), '  ') AS t
+        |                   FROM e1))
+        |       GROUP BY 1, 2),
+        |w2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |e2 AS (SELECT replace(enc,
+        |         ' ' || (SELECT l FROM w2) || '  ' || (SELECT r FROM w2) || ' ',
+        |         ' ' || (SELECT l || r FROM w2) || ' ') AS enc, freq FROM e1),
+        |p3 AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT freq,
+        |               unnest(list_transform(generate_series(1, len(t) - 1),
+        |                 i -> {'l': t[i], 'r': t[i + 1]})) AS p
+        |             FROM (SELECT freq, string_split(trim(enc), '  ') AS t
+        |                   FROM e2))
+        |       GROUP BY 1, 2),
+        |w3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, l AS lhs, r AS rhs, cnt FROM w1
+        |UNION ALL SELECT 2, l, r, cnt FROM w2
+        |UNION ALL SELECT 3, l, r, cnt FROM w3
+        |ORDER BY round""".stripMargin,
     "llm_vocab_topk" ->
       """WITH tok AS (SELECT doc_id,
         |                    unnest(string_split(trim(text), ' ')) AS token

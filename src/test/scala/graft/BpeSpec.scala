@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Bpe
+
+/** BPE merge learning: greedy-leftmost pair semantics (including
+  * overlapping runs), frequency weighting, and the lexicographic
+  * tie-break — the invariants the space-owning string encoding must
+  * preserve for the oracle to be exact. */
+class BpeSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("merges count pairs by weight, merge greedily, and tie-break lexically") {
+    // "aaaa" x3: round 1 pairs (a,a) weight 3*3=9 — and greedy merge
+    // must pair as (aa)(aa), NOT overlap; "bc" x5 gives (b,c)=5
+    val words = Seq(("aaaa", 3L), ("bc", 5L), ("ab", 2L))
+      .toDF("word", "freq")
+    val merges = Bpe.learn(spark, words, rounds = 3)
+    assert(merges.map(m => (m.round, m.lhs, m.rhs, m.cnt)) === Seq(
+      (1L, "a", "a", 9L),   // 3 adjacent pairs x freq 3
+      // after merging: "aaaa" -> [aa, aa]; pairs now (aa,aa)=3, (b,c)=5,
+      // (a,b)=2
+      (2L, "b", "c", 5L),
+      (3L, "aa", "aa", 3L)))
+  }
+
+  test("ties break on (lhs, rhs) ascending") {
+    val words = Seq(("xy", 2L), ("xz", 2L)).toDF("word", "freq")
+    val m = Bpe.learn(spark, words, rounds = 1)
+    assert(m.head.lhs === "x" && m.head.rhs === "y" && m.head.cnt === 2L)
+  }
+
+  test("stops early when no pairs remain") {
+    val words = Seq(("ab", 1L)).toDF("word", "freq")
+    val m = Bpe.learn(spark, words, rounds = 5)
+    // round 1 merges (a,b); the single-symbol word has no pairs left
+    assert(m.size === 1 && m.head.lhs === "a" && m.head.rhs === "b")
+  }
+}
