@@ -277,21 +277,36 @@ object GraphOps {
     }
   }
 
-  /** G11 PageRank: `iters` power iterations over a symmetric pair list
-    * (so every vertex has out-edges — no dangling-mass term), uniform
-    * start, damping `damp`. Returns `(vertex, degree, pr)` with each
+  /** G11 PageRank: `iters` power iterations, uniform start, damping
+    * `damp`. SAFE FOR DIRECTED INPUT: sink vertices (appearing only as
+    * dst) join the vertex set with degree 0, and each iteration
+    * redistributes their rank mass uniformly — the dangling-mass term —
+    * so total rank is conserved at exactly 1 whatever the edge list's
+    * shape. For symmetric pairs the dangling leg is empty and the
+    * fixpoint is bit-identical to the no-term formula (the `+ 0.0/n`
+    * adds nothing in FP). Returns `(vertex, degree, pr)` with each
     * iteration's rank rounded at 12 dp so results are engine-portable
     * (the DuckDB oracle re-derives the identical fixpoint).
     *
     * Scale shape: per iteration, ONE equi-join of the edge list against
     * the vertex-sized rank vector (bucket both by the vertex key and
-    * the join plans with zero Exchange — BucketingSpec pattern) and ONE
-    * partial-agg'd sum shuffled by dst; the rank/degree vectors are
-    * vertex-sized, never edge-sized, and N rides in as a broadcast
-    * scalar. No driver-side state, no lineage growth concern at 2-3
-    * iterations (use localCheckpoint per round if iterating deep, as
-    * [[bspIterateDelta]] does). */
+    * the join plans with zero Exchange — BucketingSpec pattern), ONE
+    * partial-agg'd sum shuffled by dst, and the dangling mass as a
+    * one-row broadcast scalar; the rank/degree vectors are vertex-
+    * sized, never edge-sized. The result is materialized
+    * (localCheckpoint) so the edge/degree caches can be RELEASED before
+    * returning — repeated invocations leak nothing. */
   def pageRank(pairs: DataFrame, iters: Int, damp: Double = 0.85): DataFrame = {
+    val (result, cleanup) = pageRankStaged(pairs, iters, damp)
+    try result.localCheckpoint(true) finally cleanup()
+  }
+
+  /** The lazy plan + a cache-release handle — split out so PlanSpec can
+    * pin the cached-edge-layout iteration shape before materialization
+    * collapses it to a checkpoint scan. */
+  private[graft] def pageRankStaged(pairs: DataFrame, iters: Int,
+                                    damp: Double = 0.85)
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     // The edge list is the immutable giant of the iteration: partition
     // it by the join key ONCE and cache that layout (the same
@@ -300,25 +315,41 @@ object GraphOps {
     // dedup + reverse) AND re-shuffles it for its join.
     val p = pairs.repartition(col("src")).sortWithinPartitions(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = p.groupBy(col("src").as("vertex"))
+    val outDeg = p.groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).as("degree"))
+    // dangling vertices: only ever a dst — in-graph, but no out-edges
+    val sinks = p.select(col("dst").as("vertex")).distinct()
+      .join(outDeg, Seq("vertex"), "left_anti")
+      .select(col("vertex"), lit(0L).as("degree"))
+    val deg = outDeg.unionByName(sinks)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.agg(count(lit(1)).as("n"))
     def step(pr: DataFrame): DataFrame = {
       val contrib = p
-        .join(pr.withColumnRenamed("vertex", "src"), "src")
+        .join(pr.filter(col("degree") > 0).withColumnRenamed("vertex", "src"),
+          "src")
         .groupBy(col("dst").as("vertex"))
         .agg(sum(col("pr") / col("degree")).as("c"))
-      deg.join(contrib, Seq("vertex"), "left").crossJoin(broadcast(n))
+      val dangling = pr.filter(col("degree") === 0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      deg.join(contrib, Seq("vertex"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
         .select(col("vertex"), col("degree"),
           round(lit(1.0 - damp) / col("n")
-            + lit(damp) * coalesce(col("c"), lit(0.0)), 12).as("pr"))
+            + lit(damp) * (coalesce(col("c"), lit(0.0))
+              + col("dm") / col("n")), 12).as("pr"))
     }
     val pr0 = deg.crossJoin(broadcast(n))
       .select(col("vertex"), col("degree"), (lit(1.0) / col("n")).as("pr"))
-    (1 to iters).foldLeft(pr0)((pr, _) => step(pr))
-    // edge/degree cache blocks back the returned plan; the caller's
-    // session sweep (Bench does) or GC releases them.
+    // each step references pr TWICE (contribution join + dangling sum),
+    // so a lazy fold would double the plan tree per round — materialize
+    // between rounds (vertex-sized, the bspIterateDelta discipline) and
+    // leave only the final round lazy for the caller/PlanSpec
+    val result = (1 to iters).foldLeft(pr0) { (pr, i) =>
+      val next = step(pr)
+      if (i < iters) next.localCheckpoint(true) else next
+    }
+    (result, () => { p.unpersist(false); deg.unpersist(false): Unit })
   }
 
   /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two

@@ -32,6 +32,39 @@ class RankingSpec extends AnyFunSuite with SparkSpec {
     pr.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9))
   }
 
+  test("pageRank: directed input with sinks conserves rank mass") {
+    // 1 -> 2 -> 3, 1 -> 3: vertex 3 is DANGLING (no out-edges). Without
+    // the dangling-mass term, 3's rank would leak out of the system
+    // every iteration; with it, total rank stays exactly 1.
+    val directed = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(directed, iters = 3)
+      .select($"vertex", $"degree", $"pr")
+      .as[(Long, Long, Double)].collect()
+    assert(pr.length === 3)
+    val byV = pr.map(r => r._1 -> r._3).toMap
+    assert(math.abs(pr.map(_._3).sum - 1.0) < 1e-9,
+      s"mass not conserved: $byV")
+    // the sink exists in the vertex set with degree 0 and accumulates
+    // the most rank (everything flows into 3)
+    assert(pr.find(_._1 == 3L).get._2 === 0L)
+    assert(byV(3L) > byV(1L) && byV(3L) > byV(2L))
+    // vertex 1 has no in-edges: exactly the teleport + dangling share
+    assert(byV(1L) < byV(2L))
+  }
+
+  test("pageRank: repeated invocations leave no cached plans behind") {
+    val pairs = symPairs(Seq((1L, 2L), (2L, 3L)))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    GraphOps.pageRank(pairs, iters = 2).collect()
+    GraphOps.pageRank(pairs, iters = 2).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // each call may leave its localCheckpoint blocks (per-round + final,
+    // released by GC with the frames); the edge + degree CACHES — the
+    // leak ADVICE flagged — must be gone before return
+    assert(after - before <= 4,
+      s"pageRank leaked cached RDDs: $before -> $after")
+  }
+
   test("pageRank: iterations contract toward the fixpoint") {
     // the star is bipartite so ranks OSCILLATE around the fixpoint —
     // assert the damped contraction, not monotonicity
