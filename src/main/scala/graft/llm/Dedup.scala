@@ -274,6 +274,30 @@ object Dedup {
       .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
   }
 
+  /** Quality-aware keeper election over PRECOMPUTED cluster labels —
+    * the library seam pipeline users compose with [[clusters]] so the
+    * LSH pass and the component loop run ONCE per corpus, not once per
+    * downstream policy (llm_dedup_clusters and llm_dedup_keep_best are
+    * both one call deep from here). `clusterLabels` is (doc_id,
+    * cluster) — persist/checkpoint it to share physically. Election is
+    * one partial-agg'd max(struct(quality, -doc_id)) per cluster plus a
+    * cluster-keyed join-back — never a per-cluster window. Quality =
+    * lexical diversity (distinct-word ratio) rounded at 6 dp with the
+    * doc_id tie-break, so the winner is engine-portable. */
+  def keepBest(docs: DataFrame, clusterLabels: DataFrame): DataFrame = {
+    val q = docs.select(col("doc_id"),
+      round(size(array_distinct(words(col("text")))) * 1.0
+        / size(words(col("text"))), 6).as("quality"))
+    val full = clusterLabels.select(col("doc_id"), col("cluster"))
+      .join(q, "doc_id")
+    val best = full.groupBy(col("cluster"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster"), (-col("b.nid")).as("best_doc"))
+    full.join(best, "cluster")
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        (col("doc_id") === col("best_doc")).cast("long").as("keep"))
+  }
+
   /** 60-bit SimHash over the document's distinct words — word hashes
     * via one md5 each, then a single native pass builds the signature
     * (GraftExpressions.SimHashSig); no explode, no shuffle. */

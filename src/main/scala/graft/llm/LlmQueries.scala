@@ -104,18 +104,12 @@ object LlmQueries {
     "llm_dedup_keep_best" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val cl = Dedup.clusters(docs, Dedup.minHashLsh(docs, 0.8))
-        .select($"doc_id", $"cluster")
-      val q = docs.select($"doc_id",
-        round(size(array_distinct(words($"text"))) * 1.0
-          / size(words($"text")), 6).as("quality"))
-      val full = cl.join(q, "doc_id")
-      val best = full.groupBy($"cluster")
-        .agg(max(struct($"quality", (-$"doc_id").as("nid"))).as("b"))
-        .select($"cluster", (-$"b.nid").as("best_doc"))
-      full.join(best, "cluster")
-        .select($"doc_id", $"cluster", $"quality",
-          ($"doc_id" === $"best_doc").cast("long").as("keep"))
+      // Dedup.keepBest composes over PRECOMPUTED labels — a pipeline
+      // shares one clusters() pass (persist/checkpoint it) across
+      // policies; as a standalone registered query this derives them
+      // (DedupSpec pins the one-LSH-subtree composition)
+      Dedup.keepBest(docs,
+          Dedup.clusters(docs, Dedup.minHashLsh(docs, 0.8)))
         .orderBy($"doc_id")
     }),
 

@@ -331,6 +331,29 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(viaMinhash === viaExact)
   }
 
+  test("keepBest composes over precomputed clusters: ONE LSH pass total") {
+    val docs = Tables.documents(spark, sf)
+    // the shared pass: LSH + component loop run here (and are consumed
+    // into clusters()' internal checkpoints)...
+    val labels = Dedup.clusters(docs, Dedup.minHashLsh(docs, 0.8))
+    // ...so the composed keeper election must plan with ZERO signature
+    // re-derivation: no md5 (the shared LSH hash) anywhere — the labels
+    // arrive as materialized checkpoints, the quality score is plain
+    // word algebra
+    val kb = Dedup.keepBest(docs, labels)
+    val plan = kb.queryExecution.executedPlan.toString
+    assert(!plan.contains("md5"),
+      s"keepBest re-derived the LSH subtree:\n${plan.take(2000)}")
+    assert(plan.contains("ExistingRDD"), plan.take(2000))
+    // and the policy is sane: every SINGLETON cluster keeps its only
+    // member, and every cluster keeps exactly one
+    val sizes = kb.groupBy($"cluster")
+      .agg(count(lit(1)).as("n"), sum($"keep").as("kept"))
+    assert(sizes.filter($"kept" =!= 1).count() === 0,
+      "a cluster kept zero or multiple members")
+    assert(sizes.filter($"n" === 1 && $"kept" =!= 1).count() === 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Tables.embeddings(spark, sf).limit(1)
       .select(Similarity.cosine(
