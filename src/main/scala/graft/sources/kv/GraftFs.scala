@@ -50,7 +50,7 @@ object GraftFs {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  private def fsFor(p: Path): FileSystem = p.getFileSystem(hadoopConf) match {
+  private[kv] def fsFor(p: Path): FileSystem = p.getFileSystem(hadoopConf) match {
     // raw local: java.io semantics, no .crc sibling pollution in the
     // table directories (Spark's own parquet commits write theirs via
     // the same raw fs)

@@ -90,7 +90,45 @@ object CasPointerStore extends PointerStore {
   private def ptrPath(tablePath: String, gen: Int) =
     f"${ptrDir(tablePath)}/ptr-$gen%010d.txt"
 
+  /** The whole protocol rests on `create(overwrite=false)` being an
+    * atomic put-if-absent. On S3A that is only true on Hadoop ≥ 3.4.1
+    * WITH `fs.s3a.create.conditional.enabled` — older clients silently
+    * degrade to exists-check-then-PUT, which would let two
+    * same-generation publishers both believe they won. Probe the
+    * capability ONCE per filesystem and fail fast instead of assuming
+    * (pure decision split out for the spec). */
+  private[graft] def conditionalCreateUnsupported(scheme: String,
+      flagEnabled: Boolean, hasCapability: Boolean): Boolean =
+    scheme.startsWith("s3") && !flagEnabled && !hasCapability
+
+  private val probed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def probeConditionalCreate(tablePath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ptrDir(tablePath))
+    val fs = GraftFs.fsFor(p)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (probed.add(scheme)) {
+      val flag =
+        fs.getConf.getBoolean("fs.s3a.create.conditional.enabled", false)
+      val cap =
+        try fs.hasPathCapability(p, "fs.s3a.capability.conditional.create")
+        catch { case _: Exception => false }
+      if (conditionalCreateUnsupported(scheme, flag, cap))
+        throw new IllegalStateException(
+          s"CAS pointer protocol selected for scheme '$scheme', but the " +
+            "filesystem does not advertise atomic conditional create: " +
+            "S3A needs Hadoop >= 3.4.1 with " +
+            "fs.s3a.create.conditional.enabled=true. Without it, " +
+            "create(overwrite=false) is a non-atomic exists-then-PUT and " +
+            "two same-generation publishers could both win. Enable the " +
+            "flag, or force -Dgraft.kv.pointer.protocol=rename if the " +
+            "store actually has atomic rename.")
+    }
+  }
+
   override def publish(tablePath: String, gen: Int, numBuckets: Int): Boolean = {
+    probeConditionalCreate(tablePath)
     val won = GraftFs.createExclusive(ptrPath(tablePath, gen),
       s"$gen $numBuckets")
     if (won) {

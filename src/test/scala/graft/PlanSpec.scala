@@ -335,7 +335,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("no registered query plans an unpartitioned (single-task) window") {
-    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // LIMIT-bounded means the limit DIRECTLY bounds the window's input:
+    // walk only the unary row-preserving/reducing chain. (A collectFirst
+    // over the whole subtree would exempt a window joined against the
+    // full corpus just because a limit exists somewhere below.)
+    @annotation.tailrec
+    def limitBounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case x: Project => limitBounded(x.child)
+      case x: Sort => limitBounded(x.child)
+      case x: Filter => limitBounded(x.child)
+      case x: SubqueryAlias => limitBounded(x.child)
+      case x: LocalLimit => limitBounded(x.child)
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val bad = fn(spark, sf).queryExecution.optimizedPlan.collect {
@@ -343,8 +357,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
           // top-k: bm25/pagerank number <= 100 rows) is k rows in one
           // task BY DESIGN — only unbounded global windows are the
           // single-task scale hazard
-          case w: LWindow if w.partitionSpec.isEmpty &&
-            w.child.collectFirst { case g: GlobalLimit => g }.isEmpty => w
+          case w: Window if w.partitionSpec.isEmpty &&
+            !limitBounded(w.child) => w
         }
         if (bad.nonEmpty) Some(name) else None
     }

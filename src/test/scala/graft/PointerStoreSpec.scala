@@ -127,4 +127,19 @@ class PointerStoreSpec extends AnyFunSuite with SparkSpec {
     // saw `false`, which is the protocol's whole point vs rename
     assert((0 until gens).forall(winners.containsKey))
   }
+
+  test("CAS conditional-create probe: only an incapable s3 store is rejected") {
+    import graft.sources.kv.CasPointerStore.conditionalCreateUnsupported
+    // s3 without the Hadoop 3.4.1+ conditional-create flag OR path
+    // capability = the silent exists-then-PUT race ADVICE flagged
+    assert(conditionalCreateUnsupported("s3a", false, false))
+    assert(conditionalCreateUnsupported("s3", false, false))
+    // either signal of real conditional PUT support clears it
+    assert(!conditionalCreateUnsupported("s3a", true, false))
+    assert(!conditionalCreateUnsupported("s3a", false, true))
+    // non-s3 schemes have atomic exclusive create natively
+    assert(!conditionalCreateUnsupported("file", false, false))
+    assert(!conditionalCreateUnsupported("hdfs", false, false))
+    assert(!conditionalCreateUnsupported("gs", false, false))
+  }
 }
