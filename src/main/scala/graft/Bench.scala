@@ -49,11 +49,55 @@ object Bench {
       name -> times.min
     }
     val total = results.map(_._2).sum
+    // Supplemental: the merged KV read COLD vs UNDER CONCURRENT APPEND
+    // LOAD — puts landing while the scan runs (the compaction-swap spec
+    // proves correctness of the race; this records what the churn COSTS:
+    // per-read directory listing + pointer resolution + a growing log
+    // leg). Runs in the full bench, or alone via
+    // `runMain graft.Bench kv_bench_load`.
+    val kvLoad: Option[(Double, Double)] =
+      if (!nameFilter.forall(_.findFirstIn("kv_bench_load").isDefined)) None
+      else try {
+        import org.apache.spark.sql.functions._
+        val t = graft.write.KVTable(spark,
+          RepoPaths.target("graft_kv/bench_load"), wipe = true)
+        val orders = Tables.orders(spark, sfDir)
+        def cells(ts: Long) = orders.select(col("o_orderkey").as("key"),
+          lit("F").as("family"), lit("cents").as("qualifier"),
+          round(col("o_totalprice") * 100).cast("long").cast("string")
+            .as("value"), lit(ts).as("ts"))
+        t.put(cells(1L)); t.compact()
+        def timedRead(): Double = {
+          val t0 = System.nanoTime()
+          t.resolved().count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = (1 to 2).map(_ => timedRead()).min
+        @volatile var stop = false
+        val appender = new Thread(() => {
+          var ts = 2L
+          while (!stop) {
+            try t.put(cells(ts).filter(col("key") % 97 === ts % 97))
+            catch { case _: Throwable => () }
+            ts += 1
+          }
+        })
+        appender.setDaemon(true); appender.start()
+        val loaded = try (1 to 2).map(_ => timedRead()).min
+          finally { stop = true; appender.join(10000) }
+        sweepCaches()
+        Some((cold, loaded))
+      } catch { case _: Throwable => None }
+    val kvExtra = kvLoad.fold("") { case (c, l) =>
+      s""""kv_read_cold_sec":${math.round(c * 1000) / 1000.0},""" +
+        s""""kv_read_under_append_sec":${math.round(l * 1000) / 1000.0},"""
+    }
     def line(entries: Seq[(String, Double)], extra: String = ""): String = {
       val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
-        s""""unit":"sec","nqueries":${results.size},$extra"queries":$qs,"sf":"$sfDir"}"""
+        s""""unit":"sec","nqueries":${results.size},$kvExtra$extra""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query record (all timings, full precision) → file.
     val out = new java.io.File("target/bench.json")
