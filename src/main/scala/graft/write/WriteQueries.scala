@@ -162,6 +162,26 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M13 (extra): bare SQL UPDATE — the third row-level verb through
+    // the same delta rewrite (RewriteUpdateTable): the resolved scan
+    // finds matching live cells, the assignment appends new versions.
+    // Together with m12's MERGE/DELETE this completes the SQL mutation
+    // surface over the typed M1-M7 semantics.
+    "m13_sql_update" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m13"), wipe = true)
+      t.put(partCells(s, d))
+      t.compact()
+      val ident = graft.sources.kv.KVSource.sqlName(s, base("m13"))
+      s.sql(
+        s"""UPDATE $ident SET value = CAST(CAST(value AS BIGINT) + 500
+           |  AS STRING), ts = 2
+           |WHERE qualifier = 'size' AND key % 3 = 0""".stripMargin)
+      t.resolved()
+        .select($"key", $"value".cast("long").as("size"))
+        .orderBy($"key")
+    }),
+
     // M3/A11 `increment` (HBaseTable.scala:157-179): two rounds of
     // counter deltas (zero deltas skipped), final counter per key.
     "m3_increment" -> ((s, d) => {
@@ -601,6 +621,11 @@ object WriteQueries {
         |  FROM customer WHERE (c_custkey + 1000000) % 5 = 1)
         |SELECT key, cents FROM base WHERE key % 10 <> 3
         |ORDER BY key""".stripMargin,
+    "m13_sql_update" ->
+      """SELECT p_partkey AS key,
+        |       CAST(p_size + CASE WHEN p_partkey % 3 = 0 THEN 500 ELSE 0 END
+        |            AS BIGINT) AS size
+        |FROM part ORDER BY key""".stripMargin,
     "m3_increment" ->
       """SELECT user_id AS key,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS counter
