@@ -284,6 +284,41 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       base.keys.count(k => (k + 1000000) % 5 == 1 && (k + 1000000) % 10 != 3))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE syncs the table to the source") {
+    // the sync-table pattern: rows absent from the source are deleted,
+    // matched rows updated — one MERGE makes the KV state mirror the
+    // source exactly (all three arms through the delta write)
+    val path = targetPath("graft_kv_test/dsv2_sync")
+    val t = KVTable(spark, path, wipe = true)
+    val cust = Tables.customer(spark, sf)
+    t.put(cust.select($"c_custkey".as("key"), lit("F").as("family"),
+      lit("v").as("qualifier"), lit("old").as("value"), lit(1L).as("ts")))
+    t.compact()
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+    // source = even keys only, plus one brand-new key
+    cust.filter($"c_custkey" % 2 === 0)
+      .select($"c_custkey".as("key"), lit("new").as("value"))
+      .unionByName(Seq((999999L, "ins")).toDF("key", "value"))
+      .createOrReplaceTempView("kvspec_sync_src")
+    spark.sql(
+      s"""MERGE INTO $ident t USING kvspec_sync_src u
+         |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'v'
+         |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 2
+         |WHEN NOT MATCHED THEN
+         |  INSERT (key, family, qualifier, value, ts, tomb)
+         |  VALUES (u.key, 'F', 'v', u.value, 2, null)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = t.resolved().select($"key", $"value")
+      .as[(Long, String)].collect().toMap
+    val evens = cust.filter($"c_custkey" % 2 === 0)
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(got.size === evens.size + 1)
+    evens.foreach(k => assert(got(k) === "new"))
+    assert(got(999999L) === "ins")
+    assert(got.keySet.forall(k => k == 999999L || evens(k)),
+      "an odd key survived the sync")
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
