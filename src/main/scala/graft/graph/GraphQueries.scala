@@ -42,7 +42,11 @@ object GraphQueries {
     * recipe version; any mismatch rebuilds. */
   def pairs2(s: SparkSession, d: String): DataFrame = {
     import graft.sources.kv.GraftFs
-    val path = RepoPaths.target("graft_graph/pairs2")
+    // per-dataset path: bench interleaves warmup (sf0.001) and timed
+    // (target sf) runs per query — a shared path would rebuild on every
+    // alternation instead of being built once per dataset
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val path = RepoPaths.target(s"graft_graph/pairs2_$slug")
     val marker = s"$path/_graft_setup.txt"
     val tag = s"pairs2 v1 $d"
     if (!GraftFs.readString(marker).contains(tag)) {

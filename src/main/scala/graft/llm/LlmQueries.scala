@@ -37,7 +37,10 @@ object LlmQueries {
     * GraphQueries.pairs2 and the s10/m11 KV setup). */
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     import graft.sources.kv.GraftFs
-    val path = graft.RepoPaths.target("graft_llm/cluster_labels")
+    // per-dataset path — see GraphQueries.pairs2: bench alternates
+    // warmup and timed datasets per query
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val path = graft.RepoPaths.target(s"graft_llm/cluster_labels_$slug")
     val marker = s"$path/_graft_setup.txt"
     val tag = s"clusters v1 $d"
     if (!GraftFs.readString(marker).contains(tag)) {
