@@ -415,7 +415,7 @@ object WriteQueries {
       KVTable.deleteRecursively(stage)
       KVTable.deleteRecursively(out)
       val ev = Tables.events(s, d)
-      ev.repartition(2).write.mode("overwrite").parquet(stage)
+      ev.coalesce(1).write.mode("overwrite").parquet(stage)
       val maxNs = ev.agg(max($"ts")).as[Long].head()
       Seq(3L, 4L).foreach { h =>
         ev.limit(1)
@@ -429,14 +429,22 @@ object WriteQueries {
       val agg = src.withWatermark("tsc", "1 hour")
         .groupBy(window($"tsc", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"))
-      val q = agg.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.select(unix_timestamp($"window.start").as("hour_start"),
-              col("event_type"), col("n"))
-            .write.mode(SaveMode.Append).parquet(out)
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // stateful micro-batches commit one state store per shuffle
+      // partition per batch — quarter the fan-out for the stream, as
+      // st5 does (at 100 TB this would be sized UP instead)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(prev.toInt / 4, 1).toString)
+      try {
+        val q = agg.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.select(unix_timestamp($"window.start").as("hour_start"),
+                col("event_type"), col("n"))
+              .write.mode(SaveMode.Append).parquet(out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.read.parquet(out)
         .filter($"event_type" =!= "__flush__")
         .orderBy($"hour_start", $"event_type")
@@ -579,7 +587,10 @@ object WriteQueries {
       val stage = RepoPaths.target("graft_stream/st7")
       KVTable.deleteRecursively(stage)
       val ev = Tables.events(s, d)
-      val bounds = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      // three time-ordered files = three genuine stateful micro-batches
+      // (the state-crossing proof) without paying per-batch state-store
+      // commits for more batches than the semantics need
+      val bounds = ev.stat.approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.0)
       val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
       cuts.sliding(2).foreach {
         case Array(lo, hi) =>
@@ -587,10 +598,14 @@ object WriteQueries {
             .coalesce(1).write.mode("append").parquet(stage)
         case _ => ()
       }
-      graft.streaming.StreamStats
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(prev.toInt / 4, 1).toString)
+      try graft.streaming.StreamStats
         .alerts(s, stage, ev.schema, RepoPaths.target("graft_stream/st7_out"))
         .select($"event_type", $"event_id", $"sec", $"cents", $"z")
         .orderBy($"event_id")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
