@@ -267,12 +267,22 @@ object GraphQueries {
     // G9 table-backed views (HGraphTable.scala:86-104): persist the
     // network in KV layout, read back, MaxConnected in keyspace 1
     // (HGraphTable.scala:69-83 — last qualifier in keyspace order).
+    // The network persists ONCE per dataset (the reference's HGraphTable
+    // builds its table once too) — the operator under test is the VIEW
+    // over the persisted layout, same discipline as s10/m11.
     "g9_net_view" -> ((s, d) => {
       import s.implicits._
-      val path = RepoPaths.target("graft_net/g9")
-      fromPairs(feedA(s, d))
-        .repartitionByRange(8, $"src").sortWithinPartitions($"src")
-        .write.mode("overwrite").parquet(path)
+      import graft.sources.kv.GraftFs
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val path = RepoPaths.target(s"graft_net/g9_$slug")
+      val marker = s"$path/_graft_setup.txt"
+      val tag = s"g9 v1 $d"
+      if (!GraftFs.readString(marker).contains(tag)) {
+        fromPairs(feedA(s, d))
+          .repartitionByRange(8, $"src").sortWithinPartitions($"src")
+          .write.mode("overwrite").parquet(path)
+        GraftFs.writeString(marker, tag)
+      }
       val net = s.read.parquet(path)
       net.select($"src",
           filter($"edges", e => pmod(e("dst"), lit(3)) === 1).as("es"))

@@ -14,6 +14,19 @@ object WriteQueries {
 
   private def base(name: String) = graft.RepoPaths.target(s"graft_kv/$name")
 
+  /** Stateful streams commit one state store per shuffle partition per
+    * micro-batch; at this data volume the commit fan-out dominates, so
+    * every stateful stream here runs at a quarter of the session's
+    * partitions. The count is baked into a checkpoint at first start (a
+    * restart keeps it) — a per-pipeline sizing decision, exactly as at
+    * 100 TB where it would instead be set HIGHER than the default. */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(prev.toInt / 4, 1).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Build-once table setup for READ-operator queries (s10, m11): the
     * operator under test there is the scan — the write path is what
     * m1–m9/s8/s9 measure — so rebuilding the table on every invocation
@@ -429,13 +442,7 @@ object WriteQueries {
       val agg = src.withWatermark("tsc", "1 hour")
         .groupBy(window($"tsc", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"))
-      // stateful micro-batches commit one state store per shuffle
-      // partition per batch — quarter the fan-out for the stream, as
-      // st5 does (at 100 TB this would be sized UP instead)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(prev.toInt / 4, 1).toString)
-      try {
+      withStreamPartitions(s) {
         val q = agg.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.select(unix_timestamp($"window.start").as("hour_start"),
@@ -444,7 +451,7 @@ object WriteQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       s.read.parquet(out)
         .filter($"event_type" =!= "__flush__")
         .orderBy($"hour_start", $"event_type")
@@ -468,9 +475,11 @@ object WriteQueries {
         .select($"event_id", $"tsc", $"user_id", $"value")
       ev.unionByName(ev.filter($"event_id" % 3 === 0))
         .write.mode("overwrite").parquet(stage)
-      graft.streaming.StreamDedup
-        .run(s, stage, ev.schema, out, ckpt, keys = Seq("event_id"),
-          eventTimeCol = "tsc", horizon = "90 days")
+      withStreamPartitions(s) {
+        graft.streaming.StreamDedup
+          .run(s, stage, ev.schema, out, ckpt, keys = Seq("event_id"),
+            eventTimeCol = "tsc", horizon = "90 days")
+      }
         .select($"event_id", $"user_id",
           round($"value" * 100).cast("long").as("cents"))
         .orderBy($"event_id")
@@ -483,10 +492,11 @@ object WriteQueries {
       import s.implicits._
       val stage = RepoPaths.target("graft_stream/st3")
       Tables.events(s, d).write.mode("overwrite").parquet(stage)
-      graft.streaming.Sessionize
-        .run(s, stage, Tables.events(s, d).schema,
-          sinkPath = base("st3_sessions"), gapSec = 14400L)
-        .orderBy($"user_id", $"session_start")
+      withStreamPartitions(s) {
+        graft.streaming.Sessionize
+          .run(s, stage, Tables.events(s, d).schema,
+            sinkPath = base("st3_sessions"), gapSec = 14400L)
+      }.orderBy($"user_id", $"session_start")
     }),
 
     // §2.10 (extra): stream-stream INTERVAL join — clicks matched to
@@ -523,21 +533,11 @@ object WriteQueries {
           $"p_ts" < $"c_ts" + expr("INTERVAL 30 MINUTES"))
       val out = RepoPaths.target("graft_stream/st5_out")
       KVTable.deleteRecursively(out)
-      // state-store granularity: a stateful join commits 4 state
-      // stores per shuffle partition per micro-batch; at this volume
-      // the commit fan-out dominates, so run the stream at a quarter
-      // of the session's partitions (the count is baked into the
-      // checkpoint at first start — a restart keeps it — so this is a
-      // per-pipeline sizing decision, exactly as it is at 100 TB where
-      // it would instead be SET HIGHER than the session default).
       // Sink: each micro-batch's matches append to parquet from the
       // executors — the match stream never materializes on the driver
       // (the memory sink here would hold the full click×purchase
       // result in driver heap, the first thing to break at 100 TB).
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(prev.toInt / 4, 1).toString)
-      try {
+      withStreamPartitions(s) {
         val q0 = joined.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.select(col("c_user").as("user_id"),
@@ -548,7 +548,7 @@ object WriteQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q0.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       s.read.parquet(out)
         .orderBy($"user_id", $"click_id", $"purchase_id")
     }),
@@ -567,9 +567,10 @@ object WriteQueries {
       val stage = RepoPaths.target("graft_stream/st6")
       Tables.events(s, d).repartition(2)
         .write.mode("overwrite").parquet(stage)
-      graft.streaming.StreamStats
-        .run(s, stage, Tables.events(s, d).schema, base("st6_stats"))
-        .orderBy($"event_type")
+      withStreamPartitions(s) {
+        graft.streaming.StreamStats
+          .run(s, stage, Tables.events(s, d).schema, base("st6_stats"))
+      }.orderBy($"event_type")
     }),
 
     // §2.10 (extra): st7 — event-time z-score ALERTS against the
@@ -598,14 +599,11 @@ object WriteQueries {
             .coalesce(1).write.mode("append").parquet(stage)
         case _ => ()
       }
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(prev.toInt / 4, 1).toString)
-      try graft.streaming.StreamStats
-        .alerts(s, stage, ev.schema, RepoPaths.target("graft_stream/st7_out"))
-        .select($"event_type", $"event_id", $"sec", $"cents", $"z")
+      withStreamPartitions(s) {
+        graft.streaming.StreamStats
+          .alerts(s, stage, ev.schema, RepoPaths.target("graft_stream/st7_out"))
+      }.select($"event_type", $"event_id", $"sec", $"cents", $"z")
         .orderBy($"event_id")
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     })
   )
 
