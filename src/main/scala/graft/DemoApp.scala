@@ -119,6 +119,25 @@ object DemoApp {
     println("== z-order clustered layout: read-back filtered on the secondary column ==")
     SparkEntry.queries("s11_zorder_scan")(spark, d).show(3)
 
+    // --- SQL row-level mutations (round 9) -----------------------------
+    println("== MERGE INTO the KV table from SQL (delta row-level ops) ==")
+    val ident = sources.kv.KVSource.sqlName(spark,
+      graft.RepoPaths.target("graft_demo/simple"))
+    Tables.part(spark, d).filter($"p_partkey" % 2 === 0)
+      .select($"p_partkey".as("key"), lit("9999").as("value"))
+      .createOrReplaceTempView("demo_updates")
+    spark.sql(
+      s"""MERGE INTO $ident t USING demo_updates u
+         |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'size'
+         |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 9""".stripMargin)
+    spark.sql(s"DELETE FROM $ident WHERE key % 10 = 7")
+    kv.resolved().filter($"qualifier" === "size")
+      .orderBy($"key").show(5, truncate = false)
+    println("== streaming z-score alerts (running power-sum state) ==")
+    SparkEntry.queries("st7_zscore_alerts")(spark, d).show(5)
+    println("== learned BPE merges (3 rounds) ==")
+    SparkEntry.queries("llm_bpe_merges")(spark, d).show()
+
     // --- retrieval, ranking, event analytics (round 8c) ---------------
     println("== BM25 retrieval for the query {merge, scan, window} ==")
     SparkEntry.queries("llm_bm25_topk")(spark, d).show(5)
