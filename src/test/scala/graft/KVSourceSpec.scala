@@ -319,6 +319,45 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       "an odd key survived the sync")
   }
 
+  test("SQL MERGE racing an async compaction loses neither side") {
+    // the row-level write is a log append and compaction deletes only
+    // ITS snapshot's log files — so a MERGE landing while the rewrite
+    // runs must survive it, whatever the interleaving
+    val path = targetPath("graft_kv_test/dsv2_race")
+    val t = KVTable(spark, path, wipe = true)
+    val part = Tables.part(spark, sf)
+    t.put(part.select($"p_partkey".as("key"), lit("F").as("family"),
+      lit("size").as("qualifier"), $"p_size".cast("string").as("value"),
+      lit(1L).as("ts")))
+    t.compact()
+    // a live log leg for the compaction to fold in
+    t.put(part.filter($"p_partkey" % 5 === 0)
+      .select($"p_partkey".as("key"), lit("F").as("family"),
+        lit("size").as("qualifier"),
+        ($"p_size" + 100).cast("string").as("value"), lit(2L).as("ts")))
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+    val rewrite = t.compactAsync()
+    part.filter($"p_partkey" % 2 === 0)
+      .select($"p_partkey".as("key"), lit("777").as("value"))
+      .createOrReplaceTempView("kvspec_race_updates")
+    spark.sql(
+      s"""MERGE INTO $ident t USING kvspec_race_updates u
+         |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'size'
+         |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 3""".stripMargin)
+    scala.concurrent.Await.result(rewrite,
+      scala.concurrent.duration.Duration(120, "s"))
+    val got = t.resolved().select($"key", $"value".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val sizes = part.select($"p_partkey", $"p_size".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    sizes.foreach { case (k, sz) =>
+      val exp = if (k % 2 == 0) 777L
+        else if (k % 5 == 0) sz + 100 else sz
+      assert(got(k) === exp, s"key $k")
+    }
+    assert(got.size === sizes.size)
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
