@@ -274,6 +274,45 @@ object Dedup {
       .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
   }
 
+  /** Incremental CLUSTER ASSIGNMENT of an ingest batch against a
+    * standing corpus — the missing piece between the incremental pair
+    * probe ([[minHashLshIncremental]]) and the batch component loop
+    * ([[clusters]]): a pipeline at 100 TB re-clusters neither the
+    * corpus nor its labels on ingest.
+    *
+    * Contract (deterministic, and what makes the oracle expressible):
+    * standing corpus labels NEVER change; a batch doc's cluster is the
+    * minimum over its batch-local component of (member doc ids ∪ the
+    * corpus cluster labels its members matched). Two standing clusters
+    * bridged by a new doc are NOT retroactively merged — that is the
+    * documented incremental tradeoff, repaired at the next full
+    * clustering, exactly like a segment-merge in an LSM tree.
+    *
+    * Scale shape: the corpus contributes only its band index (the
+    * equi-join probe) and the text of colliding docs; batch-local LSH +
+    * components run over batch-sized data; labels join once. */
+  def clustersIncremental(corpus: DataFrame, corpusLabels: DataFrame,
+                          corpusIndex: DataFrame, batch: DataFrame,
+                          threshold: Double): DataFrame = {
+    val nc = minHashLshIncremental(corpus, corpusIndex, batch, threshold)
+    val nn = minHashLsh(batch, threshold)
+    val comp = clusters(batch, nn)
+      .select(col("doc_id"), col("cluster").as("comp"))
+    val seeds = nc
+      .join(corpusLabels.select(col("doc_id").as("da"),
+        col("cluster").as("corp_cluster")), Seq("da"))
+      .groupBy(col("db").as("doc_id"))
+      .agg(min(col("corp_cluster")).as("seed"))
+    val compLabel = comp.join(seeds, Seq("doc_id"), "left_outer")
+      .groupBy(col("comp")).agg(min(col("seed")).as("comp_seed"))
+      .select(col("comp"),
+        when(col("comp_seed").isNull, col("comp"))
+          .otherwise(least(col("comp_seed"), col("comp"))).as("cluster"))
+    comp.join(compLabel, "comp")
+      .select(col("doc_id"), col("cluster"),
+        (col("cluster") === col("doc_id")).cast("long").as("keep"))
+  }
+
   /** Quality-aware keeper election over PRECOMPUTED cluster labels —
     * the library seam pipeline users compose with [[clusters]] so the
     * LSH pass and the component loop run ONCE per corpus, not once per

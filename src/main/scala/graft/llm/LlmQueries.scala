@@ -107,6 +107,25 @@ object LlmQueries {
         .orderBy($"da", $"db")
     }),
 
+    // Incremental cluster assignment: an ingest batch (doc_id%5==0)
+    // joins the standing corpus clusters WITHOUT re-clustering the
+    // corpus — batch docs probe the persisted band index, batch-local
+    // components form over batch-only pairs, and each component takes
+    // the min of (member ids, matched corpus cluster labels). Standing
+    // labels never change (bridges repair at the next full clustering —
+    // the LSM-segment-merge tradeoff, documented in Dedup).
+    "llm_dedup_clusters_incr" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      val labels = Dedup.clusters(corpus, Dedup.minHashLsh(corpus, 0.8))
+        .select($"doc_id", $"cluster")
+      Dedup.clustersIncremental(corpus, labels,
+          Dedup.minHashBandIndex(corpus),
+          docs.filter($"doc_id" % 5 === 0), 0.8)
+        .orderBy($"doc_id")
+    }),
+
     // Dedup clustering: connected components over the minhash-LSH pair
     // graph — cluster id per doc (min reachable doc_id) plus the keep
     // flag a pipeline filters on. The component loop runs only over
@@ -799,6 +818,66 @@ object LlmQueries {
         |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
         |WHERE common*1.0/(ca.n+cb.n-common) >= 0.8
         |ORDER BY da, db""".stripMargin),
+    "llm_dedup_clusters_incr" -> (DOC_CTE.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((h0 * (i*2+1) + i*999983) % 1000000007) AS mh
+        |       FROM sh0, range(16) r(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS b,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |common AS (SELECT da, db, count(*) AS common FROM cand
+        |           JOIN sh sa ON sa.doc_id = da
+        |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+        |           GROUP BY da, db),
+        |vp AS (SELECT da, db
+        |       FROM common JOIN cnt ca ON da = ca.doc_id
+        |                   JOIN cnt cb ON db = cb.doc_id
+        |       WHERE common*1.0/(ca.n+cb.n-common) >= 0.8),
+        |corp_e AS (SELECT da AS v, db AS w FROM vp
+        |             WHERE da % 5 <> 0 AND db % 5 <> 0
+        |           UNION SELECT db, da FROM vp
+        |             WHERE da % 5 <> 0 AND db % 5 <> 0),
+        |reach AS (SELECT v, w FROM corp_e
+        |          UNION
+        |          SELECT r.v, e.w FROM reach r JOIN corp_e e ON r.w = e.v),
+        |corp_lab AS (SELECT d.doc_id,
+        |               coalesce(l.cluster, d.doc_id) AS cluster
+        |             FROM documents d LEFT JOIN
+        |               (SELECT v AS doc_id, least(v, min(w)) AS cluster
+        |                FROM reach GROUP BY v) l USING (doc_id)
+        |             WHERE d.doc_id % 5 <> 0),
+        |nn_e AS (SELECT da AS v, db AS w FROM vp
+        |           WHERE da % 5 = 0 AND db % 5 = 0
+        |         UNION SELECT db, da FROM vp
+        |           WHERE da % 5 = 0 AND db % 5 = 0),
+        |reach_b AS (SELECT v, w FROM nn_e
+        |            UNION
+        |            SELECT r.v, e.w FROM reach_b r JOIN nn_e e ON r.w = e.v),
+        |comp AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
+        |         FROM documents d LEFT JOIN
+        |           (SELECT v AS doc_id, least(v, min(w)) AS comp
+        |            FROM reach_b GROUP BY v) l USING (doc_id)
+        |         WHERE d.doc_id % 5 = 0),
+        |nc AS (SELECT CASE WHEN da % 5 = 0 THEN db ELSE da END AS cdoc,
+        |              CASE WHEN da % 5 = 0 THEN da ELSE db END AS bdoc
+        |       FROM vp WHERE (da % 5 = 0) <> (db % 5 = 0)),
+        |seeds AS (SELECT n.bdoc AS doc_id, min(c.cluster) AS seed
+        |          FROM nc n JOIN corp_lab c ON c.doc_id = n.cdoc
+        |          GROUP BY n.bdoc),
+        |comp_seed AS (SELECT comp, min(seed) AS comp_seed
+        |              FROM comp LEFT JOIN seeds USING (doc_id)
+        |              GROUP BY comp),
+        |lab AS (SELECT comp,
+        |          CASE WHEN comp_seed IS NULL THEN comp
+        |               ELSE least(comp_seed, comp) END AS cluster
+        |        FROM comp_seed)
+        |SELECT c.doc_id, l.cluster,
+        |       CAST(l.cluster = c.doc_id AS BIGINT) AS keep
+        |FROM comp c JOIN lab l USING (comp) ORDER BY c.doc_id""".stripMargin),
     "llm_dedup_clusters" -> (DOC_CTE.replaceFirst("WITH ", "WITH RECURSIVE ") +
       s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
         |mh AS (SELECT doc_id, i,

@@ -331,6 +331,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(viaMinhash === viaExact)
   }
 
+  test("incremental cluster assignment: seeds, batch components, novel docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "one two three four five six seven eight"),
+      (4L, "one two three four five six seven eight"),       // dup of 3
+      (5L, "solo lonely text with no duplicate anywhere here"))
+      .toDF("doc_id", "text")
+    val labels = Dedup.clusters(corpus, Dedup.minHashLsh(corpus, 0.8))
+      .select($"doc_id", $"cluster")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // matches cluster 1
+      (11L, "red orange yellow green blue indigo violet pink"), // novel pair...
+      (12L, "red orange yellow green blue indigo violet pink"), // ...with 11
+      (13L, "completely fresh words never seen before at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clustersIncremental(corpus, labels,
+        Dedup.minHashBandIndex(corpus), batch, 0.8)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (10L, 1L, 0L),   // adopted the standing cluster's label
+      (11L, 11L, 1L),  // novel batch component: min id keeps
+      (12L, 11L, 0L),
+      (13L, 13L, 1L))) // matched nothing: own cluster
+    // standing labels are untouched by construction — the same frame in,
+    // the same frame out
+    assert(labels.orderBy($"doc_id").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L)))
+  }
+
   test("keepBest composes over precomputed clusters: ONE LSH pass total") {
     val docs = Tables.documents(spark, sf)
     // the shared pass: LSH + component loop run here (and are consumed
