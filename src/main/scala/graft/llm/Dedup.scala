@@ -293,12 +293,49 @@ object Dedup {
     * components run over batch-sized data; labels join once. */
   def clustersIncremental(corpus: DataFrame, corpusLabels: DataFrame,
                           corpusIndex: DataFrame, batch: DataFrame,
-                          threshold: Double): DataFrame = {
-    val nc = minHashLshIncremental(corpus, corpusIndex, batch, threshold)
-    val nn = minHashLsh(batch, threshold)
-    val comp = clusters(batch, nn)
+                          threshold: Double, bands: Int = 4,
+                          rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    // the batch is signed and shingled ONCE; batch-batch and
+    // corpus-batch candidates share the one verify pipeline
+    val bIdx = minHashBandIndex(batch, bands, rowsPerBand, k).cache()
+    val nnCand = bIdx.select(col("doc_id").as("da"), col("b"), col("bucket"))
+      .join(bIdx.select(col("doc_id").as("db"), col("b"), col("bucket")),
+        Seq("b", "bucket"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val ncCand = corpusIndex
+      .select(col("doc_id").as("da"), col("b"), col("bucket"))
+      .join(bIdx.select(col("doc_id").as("db"), col("b"), col("bucket")),
+        Seq("b", "bucket"))
+      .select(col("da"), col("db")).distinct()
+    val cand = nnCand.withColumn("nn", lit(true))
+      .unionByName(ncCand.withColumn("nn", lit(false))).cache()
+    val shb = docShingles(batch, k).cache()
+    // the corpus contributes only the text of colliding docs
+    val shc = docShingles(corpus.join(
+      ncCand.select(col("da").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"), k)
+    val shda = shb.unionByName(shc).cache() // the `da` side spans both
+    val common = cand
+      .join(shda.select(col("doc_id").as("da"), col("s")), Seq("da"))
+      .join(shb.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db"), col("nn"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = shda.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = common
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(col("common") / (col("na") + col("nb") - col("common"))
+        >= threshold)
+      .select(col("da"), col("db"), col("nn"))
+    // lazy cache, not an eager barrier: the whole verify pipeline
+    // materializes as part of the component loop's first job (one fewer
+    // synchronous round-trip — these batch-sized stages are fixed-
+    // overhead-bound), and the nc leg then reads the cache
+    val verified = pairs.cache()
+    val comp = clusters(batch, verified.filter(col("nn")))
       .select(col("doc_id"), col("cluster").as("comp"))
-    val seeds = nc
+    val seeds = verified.filter(!col("nn"))
       .join(corpusLabels.select(col("doc_id").as("da"),
         col("cluster").as("corp_cluster")), Seq("da"))
       .groupBy(col("db").as("doc_id"))
@@ -308,9 +345,12 @@ object Dedup {
       .select(col("comp"),
         when(col("comp_seed").isNull, col("comp"))
           .otherwise(least(col("comp_seed"), col("comp"))).as("cluster"))
-    comp.join(compLabel, "comp")
-      .select(col("doc_id"), col("cluster"),
-        (col("cluster") === col("doc_id")).cast("long").as("keep"))
+    val out = barrier(
+      comp.join(compLabel, "comp")
+        .select(col("doc_id"), col("cluster"),
+          (col("cluster") === col("doc_id")).cast("long").as("keep")),
+      bIdx, cand, shb, shda, verified)
+    out
   }
 
   /** Quality-aware keeper election over PRECOMPUTED cluster labels —

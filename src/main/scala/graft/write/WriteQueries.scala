@@ -573,6 +573,41 @@ object WriteQueries {
       }.orderBy($"event_type")
     }),
 
+    // §2.10 (extra): st8 — near-dup cluster assignment AT INGEST: the
+    // llm_dedup_clusters_incr op run per micro-batch from foreachBatch,
+    // the composition a streaming training-data pipeline actually runs.
+    // The standing corpus (labels + band index) is computed once and
+    // probed by every batch; each batch forms its own local components
+    // (the incremental contract — batch-boundary-deterministic because
+    // the staged files partition the ingest by doc_id group, and each
+    // batch's result depends only on the fixed standing state).
+    // Assignments append to parquet from the executors.
+    "st8_cluster_ingest" -> ((s, d) => {
+      import s.implicits._
+      val stage = RepoPaths.target("graft_stream/st8")
+      val out = RepoPaths.target("graft_stream/st8_out")
+      Seq(stage, out).foreach(KVTable.deleteRecursively)
+      val (corpus, labels, index) =
+        graft.llm.LlmQueries.standingDedupState(s, d)
+      val batchAll = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
+      (0 to 1).foreach(g => batchAll
+        .filter(expr("(doc_id DIV 5) % 2") === g)
+        .coalesce(1).write.mode("append").parquet(stage))
+      val src = s.readStream.schema(batchAll.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      withStreamPartitions(s) {
+        val q = src.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.llm.Dedup
+              .clustersIncremental(corpus, labels, index, batch, 0.8)
+              .write.mode(SaveMode.Append).parquet(out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).orderBy($"doc_id")
+    }),
+
     // §2.10 (extra): st7 — event-time z-score ALERTS against the
     // running stats (the monitoring twin of an_zscore, on st6's
     // power-sum state): each event scores against the stats of all
@@ -715,6 +750,75 @@ object WriteQueries {
         |       CASE WHEN n > 1
         |            THEN round(sqrt((s2 - s1*s1/n)/(n-1)), 6) END AS sd
         |FROM st ORDER BY event_type""".stripMargin,
+    "st8_cluster_ingest" ->
+      ("""WITH RECURSIVE wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM wt, range(1, 200) r(i) WHERE i + 2 <= len(w)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |sh0 AS (SELECT doc_id, s,
+        |          ('0x'||substr(md5(s),1,15))::BIGINT % 1000000007 AS h0
+        |        FROM sh),
+        |mh AS (SELECT doc_id, i,
+        |         min((h0 * (i*2+1) + i*999983) % 1000000007) AS mh
+        |       FROM sh0, range(16) r(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS b,
+        |                 string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+        |          FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |         FROM bands x JOIN bands y
+        |           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |common AS (SELECT da, db, count(*) AS common FROM cand
+        |           JOIN sh sa ON sa.doc_id = da
+        |           JOIN sh sb ON sb.doc_id = db AND sb.s = sa.s
+        |           GROUP BY da, db),
+        |vp AS (SELECT da, db
+        |       FROM common JOIN cnt ca ON da = ca.doc_id
+        |                   JOIN cnt cb ON db = cb.doc_id
+        |       WHERE common*1.0/(ca.n+cb.n-common) >= 0.8),
+        |corp_e AS (SELECT da AS v, db AS w FROM vp
+        |             WHERE da % 5 <> 0 AND db % 5 <> 0
+        |           UNION SELECT db, da FROM vp
+        |             WHERE da % 5 <> 0 AND db % 5 <> 0),
+        |reach AS (SELECT v, w FROM corp_e
+        |          UNION
+        |          SELECT r.v, e.w FROM reach r JOIN corp_e e ON r.w = e.v),
+        |corp_lab AS (SELECT d.doc_id,
+        |               coalesce(l.cluster, d.doc_id) AS cluster
+        |             FROM documents d LEFT JOIN
+        |               (SELECT v AS doc_id, least(v, min(w)) AS cluster
+        |                FROM reach GROUP BY v) l USING (doc_id)
+        |             WHERE d.doc_id % 5 <> 0),
+        |nn_e AS (SELECT da AS v, db AS w FROM vp
+        |           WHERE da % 5 = 0 AND db % 5 = 0
+        |             AND (da // 5) % 2 = (db // 5) % 2
+        |         UNION SELECT db, da FROM vp
+        |           WHERE da % 5 = 0 AND db % 5 = 0
+        |             AND (da // 5) % 2 = (db // 5) % 2),
+        |reach_b AS (SELECT v, w FROM nn_e
+        |            UNION
+        |            SELECT r.v, e.w FROM reach_b r JOIN nn_e e ON r.w = e.v),
+        |comp AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
+        |         FROM documents d LEFT JOIN
+        |           (SELECT v AS doc_id, least(v, min(w)) AS comp
+        |            FROM reach_b GROUP BY v) l USING (doc_id)
+        |         WHERE d.doc_id % 5 = 0),
+        |nc AS (SELECT CASE WHEN da % 5 = 0 THEN db ELSE da END AS cdoc,
+        |              CASE WHEN da % 5 = 0 THEN da ELSE db END AS bdoc
+        |       FROM vp WHERE (da % 5 = 0) <> (db % 5 = 0)),
+        |seeds AS (SELECT n.bdoc AS doc_id, min(c.cluster) AS seed
+        |          FROM nc n JOIN corp_lab c ON c.doc_id = n.cdoc
+        |          GROUP BY n.bdoc),
+        |comp_seed AS (SELECT comp, min(seed) AS comp_seed
+        |              FROM comp LEFT JOIN seeds USING (doc_id)
+        |              GROUP BY comp),
+        |lab AS (SELECT comp,
+        |          CASE WHEN comp_seed IS NULL THEN comp
+        |               ELSE least(comp_seed, comp) END AS cluster
+        |        FROM comp_seed)
+        |SELECT c.doc_id, l.cluster,
+        |       CAST(l.cluster = c.doc_id AS BIGINT) AS keep
+        |FROM comp c JOIN lab l USING (comp) ORDER BY c.doc_id""").stripMargin,
     "st7_zscore_alerts" ->
       """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn,
         |                  epoch_ns(ts) // 1000000000 AS sec,
