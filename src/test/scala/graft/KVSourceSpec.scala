@@ -358,6 +358,41 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === sizes.size)
   }
 
+  test("row-level MERGE sees through row/family tombstones (resolved scan)") {
+    // a row-deleted key must look ABSENT to MERGE's matched/not-matched
+    // arms — the bucket-local resolve inside the row-level scan has to
+    // honor row- and family-granularity masks, not just cell tombstones
+    val path = targetPath("graft_kv_test/dsv2_tombs")
+    val t = KVTable(spark, path, wipe = true)
+    t.put(Seq(
+      (1L, "F", "v", "one", 1L), (2L, "F", "v", "two", 1L),
+      (3L, "F", "v", "three", 1L), (3L, "G", "w", "three-g", 1L))
+      .toDF("key", "family", "qualifier", "value", "ts"))
+    t.compact()
+    // key 1: whole-ROW tombstone; key 3: family-F tombstone (G survives)
+    t.delete(Seq((1L, null, null)).toDF("key", "family", "qualifier"), ts = 2L)
+    t.delete(Seq((3L, "F", null)).toDF("key", "family", "qualifier"), ts = 2L)
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+    Seq((1L, "re-one"), (2L, "upd-two"), (3L, "re-three"))
+      .toDF("key", "value").createOrReplaceTempView("kvspec_tomb_src")
+    spark.sql(
+      s"""MERGE INTO $ident t USING kvspec_tomb_src u
+         |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'v'
+         |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 3
+         |WHEN NOT MATCHED THEN
+         |  INSERT (key, family, qualifier, value, ts, tomb)
+         |  VALUES (u.key, 'F', 'v', u.value, 3, null)""".stripMargin)
+    val got = t.resolved()
+      .select($"key", $"family", $"value").as[(Long, String, String)]
+      .collect().toSet
+    // keys 1 and 3 were dead under F -> NOT MATCHED -> inserted fresh at
+    // ts=3 (above the tombstones); key 2 was live -> updated; 3's G cell
+    // was never masked
+    assert(got === Set(
+      (1L, "F", "re-one"), (2L, "F", "upd-two"),
+      (3L, "F", "re-three"), (3L, "G", "three-g")))
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
