@@ -20,18 +20,34 @@ object Analytics {
     * both engines (Spark here, DuckDB in the oracle CTE below) compute
     * bit-identical values, so the queries stay hash-checkable. At scale
     * this is one distinct-aggregation over the fact's two key columns;
-    * real deployments would read the actual table.
+    * real deployments would read the actual table — which is exactly
+    * what this does after the first call: the derived table
+    * MATERIALIZES once per dataset (ps_partkey-clustered parquet, the
+    * pairs2 discipline) and the five queries read it like the real
+    * partsupp they model.
     */
   private def partsupp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey").distinct()
-      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"),
-        (conv(substring(md5(concat($"l_partkey".cast("string"), lit("_"),
-          $"l_suppkey".cast("string"))), 1, 6), 16, 10).cast("long")
-          % 100000L / lit(100.0)).as("ps_supplycost"),
-        (conv(substring(md5(concat($"l_suppkey".cast("string"), lit("#"),
-          $"l_partkey".cast("string"))), 1, 6), 16, 10).cast("long")
-          % 9999L + 1L).as("ps_availqty"))
+    import graft.sources.kv.GraftFs
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val path = graft.RepoPaths.target(s"graft_tpch/partsupp_$slug")
+    val marker = s"$path/_graft_setup.txt"
+    val tag = s"partsupp v1 $d"
+    if (!GraftFs.readString(marker).contains(tag)) {
+      Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey").distinct()
+        .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"),
+          (conv(substring(md5(concat($"l_partkey".cast("string"), lit("_"),
+            $"l_suppkey".cast("string"))), 1, 6), 16, 10).cast("long")
+            % 100000L / lit(100.0)).as("ps_supplycost"),
+          (conv(substring(md5(concat($"l_suppkey".cast("string"), lit("#"),
+            $"l_partkey".cast("string"))), 1, 6), 16, 10).cast("long")
+            % 9999L + 1L).as("ps_availqty"))
+        .repartition($"ps_partkey")
+        .sortWithinPartitions($"ps_partkey", $"ps_suppkey")
+        .write.mode("overwrite").parquet(path)
+      GraftFs.writeString(marker, tag)
+    }
+    s.read.parquet(path)
   }
 
   /** The same derivation as a DuckDB CTE, prepended to the oracles. */
