@@ -393,6 +393,27 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       (3L, "F", "re-three"), (3L, "G", "three-g")))
   }
 
+  test("_cell metadata column is selectable on a plain scan (row-wise)") {
+    mkTable("cellmeta", "st", 1L)
+    val ident = graft.sources.kv.KVSource.sqlName(spark,
+      targetPath("graft_kv_test/dsv2_cellmeta"))
+    val df = spark.sql(s"SELECT key, family, qualifier, ts, _cell FROM $ident")
+    // requesting the synthesized struct pins the scan row-wise (the
+    // vectorized readers cannot produce computed columns)
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val rows = df.limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getStruct(4)
+      assert(c.getLong(0) === r.getLong(0))
+      assert(c.getString(1) === r.getString(1))
+      assert(c.getString(2) === r.getString(2))
+      assert(c.getLong(3) === r.getLong(3))
+    }
+    // and SELECT * does NOT surface the metadata column
+    assert(!spark.sql(s"SELECT * FROM $ident").columns.contains("_cell"))
+  }
+
   test("GraftBucket matches Spark's bucketBy placement") {
     // the log-merge routes rows by GraftBucket; if it ever drifted from
     // Spark's murmur3 pmod the merged read would split keys across
