@@ -74,23 +74,38 @@ object Bench {
         }
         val cold = (1 to 2).map(_ => timedRead()).min
         @volatile var stop = false
+        val putsLanded = new java.util.concurrent.atomic.AtomicLong(0)
         val appender = new Thread(() => {
           var ts = 2L
           while (!stop) {
-            try t.put(cells(ts).filter(col("key") % 97 === ts % 97))
-            catch { case _: Throwable => () }
+            // failed puts are tolerated (the read under test may be
+            // holding listings), but COUNTED: a run where zero landed
+            // measured no load at all and must be discarded
+            try {
+              t.put(cells(ts).filter(col("key") % 97 === ts % 97))
+              putsLanded.incrementAndGet()
+            } catch { case _: Throwable => () }
             ts += 1
           }
         })
         appender.setDaemon(true); appender.start()
         val loaded = try (1 to 2).map(_ => timedRead()).min
           finally { stop = true; appender.join(10000) }
+        if (appender.isAlive)
+          System.err.println("[bench] kv_bench_load: appender still " +
+            "running after join timeout; discarding under-append metric")
         sweepCaches()
-        Some((cold, loaded))
+        if (appender.isAlive || putsLanded.get() == 0) {
+          if (putsLanded.get() == 0)
+            System.err.println("[bench] kv_bench_load: zero appends " +
+              "landed during the read; discarding under-append metric")
+          Some((cold, -1.0)) // cold is still valid; load number is not
+        } else Some((cold, loaded))
       } catch { case _: Throwable => None }
     val kvExtra = kvLoad.fold("") { case (c, l) =>
       s""""kv_read_cold_sec":${math.round(c * 1000) / 1000.0},""" +
-        s""""kv_read_under_append_sec":${math.round(l * 1000) / 1000.0},"""
+        (if (l < 0) "" // discarded: no load actually landed during it
+         else s""""kv_read_under_append_sec":${math.round(l * 1000) / 1000.0},""")
     }
     def line(entries: Seq[(String, Double)], extra: String = ""): String = {
       val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -65,9 +65,12 @@ object Bpe {
         val w = winners.head
         val (l, r, c) = (w.getString(0), w.getString(1), w.getLong(2))
         merges += Merge(round.toLong, l, r, c)
-        // broadcast the decision as literals; per-row rewrite, no shuffle
+        // broadcast the decision as literals; per-row rewrite, no shuffle.
+        // Column-API replace with lit() args: learned symbols never pass
+        // through the SQL parser, so quotes/backslashes in real-corpus
+        // tokens (apostrophes survive whitespace tokenization) are safe.
         val next = enc.withColumn("enc",
-          expr(s"replace(enc, ' $l  $r ', ' $l$r ')")).cache()
+          replace(col("enc"), lit(s" $l  $r "), lit(s" $l$r "))).cache()
         next.count()
         enc.unpersist()
         enc = next

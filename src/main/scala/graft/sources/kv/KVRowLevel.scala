@@ -115,8 +115,35 @@ class KVDeltaDataWriter(inflight: String, partitionId: Int, taskId: Long)
   private val inner = new KVLogDataWriter(inflight, partitionId, taskId)
 
   override def insert(row: InternalRow): Unit = inner.write(row)
-  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
-    inner.write(row)
+
+  /** An UPDATE whose assignment does not RAISE `ts` would append a
+    * version that ties (or loses to) the live one, and latest-wins
+    * would silently leave the update without effect. Enforce the
+    * contract at write time: unchanged ts auto-bumps to live+1 (the
+    * library `put`-at-now behavior), a ts BELOW the live version is a
+    * hard error — writing history through UPDATE is a bug, the
+    * versioned `put` API is the way to backfill. */
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    val c = id.getStruct(0, 4)
+    val liveTs = if (c.isNullAt(3)) Long.MinValue else c.getLong(3)
+    val newTs = if (row.isNullAt(4)) Long.MinValue else row.getLong(4)
+    if (newTs > liveTs) inner.write(row)
+    else if (newTs == liveTs) {
+      val bumped = new GenericInternalRow(Array[Any](
+        if (row.isNullAt(0)) null else java.lang.Long.valueOf(row.getLong(0)),
+        if (row.isNullAt(1)) null else row.getUTF8String(1),
+        if (row.isNullAt(2)) null else row.getUTF8String(2),
+        if (row.isNullAt(3)) null else row.getUTF8String(3),
+        java.lang.Long.valueOf(if (liveTs == Long.MinValue) Long.MinValue + 1
+          else liveTs + 1),
+        if (row.isNullAt(5)) null else row.getUTF8String(5)))
+      inner.write(bumped)
+    } else throw new IllegalArgumentException(
+      s"UPDATE assigned ts=$newTs below the live version's ts=$liveTs " +
+        "for the matched cell; latest-wins would ignore the update. " +
+        "Raise ts in the assignment (or omit it to auto-bump), or use " +
+        "the versioned put API to write historical versions.")
+  }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
     // id = the `_cell` struct (key, family, qualifier, ts)
@@ -235,7 +262,7 @@ class KVResolvedPartitionReader(p: KVBucketPartition, required: StructType,
   private type CellKey = (Long, String, String)
 
   private val iter: Iterator[InternalRow] = {
-    val winners = mutable.HashMap.empty[CellKey, (Long, String)]
+    val winners = mutable.HashMap.empty[CellKey, (Long, UTF8String)]
     val rowDel = mutable.HashMap.empty[Long, Long]
     val famDel = mutable.HashMap.empty[(Long, String), Long]
     val cellDel = mutable.HashMap.empty[CellKey, Long]
@@ -250,7 +277,8 @@ class KVResolvedPartitionReader(p: KVBucketPartition, required: StructType,
         val qual = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
         val ts = if (r.isNullAt(4)) Long.MinValue else r.getLong(4)
         if (r.isNullAt(5)) {
-          val value = if (r.isNullAt(3)) null else r.getUTF8String(3).toString
+          // clone: the underlying reader may reuse its row buffer
+          val value = if (r.isNullAt(3)) null else r.getUTF8String(3).clone()
           val ck = (key, fam, qual)
           winners.get(ck) match {
             case Some((bts, bv))
@@ -276,8 +304,7 @@ class KVResolvedPartitionReader(p: KVBucketPartition, required: StructType,
         val kv = if (key == Long.MinValue) null else java.lang.Long.valueOf(key)
         val full = Array[Any](
           kv, UTF8String.fromString(fam), UTF8String.fromString(qual),
-          if (value == null) null else UTF8String.fromString(value),
-          java.lang.Long.valueOf(ts), null)
+          value, java.lang.Long.valueOf(ts), null)
         new GenericInternalRow(outIdx.map(i =>
           if (i >= 0) full(i)
           else new GenericInternalRow(Array[Any](kv,
@@ -286,7 +313,11 @@ class KVResolvedPartitionReader(p: KVBucketPartition, required: StructType,
     }
   }
 
-  private def cmpValue(a: String, b: String): Int =
+  /** Same-ts tie-break on VALUE in UTF-8 BINARY order — byte-identical
+    * to the library resolve's `max_by` over Spark strings
+    * (write/KVStore.scala). Java String.compareTo would order by UTF-16
+    * code units, which disagrees on supplementary-plane characters. */
+  private def cmpValue(a: UTF8String, b: UTF8String): Int =
     if (a == null && b == null) 0 else if (a == null) -1
     else if (b == null) 1 else a.compareTo(b)
 

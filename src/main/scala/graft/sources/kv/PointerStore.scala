@@ -94,28 +94,36 @@ object CasPointerStore extends PointerStore {
     * atomic put-if-absent. On S3A that is only true on Hadoop ≥ 3.4.1
     * WITH `fs.s3a.create.conditional.enabled` — older clients silently
     * degrade to exists-check-then-PUT, which would let two
-    * same-generation publishers both believe they won. Probe the
-    * capability ONCE per filesystem and fail fast instead of assuming
-    * (pure decision split out for the spec). */
+    * same-generation publishers both believe they won. The decision is
+    * keyed on `hasPathCapability` ALONE: on a capable client the
+    * enabled flag surfaces as the path capability, while on an older
+    * client the flag is a no-op, so trusting the flag directly would
+    * let exactly the broken configuration through (pure decision split
+    * out for the spec). */
   private[graft] def conditionalCreateUnsupported(scheme: String,
-      flagEnabled: Boolean, hasCapability: Boolean): Boolean =
-    scheme.startsWith("s3") && !flagEnabled && !hasCapability
+      hasCapability: Boolean): Boolean =
+    scheme.startsWith("s3") && !hasCapability
 
-  private val probed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Per-scheme probe VERDICT (None = pass, Some(msg) = fail), not just
+    * "was probed": a failed probe must keep failing every retried
+    * publish in this JVM, or a caller that catches and loops (as bench
+    * appenders do) would silently fall through to the non-atomic path
+    * the check exists to block. */
+  private val probeVerdict =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  private[graft] def resetProbeForTests(): Unit = probeVerdict.clear()
 
   private def probeConditionalCreate(tablePath: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(ptrDir(tablePath))
     val fs = GraftFs.fsFor(p)
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (probed.add(scheme)) {
-      val flag =
-        fs.getConf.getBoolean("fs.s3a.create.conditional.enabled", false)
+    val verdict = probeVerdict.computeIfAbsent(scheme, _ => {
       val cap =
         try fs.hasPathCapability(p, "fs.s3a.capability.conditional.create")
         catch { case _: Exception => false }
-      if (conditionalCreateUnsupported(scheme, flag, cap))
-        throw new IllegalStateException(
+      if (conditionalCreateUnsupported(scheme, cap))
+        Some(
           s"CAS pointer protocol selected for scheme '$scheme', but the " +
             "filesystem does not advertise atomic conditional create: " +
             "S3A needs Hadoop >= 3.4.1 with " +
@@ -124,7 +132,9 @@ object CasPointerStore extends PointerStore {
             "two same-generation publishers could both win. Enable the " +
             "flag, or force -Dgraft.kv.pointer.protocol=rename if the " +
             "store actually has atomic rename.")
-    }
+      else None
+    })
+    verdict.foreach(msg => throw new IllegalStateException(msg))
   }
 
   override def publish(tablePath: String, gen: Int, numBuckets: Int): Boolean = {

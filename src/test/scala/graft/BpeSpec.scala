@@ -30,6 +30,23 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(m.head.lhs === "x" && m.head.rhs === "y" && m.head.cnt === 2L)
   }
 
+  test("symbols with quotes/backslashes survive the merge rewrite") {
+    // apostrophes survive whitespace tokenization in real corpora; the
+    // learned symbol must go through the Column API as a literal, not
+    // the SQL parser (ADVICE r9: expr-string interpolation broke here)
+    val words = Seq(("don't", 5L), ("won't", 3L), ("""a\'b""", 2L))
+      .toDF("word", "freq")
+    val merges = Bpe.learn(spark, words, rounds = 4)
+    assert(merges.size === 4)
+    // (o,n), (n,'), (',t) all hit don't(5)+won't(3) = 8; the lexical
+    // tie-break picks (',t) first (ASCII ' < n < o), then (n,'t) —
+    // quote-bearing symbols in lhs AND rhs of the rewrite
+    assert(merges.head.lhs === "'" && merges.head.rhs === "t" &&
+      merges.head.cnt === 8L)
+    assert(merges(1).lhs === "n" && merges(1).rhs === "'t" &&
+      merges(1).cnt === 8L)
+  }
+
   test("stops early when no pairs remain") {
     val words = Seq(("ab", 1L)).toDF("word", "freq")
     val m = Bpe.learn(spark, words, rounds = 5)

@@ -284,6 +284,33 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       base.keys.count(k => (k + 1000000) % 5 == 1 && (k + 1000000) % 10 != 3))
   }
 
+  test("UPDATE without raising ts auto-bumps; ts below live fails fast") {
+    val path = targetPath("graft_kv_test/dsv2_tsbump")
+    val t = KVTable(spark, path, wipe = true)
+    t.put(Seq((1L, "F", "v", "old", 5L)).toDF(
+      "key", "family", "qualifier", "value", "ts")
+      .withColumn("ts", $"ts".cast("long")))
+    t.compact()
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+    // assignment leaves ts at the scanned (live) value → the writer
+    // auto-bumps to live+1 so latest-wins makes the update take effect
+    // (ADVICE r9: it used to append a tying version that could lose)
+    spark.sql(s"UPDATE $ident SET value = 'new' WHERE key = 1")
+    val live = t.resolved().select($"value", $"ts").as[(String, Long)].collect()
+    assert(live.toSeq === Seq(("new", 6L)))
+    // explicitly writing BELOW the live version through UPDATE is a bug
+    // the writer rejects (the versioned put API is how history lands)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $ident SET value = 'older', ts = 2 WHERE key = 1")
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("below the live version")))
+    assert(t.resolved().select($"value").as[String].collect().toSeq
+      === Seq("new"))
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE syncs the table to the source") {
     // the sync-table pattern: rows absent from the source are deleted,
     // matched rows updated — one MERGE makes the KV state mirror the

@@ -130,16 +130,17 @@ class PointerStoreSpec extends AnyFunSuite with SparkSpec {
 
   test("CAS conditional-create probe: only an incapable s3 store is rejected") {
     import graft.sources.kv.CasPointerStore.conditionalCreateUnsupported
-    // s3 without the Hadoop 3.4.1+ conditional-create flag OR path
-    // capability = the silent exists-then-PUT race ADVICE flagged
-    assert(conditionalCreateUnsupported("s3a", false, false))
-    assert(conditionalCreateUnsupported("s3", false, false))
-    // either signal of real conditional PUT support clears it
-    assert(!conditionalCreateUnsupported("s3a", true, false))
-    assert(!conditionalCreateUnsupported("s3a", false, true))
+    // s3 without the Hadoop 3.4.1+ conditional-create path capability =
+    // the silent exists-then-PUT race ADVICE flagged. The enabled FLAG
+    // is deliberately not a signal: on a capable client it surfaces as
+    // the capability, on an older client it is a no-op that must not
+    // bypass the check.
+    assert(conditionalCreateUnsupported("s3a", hasCapability = false))
+    assert(conditionalCreateUnsupported("s3", hasCapability = false))
+    assert(!conditionalCreateUnsupported("s3a", hasCapability = true))
     // non-s3 schemes have atomic exclusive create natively
-    assert(!conditionalCreateUnsupported("file", false, false))
-    assert(!conditionalCreateUnsupported("hdfs", false, false))
-    assert(!conditionalCreateUnsupported("gs", false, false))
+    assert(!conditionalCreateUnsupported("file", hasCapability = false))
+    assert(!conditionalCreateUnsupported("hdfs", hasCapability = false))
+    assert(!conditionalCreateUnsupported("gs", hasCapability = false))
   }
 }
