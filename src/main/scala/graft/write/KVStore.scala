@@ -174,6 +174,44 @@ class KVTable(val spark: SparkSession, val path: String) {
   def resolvedAsOf(v: Long): DataFrame =
     resolve(cells.filter(col("ts") <= v))
 
+  /** Change-data feed: the NET difference between the live state as of
+    * `from` and as of `to` (both inclusive cutoffs, `from < to`) — one
+    * row per cell whose live version changed, tagged
+    * `insert` / `update` / `delete` with the before/after value and ts.
+    * This is the table-format CDC read (Delta CDF / Iceberg
+    * changelog shape) over the store's version log: downstream
+    * consumers refresh derived state from the diff instead of
+    * re-reading the full table.
+    *
+    * Shape at scale: both cutoff states come from the same bucketed
+    * scan with a pushed `ts` predicate (row-group pruning), each
+    * resolve shuffles once on (key,family,qualifier), and the final
+    * full-outer join is co-partitioned with the resolve windows — no
+    * extra exchange on the join legs. Net-change semantics mean a
+    * cell written and superseded entirely inside (from, to] emits only
+    * the net row, and the same retention rule as [[resolvedAsOf]]
+    * applies to `from` cutoffs older than the last compaction. */
+  def changesBetween(from: Long, to: Long): DataFrame = {
+    require(from < to, s"changesBetween needs from < to, got [$from, $to]")
+    val before = resolvedAsOf(from)
+    val after = resolvedAsOf(to)
+    val b = before.select(col("key"), col("family"), col("qualifier"),
+      col("value").as("old_value"), col("ts").as("old_ts"))
+    val a = after.select(col("key"), col("family"), col("qualifier"),
+      col("value").as("new_value"), col("ts").as("new_ts"))
+    b.join(a, Seq("key", "family", "qualifier"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_ts").isNull, lit("insert"))
+          .when(col("new_ts").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      // unchanged live version (same winning ts AND value) is not a change
+      .filter(col("old_ts").isNull || col("new_ts").isNull ||
+        !(col("old_ts") === col("new_ts") &&
+          col("old_value") <=> col("new_value")))
+      .select(col("key"), col("family"), col("qualifier"), col("change_type"),
+        col("old_value"), col("new_value"), col("old_ts"), col("new_ts"))
+  }
+
   /** Data files of the log as of now — the compaction snapshot. Only
     * these files feed the rewrite, and only these are deleted after the
     * swap: a put() landing while compaction runs adds NEW part files,

@@ -215,6 +215,42 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M14 (extra): CDC changes-between read — the table-format change
+    // feed (Delta CDF / Iceberg changelog shape) over the version log:
+    // the NET difference between two as-of cutoffs, tagged
+    // insert/update/delete with before/after values. Exercises every
+    // transition: updates (ts=2), row-tombstone deletes (ts=3, some of
+    // them superseding the ts=2 update — net DELETE, the intermediate
+    // version must not leak), fresh inserts (ts=4), and the untouched
+    // majority emitting nothing.
+    "m14_changes_between" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m14"), wipe = true)
+      val o = Tables.orders(s, d)
+      val cents = round($"o_totalprice" * 100).cast("long")
+      t.put(o.select($"o_orderkey".as("key"), lit("F").as("family"),
+        lit("cents").as("qualifier"), cents.cast("string").as("value"),
+        lit(1L).as("ts")))
+      t.compact()
+      t.put(o.filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey".as("key"), lit("F").as("family"),
+          lit("cents").as("qualifier"),
+          (cents + 100L).cast("string").as("value"), lit(2L).as("ts")))
+      t.delete(o.filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey".as("key"),
+          lit(null).cast("string").as("family"),
+          lit(null).cast("string").as("qualifier")), ts = 3L)
+      t.put(o.filter($"o_orderkey" % 3 === 0)
+        .select(($"o_orderkey" + 2000000L).as("key"), lit("F").as("family"),
+          lit("cents").as("qualifier"), lit("42").as("value"),
+          lit(4L).as("ts")))
+      t.changesBetween(1L, 4L)
+        .select($"key", $"change_type",
+          $"old_value".cast("long").as("old_value"),
+          $"new_value".cast("long").as("new_value"))
+        .orderBy($"key")
+    }),
+
     // M3/A11 `increment` (HBaseTable.scala:157-179): two rounds of
     // counter deltas (zero deltas skipped), final counter per key.
     "m3_increment" -> ((s, d) => {
@@ -700,6 +736,22 @@ object WriteQueries {
         |       CAST(p_size + CASE WHEN p_partkey % 3 = 0 THEN 500 ELSE 0 END
         |            AS BIGINT) AS size
         |FROM part ORDER BY key""".stripMargin,
+    "m14_changes_between" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT key, 'delete' AS change_type, cents AS old_value,
+        |       CAST(NULL AS BIGINT) AS new_value
+        |FROM base WHERE key % 5 = 0
+        |UNION ALL
+        |SELECT key, 'update', cents, cents + 100
+        |FROM base WHERE key % 7 = 0 AND key % 5 <> 0
+        |UNION ALL
+        |SELECT key + 2000000, 'insert', CAST(NULL AS BIGINT),
+        |       CAST(42 AS BIGINT)
+        |FROM base WHERE key % 3 = 0
+        |ORDER BY key""".stripMargin,
     "m3_increment" ->
       """SELECT user_id AS key,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS counter

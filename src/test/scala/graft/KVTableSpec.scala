@@ -48,6 +48,39 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     assert(t.resolved().count() === 0)
   }
 
+  test("changesBetween emits the net insert/update/delete diff only") {
+    val t = fresh("cdc")
+    t.put(cells((1L, "F", "a", "v1", 1L), (2L, "F", "a", "v1", 1L),
+      (3L, "F", "a", "v1", 1L), (4L, "F", "a", "v1", 1L),
+      (4L, "F", "b", "w1", 1L)))
+    // inside the window: key 1 updated; key 2 updated THEN row-deleted
+    // (net delete, the ts=2 version must not leak); key 5 inserted and
+    // key 6 inserted-then-deleted (net nothing); key 4 loses only cell
+    // F.b to a cell tombstone; key 3 untouched
+    t.put(cells((1L, "F", "a", "v2", 2L), (2L, "F", "a", "v2", 2L),
+      (5L, "F", "a", "new", 2L), (6L, "F", "a", "gone", 2L)))
+    t.delete(Seq((2L, Option.empty[String], Option.empty[String]),
+      (6L, Option.empty[String], Option.empty[String]))
+      .toDF("key", "family", "qualifier"), ts = 3L)
+    t.delete(Seq((4L, Option("F"), Option("b")))
+      .toDF("key", "family", "qualifier"), ts = 3L)
+    val got = t.changesBetween(1L, 3L)
+      .select($"key", $"qualifier", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, String, Option[String], Option[String])]
+      .collect().toSet
+    assert(got === Set(
+      (1L, "a", "update", Some("v1"), Some("v2")),
+      (2L, "a", "delete", Some("v1"), None),
+      (4L, "b", "delete", Some("w1"), None),
+      (5L, "a", "insert", None, Some("new"))))
+    // a narrower window sees the intermediate version key 2 DID have
+    val mid = t.changesBetween(1L, 2L)
+      .filter($"key" === 2L).select($"change_type", $"new_value")
+      .as[(String, Option[String])].collect().toSeq
+    assert(mid === Seq(("update", Some("v2"))))
+    intercept[IllegalArgumentException](t.changesBetween(3L, 3L))
+  }
+
   test("increment merges deltas and skips zeros") {
     val t = fresh("incr")
     t.increment(Seq((1L, "C", "n", 5L), (1L, "C", "n", 3L), (2L, "C", "n", 0L))
