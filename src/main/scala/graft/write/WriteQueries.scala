@@ -467,6 +467,54 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // ST9 (extra): streaming SQL MERGE INTO — the CDC-apply composition:
+    // each micro-batch pre-aggregates to one update per key (MERGE's
+    // cardinality contract) and lands through the m12 row-level path
+    // (matched → UPDATE, unmatched → INSERT) against the catalog KV
+    // table. The update is a MAX-register (value = greatest(live,
+    // incoming)) — commutative and associative — so the final state is
+    // independent of how the file source splits batches
+    // (maxFilesPerTrigger=2 forces several). UPDATE omits ts: the
+    // delta writer's auto-bump carries the version forward. At 100 TB
+    // this is the standing upsert-apply loop: per batch one resolved
+    // bucket-local scan + a delta append, never a table rewrite.
+    "st9_stream_merge_into" -> ((s, d) => {
+      import s.implicits._
+      val stage = stageOnce(s, "st9", d, version = 1) { dir =>
+        Tables.events(s, d).repartition(4)
+          .write.mode("overwrite").parquet(dir)
+      }
+      val t = KVTable(s, base("st9"), wipe = true)
+      t.put(customerCents(s, d, ts = 1L))
+      t.compact()
+      val ident = graft.sources.kv.KVSource.sqlName(s, base("st9"))
+      val src = s.readStream.schema(Tables.events(s, d).schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the batch df lives in a micro-batch CLONE session — register
+          // the view and run the MERGE there, not on the outer session
+          batch.groupBy($"user_id".as("key"))
+            .agg(max(round($"value" * 100).cast("long")).as("mx"))
+            .createOrReplaceTempView("st9_updates")
+          batch.sparkSession.sql(
+            s"""MERGE INTO $ident t USING st9_updates u
+               |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+               |WHEN MATCHED THEN UPDATE SET value =
+               |  CAST(greatest(CAST(t.value AS BIGINT), u.mx) AS STRING)
+               |WHEN NOT MATCHED THEN
+               |  INSERT (key, family, qualifier, value, ts, tomb)
+               |  VALUES (u.key, 'F', 'bal', CAST(u.mx AS STRING), 1,
+               |          null)""".stripMargin)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
     // §2.10: windowed aggregation with watermark (beyond the reference's
     // surface, built-in Structured Streaming). APPEND mode: a window
     // emits exactly once, when the watermark passes its end — so state
@@ -813,6 +861,21 @@ object WriteQueries {
         |             row_number() OVER (PARTITION BY user_id
         |                                ORDER BY epoch_ns(ts) DESC) AS rn
         |      FROM events) WHERE rn = 1 ORDER BY key""".stripMargin,
+    "st9_stream_merge_into" ->
+      """WITH ev AS (
+        |  SELECT user_id AS key,
+        |         max(CAST(round(value*100) AS BIGINT)) AS mx
+        |  FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(round(c_acctbal*100) AS BIGINT) AS cents
+        |  FROM customer)
+        |SELECT coalesce(b.key, e.key) AS key,
+        |       CASE WHEN e.key IS NULL THEN b.cents
+        |            WHEN b.key IS NULL THEN e.mx
+        |            ELSE greatest(b.cents, e.mx) END AS cents
+        |FROM base b FULL OUTER JOIN ev e ON b.key = e.key
+        |ORDER BY key""".stripMargin,
     "st2_stream_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n
