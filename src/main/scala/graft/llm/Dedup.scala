@@ -274,6 +274,52 @@ object Dedup {
       .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
   }
 
+  /** [[clusters]] for a pair graph BOUNDED BY CONSTRUCTION — an ingest
+    * micro-batch's verified near-dup pairs, sized by the trigger, not
+    * the corpus. The distributed fixpoint pays 2 blocking jobs per
+    * propagation round; for a trigger-sized graph an exact driver
+    * union-find is 2 jobs TOTAL (count, collect) independent of
+    * component diameter, the same collect-under-cap-else-distributed
+    * discipline as the a13 cutoff (graph/GraphOps.scala). Labels are
+    * the component-min doc id — identical to the fixpoint's answer —
+    * and anything over `cap` edges falls back to [[clusters]]. */
+  def clustersBounded(docs: DataFrame, pairs: DataFrame,
+                      cap: Long = 2000000L): DataFrame = {
+    val fwd = pairs.select(col("da").as("v"), col("db").as("w"))
+      .distinct().cache()
+    val n = fwd.count()
+    val out = if (n > cap) clusters(docs, pairs)
+    else {
+      val edges = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent.getOrElse(c, c); parent(c) = r; c = nx
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      val lab = verts.iterator.map(v => (v, find(v))).toSeq
+      import docs.sparkSession.implicits._
+      val labDf = docs.sparkSession.createDataset(lab)
+        .toDF("doc_id", "label")
+      docs.select(col("doc_id"))
+        .join(broadcast(labDf), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster"))
+        .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
+    }
+    fwd.unpersist(false)
+    out
+  }
+
   /** Incremental CLUSTER ASSIGNMENT of an ingest batch against a
     * standing corpus — the missing piece between the incremental pair
     * probe ([[minHashLshIncremental]]) and the batch component loop
@@ -333,7 +379,8 @@ object Dedup {
     // synchronous round-trip — these batch-sized stages are fixed-
     // overhead-bound), and the nc leg then reads the cache
     val verified = pairs.cache()
-    val comp = clusters(batch, verified.filter(col("nn")))
+    // batch-local components: trigger-sized graph → bounded fast path
+    val comp = clustersBounded(batch, verified.filter(col("nn")))
       .select(col("doc_id"), col("cluster").as("comp"))
     val seeds = verified.filter(!col("nn"))
       .join(corpusLabels.select(col("doc_id").as("da"),

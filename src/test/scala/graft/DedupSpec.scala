@@ -64,6 +64,23 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(labs === Set(1L))
   }
 
+  test("clustersBounded equals the distributed fixpoint on both paths") {
+    // random-ish graph: chains, a triangle, reversed edges, duplicates
+    val docs = (1L to 30L).toDF("doc_id")
+    val pairs = (Seq((2L, 3L), (3L, 4L), (10L, 9L), (9L, 8L), (20L, 21L),
+      (21L, 22L), (22L, 20L), (2L, 3L), (15L, 14L)))
+      .toDF("da", "db").withColumn("jacc", lit(0.9))
+    val want = Dedup.clusters(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val fast = Dedup.clustersBounded(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(fast === want)
+    // cap=0 forces the distributed fallback through the same entrypoint
+    val fallback = Dedup.clustersBounded(docs, pairs, cap = 0L)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(fallback === want)
+  }
+
   test("dedup clusters on the corpus agree with the LSH pair graph") {
     val pairs = Dedup.minHashLsh(docs, 0.8).cache()
     val cl = Dedup.clusters(docs, pairs).cache()
