@@ -278,19 +278,20 @@ object Dedup {
     * micro-batch's verified near-dup pairs, sized by the trigger, not
     * the corpus. The distributed fixpoint pays 2 blocking jobs per
     * propagation round; for a trigger-sized graph an exact driver
-    * union-find is 2 jobs TOTAL (count, collect) independent of
-    * component diameter, the same collect-under-cap-else-distributed
+    * union-find is ONE job (a cap-bounded limit+collect) independent
+    * of component diameter, the same collect-under-cap-else-distributed
     * discipline as the a13 cutoff (graph/GraphOps.scala). Labels are
     * the component-min doc id — identical to the fixpoint's answer —
     * and anything over `cap` edges falls back to [[clusters]]. */
   def clustersBounded(docs: DataFrame, pairs: DataFrame,
-                      cap: Long = 2000000L): DataFrame = {
-    val fwd = pairs.select(col("da").as("v"), col("db").as("w"))
-      .distinct().cache()
-    val n = fwd.count()
-    val out = if (n > cap) clusters(docs, pairs)
+                      cap: Int = 2000000): DataFrame = {
+    // ONE job: limit(cap+1) bounds driver memory AND answers the
+    // over-cap question; duplicate/undirected edges need no distinct —
+    // union-find is idempotent over them
+    val edges = pairs.select(col("da").as("v"), col("db").as("w"))
+      .limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (edges.length > cap) clusters(docs, pairs)
     else {
-      val edges = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -316,8 +317,6 @@ object Dedup {
           coalesce(col("label"), col("doc_id")).as("cluster"))
         .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
     }
-    fwd.unpersist(false)
-    out
   }
 
   /** Incremental CLUSTER ASSIGNMENT of an ingest batch against a

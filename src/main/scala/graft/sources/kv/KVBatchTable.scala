@@ -81,13 +81,23 @@ class KVBatchTable(path: String, tsMax: Option[Long] = None)
     new KVWriteBuilder(path, info)
   }
 
-  /** SQL MERGE INTO / UPDATE / DELETE — delta-based row-level ops over
-    * the resolved live state; see [[KVRowLevelOperation]]. */
+  /** SQL MERGE INTO / UPDATE / DELETE — delta-based (merge-on-read)
+    * row-level ops by default ([[KVRowLevelOperation]]); the session
+    * picks the group-based copy-on-write strategy with
+    * `SET spark.graft.kv.rowlevel=cow` ([[KVCowOperation]]) — the
+    * write-optimized vs read-optimized pair, per operation. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(tsMax.isEmpty, "cannot mutate a VERSION AS OF read handle")
-    new KVRowLevelBuilder(path, info)
+    val mode = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.kv.rowlevel", "delta")
+    mode match {
+      case "cow"   => new KVCowBuilder(path, info)
+      case "delta" => new KVRowLevelBuilder(path, info)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.kv.rowlevel must be 'delta' or 'cow', got '$other'")
+    }
   }
 
   override def partitioning(): Array[Transform] = {

@@ -260,7 +260,6 @@ class KVTable(val spark: SparkSession, val path: String) {
     *    snapshot's log files are deleted after the swap. */
   private def writeCompacted(state: DataFrame, numBuckets: Int,
                              snapshotLogFiles: Seq[String]): Unit = {
-    import graft.sources.kv.GraftFs
     val newGen = currentGen.map(_._1 + 1).getOrElse(0)
     state
       .withColumn("tomb", lit(null).cast("string"))
@@ -270,14 +269,43 @@ class KVTable(val spark: SparkSession, val path: String) {
       .sortBy("key", "family", "qualifier")
       .option("path", s"$path/compacted/gen-$newGen")
       .saveAsTable(tableNameFor(newGen))
-    // publish: completeness marker first, then the atomic pointer flip —
-    // new reads resolve gen-N+1 from here on; a crash at any point
-    // leaves a readable table (old pointer, or marker-led recovery)
+    publishGeneration(newGen, numBuckets, snapshotLogFiles)
+  }
+
+  /** The generation number a rewrite in flight right now would publish
+    * (CoW row-level commits compute their target dir from this). */
+  private[graft] def nextGen: Int = currentGen.map(_._1 + 1).getOrElse(0)
+
+  /** Registers the catalog entry for a generation whose FILES were
+    * written by an external (DSv2) writer — same bucketed external
+    * table that `saveAsTable` would have produced, so `spark.table`
+    * reads and downstream zero-Exchange key joins work identically. */
+  private[graft] def registerGenerationTable(gen: Int, numBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tableNameFor(gen)}")
+    spark.sql(
+      s"""CREATE TABLE ${tableNameFor(gen)} (
+         |  key BIGINT, family STRING, qualifier STRING,
+         |  value STRING, ts BIGINT, tomb STRING)
+         |USING parquet
+         |CLUSTERED BY (key) SORTED BY (key, family, qualifier)
+         |INTO $numBuckets BUCKETS
+         |LOCATION '$path/compacted/gen-$gen'""".stripMargin)
+  }
+
+  /** Publish + cleanup tail shared by [[compact]] and the CoW
+    * row-level rewrite (sources/kv/KVCow.scala): completeness marker,
+    * atomic pointer flip, snapshot log-file retirement, and pruning of
+    * the drained N-1 generation. A crash at any point leaves a
+    * readable table (old pointer, or marker-led recovery); appends
+    * racing the rewrite live as other part files in the log directory
+    * and must survive — only the SNAPSHOT's files are deleted. */
+  private[graft] def publishGeneration(newGen: Int, numBuckets: Int,
+                                       snapshotLogFiles: Seq[String]): Unit = {
+    import graft.sources.kv.GraftFs
     graft.sources.kv.KVPointer.writeGenMeta(path, newGen, numBuckets)
     graft.sources.kv.KVPointer.publish(path, newGen, numBuckets)
     // delete ONLY the snapshot's files (plus their checksum siblings) —
-    // never the directory: appends racing with this rewrite live as
-    // other part files in the same directory and must survive.
+    // never the directory
     snapshotLogFiles.foreach { f =>
       val slash = f.lastIndexOf('/')
       GraftFs.delete(

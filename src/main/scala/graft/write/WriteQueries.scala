@@ -251,6 +251,44 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M15 (extra): the same MERGE+DELETE surface through the
+    // GROUP-BASED copy-on-write strategy (spark.graft.kv.rowlevel=cow;
+    // sources/kv/KVCow.scala): the operation's ReplaceData lands as a
+    // fresh bucketed generation behind the pointer flip — a compaction
+    // whose input had the mutation applied — instead of delta appends.
+    // Same final state as the delta path, tombstone-free by
+    // construction; the two strategies are the MoR/CoW pair.
+    "m15_merge_cow" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m15"), wipe = true)
+      t.put(customerCents(s, d, ts = 1L))
+      t.compact()
+      val ident = graft.sources.kv.KVSource.sqlName(s, base("m15"))
+      val cust = Tables.customer(s, d)
+      cust.select($"c_custkey".as("key"),
+          (round($"c_acctbal" * 100).cast("long") + 111L).cast("string")
+            .as("value"))
+        .filter($"key" % 5 === 0)
+        .unionByName(cust
+          .select(($"c_custkey" + 1000000L).as("key"), lit("42").as("value"))
+          .filter($"key" % 5 === 1))
+        .createOrReplaceTempView("m15_updates")
+      s.conf.set("spark.graft.kv.rowlevel", "cow")
+      try {
+        s.sql(
+          s"""MERGE INTO $ident t USING m15_updates u
+             |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+             |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 2
+             |WHEN NOT MATCHED THEN
+             |  INSERT (key, family, qualifier, value, ts, tomb)
+             |  VALUES (u.key, 'F', 'bal', u.value, 2, null)""".stripMargin)
+        s.sql(s"DELETE FROM $ident WHERE key % 10 = 3")
+      } finally s.conf.set("spark.graft.kv.rowlevel", "delta")
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
     // M3/A11 `increment` (HBaseTable.scala:157-179): two rounds of
     // counter deltas (zero deltas skipped), final counter per key.
     "m3_increment" -> ((s, d) => {
@@ -784,6 +822,17 @@ object WriteQueries {
         |       CAST(p_size + CASE WHEN p_partkey % 3 = 0 THEN 500 ELSE 0 END
         |            AS BIGINT) AS size
         |FROM part ORDER BY key""".stripMargin,
+    "m15_merge_cow" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key,
+        |         CAST(round(c_acctbal*100) AS BIGINT)
+        |           + CASE WHEN c_custkey % 5 = 0 THEN 111 ELSE 0 END AS cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS key, CAST(42 AS BIGINT) AS cents
+        |  FROM customer WHERE (c_custkey + 1000000) % 5 = 1)
+        |SELECT key, cents FROM base WHERE key % 10 <> 3
+        |ORDER BY key""".stripMargin,
     "m14_changes_between" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,

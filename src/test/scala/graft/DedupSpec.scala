@@ -76,7 +76,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, Long, Boolean)].collect().toSet
     assert(fast === want)
     // cap=0 forces the distributed fallback through the same entrypoint
-    val fallback = Dedup.clustersBounded(docs, pairs, cap = 0L)
+    val fallback = Dedup.clustersBounded(docs, pairs, cap = 0)
       .as[(Long, Long, Boolean)].collect().toSet
     assert(fallback === want)
   }

@@ -311,6 +311,74 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       === Seq("new"))
   }
 
+  test("copy-on-write MERGE/DELETE rewrites a fresh generation") {
+    val path = targetPath("graft_kv_test/dsv2_cow")
+    val t = KVTable(spark, path, wipe = true)
+    val cust = Tables.customer(spark, sf)
+    t.put(cust.select($"c_custkey".as("key"), lit("F").as("family"),
+      lit("bal").as("qualifier"),
+      round($"c_acctbal" * 100).cast("long").cast("string").as("value"),
+      lit(1L).as("ts")))
+    t.compact()
+    // a post-compaction append the CoW scan must fold in (and whose log
+    // file the commit must retire)
+    t.put(cust.filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey".as("key"), lit("F").as("family"),
+        lit("bal").as("qualifier"), lit("777").as("value"), lit(2L).as("ts")))
+    val genBefore = graft.sources.kv.KVPointer.read(path).map(_._1).get
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+    cust.select($"c_custkey".as("key"),
+        (round($"c_acctbal" * 100).cast("long") + 111).cast("string").as("value"))
+      .filter($"key" % 5 === 0)
+      .unionByName(cust.select(($"c_custkey" + 1000000).as("key"),
+        lit("42").as("value")).filter($"key" % 5 === 1))
+      .createOrReplaceTempView("kvspec_cow_updates")
+    spark.conf.set("spark.graft.kv.rowlevel", "cow")
+    try {
+      spark.sql(
+        s"""MERGE INTO $ident t USING kvspec_cow_updates u
+           |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+           |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 3
+           |WHEN NOT MATCHED THEN
+           |  INSERT (key, family, qualifier, value, ts, tomb)
+           |  VALUES (u.key, 'F', 'bal', u.value, 3, null)""".stripMargin)
+      spark.sql(s"DELETE FROM $ident WHERE key % 10 = 3")
+    } finally spark.conf.set("spark.graft.kv.rowlevel", "delta")
+
+    // two CoW ops = two generation flips, no delta/tombstones anywhere
+    val genAfter = graft.sources.kv.KVPointer.read(path).map(_._1).get
+    assert(genAfter === genBefore + 2)
+    val t2 = KVTable(spark, path)
+    assert(t2.cells.filter($"tomb".isNotNull).count() === 0,
+      "CoW must not write tombstones")
+    assert(graft.sources.kv.GraftFs.dataFiles(s"$path/log").isEmpty,
+      "CoW commit must retire the consumed log files")
+
+    val got = t2.resolved().select($"key", $"value".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val base = cust.select($"c_custkey", round($"c_acctbal" * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    base.foreach { case (k, cents) =>
+      if (k % 10 == 3) assert(!got.contains(k), s"key $k not deleted")
+      else if (k % 5 == 0) assert(got(k) === cents + 111, s"key $k not updated")
+      else if (k % 7 == 0) assert(got(k) === 777L, s"key $k lost its log overwrite")
+      else assert(got(k) === cents, s"key $k changed unexpectedly")
+    }
+    base.keys.filter(k => (k + 1000000) % 5 == 1).foreach { k0 =>
+      val k = k0 + 1000000
+      if (k % 10 == 3) assert(!got.contains(k))
+      else assert(got(k) === 42L, s"inserted key $k missing")
+    }
+    // the rewritten generation still reads as a BUCKETED catalog table:
+    // zero-Exchange key aggregation over spark.table
+    val agg = spark.table(t2.tableName).groupBy($"key").count()
+    val exchanges = agg.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed layout lost: ${agg.queryExecution.executedPlan}")
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE syncs the table to the source") {
     // the sync-table pattern: rows absent from the source are deleted,
     // matched rows updated — one MERGE makes the KV state mirror the
