@@ -289,6 +289,58 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M16 (extra): incremental materialized-view maintenance over the
+    // CDC feed — the reason changesBetween exists. A derived per-group
+    // SUM is seeded from the base state, then three mutation rounds
+    // (update / row-delete / insert) are folded in by applying ONLY the
+    // diff: delta(group) = Σ new−old over changed cells, landed with
+    // the counter `increment` API. The query's answer is the derived
+    // table — the oracle recomputes the aggregate from scratch, so the
+    // gate proves incremental == batch. At 100 TB the derived refresh
+    // costs O(churn), not O(table).
+    "m16_cdc_apply" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m16"), wipe = true)
+      val o = Tables.orders(s, d)
+      val cents = round($"o_totalprice" * 100).cast("long")
+      def put(df: org.apache.spark.sql.DataFrame): Unit = t.put(df)
+      put(o.select($"o_orderkey".as("key"), lit("F").as("family"),
+        lit("cents").as("qualifier"), cents.cast("string").as("value"),
+        lit(1L).as("ts")))
+      t.compact()
+      val agg = KVTable(s, base("m16_agg"), wipe = true)
+      agg.put(t.resolvedAsOf(1L)
+        .groupBy(($"key" % 100).as("key"))
+        .agg(sum($"value".cast("long")).as("total"))
+        .select($"key", lit("A").as("family"), lit("sum").as("qualifier"),
+          $"total".cast("string").as("value"), lit(1L).as("ts")))
+      // three mutation rounds against the BASE table
+      put(o.filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey".as("key"), lit("F").as("family"),
+          lit("cents").as("qualifier"),
+          (cents + 100L).cast("string").as("value"), lit(2L).as("ts")))
+      t.delete(o.filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey".as("key"),
+          lit(null).cast("string").as("family"),
+          lit(null).cast("string").as("qualifier")), ts = 3L)
+      put(o.filter($"o_orderkey" % 3 === 0)
+        .select(($"o_orderkey" + 2000000L).as("key"), lit("F").as("family"),
+          lit("cents").as("qualifier"), lit("42").as("value"),
+          lit(4L).as("ts")))
+      // fold each round's diff into the derived table
+      (1L to 3L).foreach { r =>
+        val diff = t.changesBetween(r, r + 1)
+          .select(($"key" % 100).as("key"), lit("A").as("family"),
+            lit("sum").as("qualifier"),
+            (coalesce($"new_value".cast("long"), lit(0L))
+              - coalesce($"old_value".cast("long"), lit(0L))).as("delta"))
+        agg.increment(diff, ts = r + 1)
+      }
+      agg.resolved()
+        .select($"key".as("grp"), $"value".cast("long").as("total"))
+        .orderBy($"grp")
+    }),
+
     // M3/A11 `increment` (HBaseTable.scala:157-179): two rounds of
     // counter deltas (zero deltas skipped), final counter per key.
     "m3_increment" -> ((s, d) => {
@@ -833,6 +885,19 @@ object WriteQueries {
         |  FROM customer WHERE (c_custkey + 1000000) % 5 = 1)
         |SELECT key, cents FROM base WHERE key % 10 <> 3
         |ORDER BY key""".stripMargin,
+    "m16_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT key,
+        |         cents + CASE WHEN key % 7 = 0 THEN 100 ELSE 0 END AS cents
+        |  FROM base WHERE key % 5 <> 0
+        |  UNION ALL
+        |  SELECT key + 2000000, 42 FROM base WHERE key % 3 = 0)
+        |SELECT key % 100 AS grp, CAST(sum(cents) AS BIGINT) AS total
+        |FROM final GROUP BY 1 ORDER BY grp""".stripMargin,
     "m14_changes_between" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,
