@@ -298,7 +298,11 @@ object WriteQueries {
     // table — the oracle recomputes the aggregate from scratch, so the
     // gate proves incremental == batch. At 100 TB the derived refresh
     // costs O(churn), not O(table).
-    "m16_cdc_apply" -> ((s, d) => {
+    // The whole refresh is small-aggregate work (diffs, per-group
+    // sums, counter merges) — it runs at the reduced partition count,
+    // the same per-pipeline sizing call the streams make; at 100 TB
+    // the SAME knob is set higher, not lower.
+    "m16_cdc_apply" -> ((s, d) => withStreamPartitions(s) {
       import s.implicits._
       val t = KVTable(s, base("m16"), wipe = true)
       val o = Tables.orders(s, d)
@@ -307,13 +311,7 @@ object WriteQueries {
       put(o.select($"o_orderkey".as("key"), lit("F").as("family"),
         lit("cents").as("qualifier"), cents.cast("string").as("value"),
         lit(1L).as("ts")))
-      t.compact()
       val agg = KVTable(s, base("m16_agg"), wipe = true)
-      agg.put(t.resolvedAsOf(1L)
-        .groupBy(($"key" % 100).as("key"))
-        .agg(sum($"value".cast("long")).as("total"))
-        .select($"key", lit("A").as("family"), lit("sum").as("qualifier"),
-          $"total".cast("string").as("value"), lit(1L).as("ts")))
       // three mutation rounds against the BASE table
       put(o.filter($"o_orderkey" % 7 === 0)
         .select($"o_orderkey".as("key"), lit("F").as("family"),
@@ -327,15 +325,28 @@ object WriteQueries {
         .select(($"o_orderkey" + 2000000L).as("key"), lit("F").as("family"),
           lit("cents").as("qualifier"), lit("42").as("value"),
           lit(4L).as("ts")))
-      // fold each round's diff into the derived table
-      (1L to 3L).foreach { r =>
-        val diff = t.changesBetween(r, r + 1)
-          .select(($"key" % 100).as("key"), lit("A").as("family"),
-            lit("sum").as("qualifier"),
-            (coalesce($"new_value".cast("long"), lit(0L))
-              - coalesce($"old_value".cast("long"), lit(0L))).as("delta"))
-        agg.increment(diff, ts = r + 1)
-      }
+      // seed the derived table from the base-cutoff state (time travel
+      // makes the seed exact even after the mutations landed)
+      agg.put(t.resolvedAsOf(1L)
+        .groupBy(($"key" % 100).as("key"))
+        .agg(sum($"value".cast("long")).as("total"))
+        .select($"key", lit("A").as("family"), lit("sum").as("qualifier"),
+          $"total".cast("string").as("value"), lit(1L).as("ts")))
+      // ONE pass over the version log yields every round's diff
+      // (changeLog's CDC walk); each round's delta then folds into the
+      // derived table sequentially — the catch-up loop a consumer runs
+      val diffs = t.changeLog(Seq(1L, 2L, 3L, 4L))
+        .select($"round", ($"key" % 100).as("key"), lit("A").as("family"),
+          lit("sum").as("qualifier"),
+          (coalesce($"new_value".cast("long"), lit(0L))
+            - coalesce($"old_value".cast("long"), lit(0L))).as("delta"))
+        .cache()
+      try {
+        (1 to 3).foreach { r =>
+          agg.increment(diffs.filter($"round" === r).drop("round"),
+            ts = r + 1L)
+        }
+      } finally diffs.unpersist(false)
       agg.resolved()
         .select($"key".as("grp"), $"value".cast("long").as("total"))
         .orderBy($"grp")

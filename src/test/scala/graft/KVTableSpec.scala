@@ -81,6 +81,41 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](t.changesBetween(3L, 3L))
   }
 
+  test("changeLog's one-pass walk equals changesBetween per adjacent pair") {
+    val t = fresh("cdclog")
+    t.put(cells((1L, "F", "a", "v1", 1L), (2L, "F", "a", "v1", 1L),
+      (3L, "F", "a", "v1", 1L), (4L, "F", "b", "w1", 1L)))
+    t.put(cells((1L, "F", "a", "v2", 2L), (5L, "F", "a", "new", 2L)))
+    t.delete(Seq((2L, Option.empty[String], Option.empty[String]))
+      .toDF("key", "family", "qualifier"), ts = 3L)
+    t.put(cells((4L, "F", "b", "w2", 4L), (1L, "F", "a", "v3", 4L)))
+    val cuts = Seq(1L, 2L, 3L, 4L)
+    val walked = t.changeLog(cuts)
+      .select($"round", $"key", $"qualifier", $"change_type",
+        $"old_value", $"new_value")
+      .as[(Int, Long, String, String, Option[String], Option[String])]
+      .collect().map(r => (r._1.toLong, r._2, r._3, r._4, r._5, r._6)).toSet
+    val pairwise = (1 until cuts.length).flatMap { r =>
+      t.changesBetween(cuts(r - 1), cuts(r))
+        .select(lit(r).cast("long").as("round"), $"key", $"qualifier",
+          $"change_type", $"old_value", $"new_value")
+        .as[(Long, Long, String, String, Option[String], Option[String])]
+        .collect()
+    }.toSet
+    assert(walked === pairwise && walked.nonEmpty)
+    // same-ts tie-break parity: the supplementary-plane 😀 (4-byte
+    // UTF-8, but LOWER than U+FFFD in UTF-16 code units) must win the
+    // tie on BOTH paths — Spark's resolve compares UTF-8 bytes, and
+    // changeLog's in-memory replay must agree
+    val t2 = fresh("cdclog_tie")
+    t2.put(cells((1L, "F", "a", "😀", 1L), (1L, "F", "a", "�", 1L)))
+    val sparkWinner = t2.resolved().select($"value").as[String].head()
+    val logWinner = t2.changeLog(Seq(0L, 1L))
+      .select($"new_value").as[String].head()
+    assert(sparkWinner === "😀" && logWinner === sparkWinner)
+    intercept[IllegalArgumentException](t2.changeLog(Seq(2L, 1L)))
+  }
+
   test("increment merges deltas and skips zeros") {
     val t = fresh("incr")
     t.increment(Seq((1L, "C", "n", 5L), (1L, "C", "n", 3L), (2L, "C", "n", 0L))
