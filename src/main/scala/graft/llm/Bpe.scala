@@ -41,6 +41,22 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** Applies learned merges to the word table — the TOKENIZE step that
+    * pairs with [[learn]] (train + apply = the full subword tokenizer).
+    * Returns `(word, freq, tokens)` with `tokens` the word's subword
+    * array after all merges, greedy-leftmost per round exactly as
+    * training folded them. A broadcast-free per-row rewrite: the merge
+    * list is driver-side literals, so encoding a 100-TB corpus is one
+    * embarrassingly parallel pass. */
+  def encode(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val enc0 = regexp_replace(col("word"), "(.)", " $1 ")
+    val enc = merges.foldLeft(enc0) { (e, m) =>
+      replace(e, lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} "))
+    }
+    words.select(col("word"), col("freq"),
+      split(trim(enc), "  ").as("tokens"))
+  }
+
   /** Learns the top-`rounds` merges. Returns one row per round:
     * `(round, lhs, rhs, cnt)` — the merged pair and its corpus
     * frequency at selection time. */

@@ -395,6 +395,25 @@ object LlmQueries {
         .orderBy($"round")
     }),
 
+    // BPE APPLY — the tokenize half of the tokenizer: encode the
+    // word-frequency table with the 3 learned merges and report the
+    // resulting subword vocabulary's top 20 tokens by corpus
+    // frequency. The encode is a per-row fold of broadcast-literal
+    // replaces (no shuffle beyond the word-freq build); at 100 TB the
+    // corpus is tokenized in one embarrassingly parallel pass.
+    "llm_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val words = Bpe.wordFreq(Tables.documents(s, d)).cache()
+      try {
+        val merges = Bpe.learn(s, words, rounds = 3)
+        Bpe.encode(words, merges)
+          .select(explode($"tokens").as("token"), $"freq")
+          .groupBy($"token").agg(sum($"freq").as("cnt"))
+          .orderBy($"cnt".desc, $"token")
+          .limit(20)
+      } finally words.unpersist(false)
+    }),
+
     // Vocabulary build: corpus-wide term + document frequency, top-k —
     // the op behind frequency-filtered vocabularies and BPE seeding.
     // Scale shape: per-doc counts first (one shuffle, map-side
@@ -1367,6 +1386,51 @@ object LlmQueries {
         |UNION ALL SELECT 2, l, r, cnt FROM w2
         |UNION ALL SELECT 3, l, r, cnt FROM w3
         |ORDER BY round""".stripMargin,
+    "llm_bpe_encode" ->
+      """WITH words AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |e0 AS (SELECT regexp_replace(word, '(.)', ' \1 ', 'g') AS enc,
+        |              freq FROM words),
+        |p1 AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT freq,
+        |               unnest(list_transform(generate_series(1, len(t) - 1),
+        |                 i -> {'l': t[i], 'r': t[i + 1]})) AS p
+        |             FROM (SELECT freq, string_split(trim(enc), '  ') AS t
+        |                   FROM e0))
+        |       GROUP BY 1, 2),
+        |w1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |e1 AS (SELECT replace(enc,
+        |         ' ' || (SELECT l FROM w1) || '  ' || (SELECT r FROM w1) || ' ',
+        |         ' ' || (SELECT l || r FROM w1) || ' ') AS enc, freq FROM e0),
+        |p2 AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT freq,
+        |               unnest(list_transform(generate_series(1, len(t) - 1),
+        |                 i -> {'l': t[i], 'r': t[i + 1]})) AS p
+        |             FROM (SELECT freq, string_split(trim(enc), '  ') AS t
+        |                   FROM e1))
+        |       GROUP BY 1, 2),
+        |w2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |e2 AS (SELECT replace(enc,
+        |         ' ' || (SELECT l FROM w2) || '  ' || (SELECT r FROM w2) || ' ',
+        |         ' ' || (SELECT l || r FROM w2) || ' ') AS enc, freq FROM e1),
+        |p3 AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |       FROM (SELECT freq,
+        |               unnest(list_transform(generate_series(1, len(t) - 1),
+        |                 i -> {'l': t[i], 'r': t[i + 1]})) AS p
+        |             FROM (SELECT freq, string_split(trim(enc), '  ') AS t
+        |                   FROM e2))
+        |       GROUP BY 1, 2),
+        |w3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+        |e3 AS (SELECT replace(enc,
+        |         ' ' || (SELECT l FROM w3) || '  ' || (SELECT r FROM w3) || ' ',
+        |         ' ' || (SELECT l || r FROM w3) || ' ') AS enc, freq FROM e2)
+        |SELECT token, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(trim(enc), '  ')) AS token, freq
+        |  FROM e3)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "llm_vocab_topk" ->
       """WITH tok AS (SELECT doc_id,
         |                    unnest(string_split(trim(text), ' ')) AS token

@@ -47,6 +47,24 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       merges(1).cnt === 8L)
   }
 
+  test("encode applies merges greedy-leftmost, matching training's fold") {
+    val words = Seq(("aaaa", 3L), ("bc", 5L), ("ab", 2L))
+      .toDF("word", "freq")
+    val merges = Bpe.learn(spark, words, rounds = 3)
+    val enc = Bpe.encode(words, merges)
+      .select($"word", $"tokens").as[(String, Seq[String])]
+      .collect().toMap
+    // after (a,a), (b,c), (aa,aa): aaaa -> [aaaa]; bc -> [bc]; ab stays
+    // split because (a,b) was never merged
+    assert(enc("aaaa") === Seq("aaaa"))
+    assert(enc("bc") === Seq("bc"))
+    assert(enc("ab") === Seq("a", "b"))
+    // no merges = character split
+    val raw = Bpe.encode(words, Seq.empty)
+      .select($"word", $"tokens").as[(String, Seq[String])].collect().toMap
+    assert(raw("bc") === Seq("b", "c"))
+  }
+
   test("stops early when no pairs remain") {
     val words = Seq(("ab", 1L)).toDF("word", "freq")
     val m = Bpe.learn(spark, words, rounds = 5)
