@@ -554,6 +554,29 @@ object Analytics {
           $"o_orderpriority".asc_nulls_first)
     }),
 
+    // GROUPING SETS — the general form rollup/cube desugar to: an
+    // explicit, non-contiguous set of aggregation levels in ONE pass
+    // (Expand + single shuffle), with per-column GROUPING() flags
+    // disambiguating real NULLs from subtotal rows. The flag columns
+    // (not grouping_id bit order, which differs across engines) make
+    // the oracle engine-portable.
+    "an_grouping_sets" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).createOrReplaceTempView("an_gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |            AS BIGINT) AS cents
+          |FROM an_gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_linestatus), ())
+          |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+          |         l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
     // CUBE.
     "an_cube" -> ((s, d) => {
       import s.implicits._
@@ -1061,6 +1084,18 @@ object Analytics {
         |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
         |ORDER BY s_name""".stripMargin,
+    "an_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
     "an_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(count(*) AS BIGINT) AS n,

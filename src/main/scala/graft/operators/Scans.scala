@@ -124,6 +124,51 @@ object Scans {
         .filter($"l_partkey" < 100)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
         .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    }),
+
+    // S12 (extra): CSV text-format source — the landing-zone format a
+    // pipeline actually ingests. Staged once per dataset; read back
+    // with an EXPLICIT schema (never inferSchema at scale — inference
+    // is a full extra pass over the data) and aggregated, proving the
+    // quoted/escaped round-trip of strings and the exact round-trip of
+    // doubles against the parquet original.
+    "s12_csv_source" -> ((s, d) => {
+      import s.implicits._
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val dir = RepoPaths.target(s"graft_fmt/csv_customer_$slug")
+      val marker = s"$dir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s12 v1 $d")) {
+        Tables.customer(s, d).write.mode("overwrite")
+          .option("header", "true").csv(dir)
+        graft.sources.kv.GraftFs.writeString(marker, s"s12 v1 $d")
+      }
+      s.read.option("header", "true").schema(Tables.customer(s, d).schema)
+        .csv(dir)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"c_acctbal" * 100).cast("long")).as("cents"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // S13 (extra): JSON source — the semi-structured sibling. Same
+    // staging + explicit-schema discipline; the aggregate leans on the
+    // JSON-encoded props STRING surviving the escape/unescape
+    // round-trip byte-for-byte (total length check).
+    "s13_json_source" -> ((s, d) => {
+      import s.implicits._
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val dir = RepoPaths.target(s"graft_fmt/json_events_$slug")
+      val marker = s"$dir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s13 v1 $d")) {
+        Tables.events(s, d).write.mode("overwrite").json(dir)
+        graft.sources.kv.GraftFs.writeString(marker, s"s13 v1 $d")
+      }
+      s.read.schema(Tables.events(s, d).schema).json(dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("cents"),
+          sum(length($"props")).cast("long").as("props_len"))
+        .orderBy($"event_type")
     })
   )
 
@@ -155,6 +200,19 @@ object Scans {
     "s7_stream_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s12_csv_source" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "s13_json_source" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       CAST(sum(len(props)) AS BIGINT) AS props_len
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }
