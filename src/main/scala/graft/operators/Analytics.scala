@@ -812,6 +812,99 @@ object Analytics {
         ranked.select($"c_custkey", decile.cast("long").as("decile"))
           .orderBy($"c_custkey")
       }
+    }),
+
+    // UNPIVOT (wide → long): the schema-normalization step every
+    // feature pipeline runs before per-measure statistics. Native
+    // Dataset.unpivot — ONE scan emits measures×rows without a self
+    // union (the UNION ALL form the oracle uses would scan the fact
+    // table once per measure; at 100 TB that's 4 scans vs 1). The
+    // long form partial-aggs straight down to measure-sized output.
+    "an_unpivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+          $"l_discount", $"l_tax")
+        .unpivot(Array($"l_orderkey"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "measure", "val")
+        .groupBy($"measure")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"val" * 100).cast("long")).as("cents"))
+        .orderBy($"measure")
+    }),
+
+    // KMV (k-minimum-values) approximate distinct — the mergeable
+    // distinct sketch, made ENGINE-PORTABLE: the hash is md5 (not an
+    // engine-private hash), so the oracle reproduces the estimate
+    // bit-for-bit and the correctness gate can hash-check an
+    // *approximate* operator. Scale shape: distinct (group, key)
+    // partial-aggs first (the only full-data shuffle); the k smallest
+    // hashes per group are a bounded top-k (k=64 rows per group);
+    // estimate = (k-1)/kth-smallest-fraction. Production merge:
+    // per-partition k-mins union → re-take k mins (associative).
+    "an_kmv_distinct" -> ((s, d) => {
+      import s.implicits._
+      val k = 64
+      // 16^15 = 2^60: 15 hex chars parse exactly into a long, and the
+      // fraction is an exact double (both engines divide the same
+      // integer by the same power of two)
+      val denom = 1152921504606846976L
+      val du = Tables.events(s, d).select($"event_type", $"user_id")
+        .distinct()
+        .withColumn("frac",
+          conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
+            .cast("long") / lit(denom.toDouble))
+      val w = Window.partitionBy($"event_type").orderBy($"frac")
+      val kmin = du.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("nh"), max($"frac").as("kth"))
+      val exact = du.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_exact"))
+      kmin.join(exact, "event_type")
+        .select($"event_type", $"n_exact",
+          // fewer than k distinct keys ⇒ the sketch IS the exact set
+          when($"nh" < k, $"nh".cast("double"))
+            .otherwise(round(lit(k - 1) / $"kth", 4)).as("est"))
+        .orderBy($"event_type")
+    }),
+
+    // Data-quality report (the Deequ/great-expectations staple): the
+    // whole constraint suite — completeness, validity, uniqueness,
+    // range — computed in ONE aggregation pass over the table, then
+    // pivoted to a constant-size (check, metric, ok) report. At
+    // 100 TB this is the shape that matters: N checks cost one scan,
+    // not N scans; only count(DISTINCT) adds an Expand (×2 rows
+    // pre-aggregation), which is the standard price for an exact
+    // uniqueness check.
+    "an_quality_report" -> ((s, d) => {
+      import s.implicits._
+      val m = Tables.orders(s, d).agg(
+        count(lit(1)).as("row_count"),
+        sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when($"o_totalprice".isNull || $"o_totalprice" <= 0, 1L)
+          .otherwise(0L)).as("bad_price"),
+        sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"),
+        sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("null_date"),
+        countDistinct($"o_orderkey").as("distinct_key"))
+      m.selectExpr(
+        """stack(6,
+          |  '01_row_count', CAST(row_count AS DOUBLE),
+          |    CAST(row_count > 0 AS BIGINT),
+          |  '02_null_custkey', CAST(null_custkey AS DOUBLE),
+          |    CAST(null_custkey = 0 AS BIGINT),
+          |  '03_bad_price', CAST(bad_price AS DOUBLE),
+          |    CAST(bad_price = 0 AS BIGINT),
+          |  '04_bad_status', CAST(bad_status AS DOUBLE),
+          |    CAST(bad_status = 0 AS BIGINT),
+          |  '05_null_date', CAST(null_date AS DOUBLE),
+          |    CAST(null_date = 0 AS BIGINT),
+          |  '06_unique_orderkey', CAST(distinct_key AS DOUBLE),
+          |    CAST(distinct_key = row_count AS BIGINT)
+          |) AS (chk, metric, ok)""".stripMargin)
+        .orderBy($"chk")
     })
   )
 
@@ -1222,6 +1315,65 @@ object Analytics {
       """SELECT c_custkey,
         |       CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
         |            AS BIGINT) AS decile
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "an_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
+    "an_kmv_distinct" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |     h AS (SELECT event_type,
+        |                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+        |                    ::BIGINT / 1152921504606846976.0 AS frac
+        |           FROM du),
+        |     r AS (SELECT event_type, frac, row_number()
+        |             OVER (PARTITION BY event_type ORDER BY frac) AS rn
+        |           FROM h),
+        |     est AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |                    max(frac) AS kth
+        |             FROM r WHERE rn <= 64 GROUP BY event_type),
+        |     ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |            FROM du GROUP BY event_type)
+        |SELECT event_type, n_exact,
+        |       CASE WHEN nh < 64 THEN nh::DOUBLE
+        |            ELSE round(63 / kth, 4) END AS est
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "an_quality_report" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS row_count,
+        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |           AS null_custkey,
+        |         sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |                  THEN 1 ELSE 0 END) AS bad_price,
+        |         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |                  THEN 1 ELSE 0 END) AS bad_status,
+        |         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |           AS null_date,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_key
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT '01_row_count' AS chk, row_count::DOUBLE AS metric,
+        |         CAST(row_count > 0 AS BIGINT) AS ok FROM m
+        |  UNION ALL SELECT '02_null_custkey', null_custkey::DOUBLE,
+        |         CAST(null_custkey = 0 AS BIGINT) FROM m
+        |  UNION ALL SELECT '03_bad_price', bad_price::DOUBLE,
+        |         CAST(bad_price = 0 AS BIGINT) FROM m
+        |  UNION ALL SELECT '04_bad_status', bad_status::DOUBLE,
+        |         CAST(bad_status = 0 AS BIGINT) FROM m
+        |  UNION ALL SELECT '05_null_date', null_date::DOUBLE,
+        |         CAST(null_date = 0 AS BIGINT) FROM m
+        |  UNION ALL SELECT '06_unique_orderkey', distinct_key::DOUBLE,
+        |         CAST(distinct_key = row_count AS BIGINT) FROM m)
+        |ORDER BY chk""".stripMargin
   )
 }

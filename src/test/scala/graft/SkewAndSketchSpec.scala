@@ -25,6 +25,20 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     assert(plain.count(_._1 == 42L) > 8000)
   }
 
+  test("KMV estimate within 25% of exact for every event_type (k=64)") {
+    // k=64 ⇒ expected relative error ~1/sqrt(k-2) ≈ 12.7%; 2σ bound.
+    // The estimate itself is hash-checked against DuckDB by the
+    // an_kmv_distinct oracle — this spec pins the ACCURACY contract.
+    val rows = SparkEntry.queries("an_kmv_distinct")(
+        spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, est) =>
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.25, s"$et: est $est vs exact $exact (rel $rel)")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact on orders custkeys") {
     val o = Tables.orders(spark, "/root/testdata/sf0.01")
     val row = o.agg(countDistinct($"o_custkey").as("exact"),
