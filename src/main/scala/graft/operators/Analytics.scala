@@ -905,6 +905,33 @@ object Analytics {
           |    CAST(distinct_key = row_count AS BIGINT)
           |) AS (chk, metric, ok)""".stripMargin)
         .orderBy($"chk")
+    }),
+
+    // Time-series densification + forward fill (gap fill) — the
+    // resample step every metrics/feature pipeline runs before
+    // modeling. Scale shape: the raw stream collapses to (key, bucket)
+    // partials FIRST (the only full-data shuffle); densification
+    // explodes a per-key sequence BOUNDED by the key's observed span
+    // (30 day-buckets here — never unbounded, never a calendar
+    // cross-join); the fill is last-non-null over the key's own
+    // ordered buckets. Every later stage is agg-output-sized.
+    // Exact-cents values keep the fill engine-portable.
+    "an_gapfill" -> ((s, d) => {
+      import s.implicits._
+      val b = Tables.events(s, d).filter($"user_id" < 100)
+        .select($"user_id", expr("ts DIV 86400000000000").as("dy"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"user_id", $"dy").agg(sum($"cents").as("cents"))
+      val dense = b.groupBy($"user_id")
+        .agg(min($"dy").as("d0"), max($"dy").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("dy"))
+      val w = Window.partitionBy($"user_id").orderBy($"dy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dense.join(b, Seq("user_id", "dy"), "left")
+        .withColumn("filled", when($"cents".isNull, 1L).otherwise(0L))
+        .withColumn("v", last($"cents", ignoreNulls = true).over(w))
+        .select($"user_id", $"dy", $"v", $"filled")
+        .orderBy($"user_id", $"dy")
     })
   )
 
@@ -1374,6 +1401,28 @@ object Analytics {
         |         CAST(null_date = 0 AS BIGINT) FROM m
         |  UNION ALL SELECT '06_unique_orderkey', distinct_key::DOUBLE,
         |         CAST(distinct_key = row_count AS BIGINT) FROM m)
-        |ORDER BY chk""".stripMargin
+        |ORDER BY chk""".stripMargin,
+    "an_gapfill" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS dy,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE user_id < 100
+        |  GROUP BY user_id, epoch_ns(ts) // 86400000000000),
+        | span AS (SELECT user_id, min(dy) AS d0, max(dy) AS d1
+        |          FROM b GROUP BY user_id),
+        | dense AS (SELECT user_id, unnest(generate_series(d0, d1)) AS dy
+        |           FROM span),
+        | j AS (SELECT dense.user_id, dense.dy, b.cents
+        |       FROM dense LEFT JOIN b
+        |         ON dense.user_id = b.user_id AND dense.dy = b.dy)
+        |SELECT user_id, dy,
+        |       last_value(cents IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY dy
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS v,
+        |       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS filled
+        |FROM j ORDER BY user_id, dy""".stripMargin
   )
 }
