@@ -932,6 +932,34 @@ object Analytics {
         .withColumn("v", last($"cents", ignoreNulls = true).over(w))
         .select($"user_id", $"dy", $"v", $"filled")
         .orderBy($"user_id", $"dy")
+    }),
+
+    // Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
+    // event history becomes an ordered symbol string, and behavioral
+    // patterns are regexes over it — subsequence funnels, error→
+    // recovery, bounce. Scale shape: ONE shuffle to the per-user
+    // sequence (collect_list + array_sort inside the aggregate;
+    // per-user history is bounded in this domain — the same per-key
+    // contract as sessionization), then a broadcast pattern table ×
+    // codegen'd RLIKE. Adding a pattern costs zero extra passes.
+    "an_seq_match" -> ((s, d) => {
+      import s.implicits._
+      val pats = Seq(
+        ("bounce_view_only", "^v[^cp]*$"),
+        ("error_then_purchase", "e.*p"),
+        ("funnel_vcp", "v.*c.*p")).toDF("pattern", "re")
+      Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id",
+          substring($"event_type", 1, 1).as("ch"))
+        .groupBy($"user_id")
+        .agg(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, ch)))," +
+            " x -> x.ch)")).as("seq"))
+        .crossJoin(broadcast(pats))
+        .groupBy($"pattern")
+        .agg(sum(when(expr("seq RLIKE re"), 1L).otherwise(0L))
+          .as("n_users"))
+        .orderBy($"pattern")
     })
   )
 
@@ -1423,6 +1451,20 @@ object Analytics {
         |         AS v,
         |       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
         |         AS filled
-        |FROM j ORDER BY user_id, dy""".stripMargin
+        |FROM j ORDER BY user_id, dy""".stripMargin,
+    "an_seq_match" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+        |                  substr(event_type, 1, 1) AS ch FROM events),
+        |     s AS (SELECT user_id,
+        |                  string_agg(ch, '' ORDER BY tns, event_id) AS seq
+        |           FROM e GROUP BY user_id),
+        |     p AS (SELECT * FROM (VALUES
+        |             ('bounce_view_only', '^v[^cp]*$'),
+        |             ('error_then_purchase', 'e.*p'),
+        |             ('funnel_vcp', 'v.*c.*p')) AS t(pattern, re))
+        |SELECT pattern,
+        |       CAST(sum(CASE WHEN regexp_matches(seq, re)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+        |FROM s CROSS JOIN p GROUP BY pattern ORDER BY pattern""".stripMargin
   )
 }
