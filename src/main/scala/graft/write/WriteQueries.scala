@@ -616,6 +616,55 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // §2.10 (extra): NATIVE session windows — session_window(gap) in a
+    // streaming aggregation, the built-in declarative twin of st3's
+    // flatMapGroupsWithState sessionizer. APPEND mode + watermark:
+    // a session emits exactly once, when the watermark passes its end
+    // (last event + gap), so state holds only OPEN sessions inside the
+    // watermark horizon — at 100 TB/day that's the live-user set, not
+    // the history. Flush sentinels are staged at max+6h/max+7h
+    // (the 4h gap + 1h watermark delay must both be cleared before the
+    // last real session's end is passed) so every real session closes
+    // deterministically; their own never-closing session is filtered,
+    // stays in final state, and dies with the query.
+    "st10_session_window" -> ((s, d) => {
+      import s.implicits._
+      val out = RepoPaths.target("graft_stream/st10_out")
+      KVTable.deleteRecursively(out)
+      val ev = Tables.events(s, d)
+      val stage = stageOnce(s, "st10", d, version = 1) { dir =>
+        ev.filter($"user_id" < 100).coalesce(1)
+          .write.mode("overwrite").parquet(dir)
+        val maxNs = ev.agg(max($"ts")).as[Long].head()
+        Seq(6L, 7L).foreach { h =>
+          ev.limit(1)
+            .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
+            .withColumn("user_id", lit(-1L))
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
+      }
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
+      val agg = src.withWatermark("tsc", "1 hour")
+        .groupBy(session_window($"tsc", "4 hours"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+      withStreamPartitions(s) {
+        val q = agg.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.select(col("user_id"),
+                unix_timestamp(col("session_window.start")).as("start_s"),
+                unix_timestamp(col("session_window.end")).as("end_s"),
+                col("n_events"))
+              .write.mode(SaveMode.Append).parquet(out)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).filter($"user_id" >= 0)
+        .orderBy($"user_id", $"start_s")
+    }),
+
     // §2.10: windowed aggregation with watermark (beyond the reference's
     // surface, built-in Structured Streaming). APPEND mode: a window
     // emits exactly once, when the watermark passes its end — so state
@@ -1001,6 +1050,27 @@ object WriteQueries {
         |            ELSE greatest(b.cents, e.mx) END AS cents
         |FROM base b FULL OUTER JOIN ev e ON b.key = e.key
         |ORDER BY key""".stripMargin,
+    "st10_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec,
+        |                  event_id
+        |           FROM events WHERE user_id < 100),
+        | m AS (SELECT user_id, tsec, event_id,
+        |              CASE WHEN lag(tsec) OVER w IS NULL
+        |                     OR tsec - lag(tsec) OVER w >= 14400
+        |                   THEN 1 ELSE 0 END AS new_sess
+        |       FROM e
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        | g AS (SELECT user_id, tsec,
+        |              sum(new_sess) OVER (PARTITION BY user_id
+        |                ORDER BY tsec, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS sid
+        |       FROM m)
+        |SELECT user_id, CAST(min(tsec) AS BIGINT) AS start_s,
+        |       CAST(max(tsec) + 14400 AS BIGINT) AS end_s,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_s""".stripMargin,
     "st2_stream_window" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n

@@ -64,4 +64,43 @@ class StreamWindowSpec extends AnyFunSuite with SparkSpec {
       .filter($"count" > 1).count()
     assert(emitted == 0, "a window emitted more than once in append mode")
   }
+
+  test("session_window merges a session split across micro-batches") {
+    // one user, three events 10 min apart split across two files, then
+    // a far-future flush: the two batches' partial sessions must merge
+    // into ONE emitted session spanning all three events
+    val stage = targetPath("sessionwindow_spec")
+    val out = targetPath("sessionwindow_spec_out")
+    Seq(stage, out).foreach(p =>
+      graft.sources.kv.GraftFs.delete(p, recursive = true))
+    val t0 = 1700000000L
+    def file(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "sec")
+        .select($"user_id", ($"sec" * 1000000000L).as("ts"))
+        .coalesce(1).write.mode("append").parquet(stage)
+    file(Seq((7L, t0), (7L, t0 + 600)))
+    file(Seq((7L, t0 + 1200)))
+    file(Seq((-1L, t0 + 500000)))
+    val src = spark.readStream
+      .schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
+    val agg = src.withWatermark("tsc", "1 hour")
+      .groupBy(session_window($"tsc", "4 hours"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select($"user_id",
+            unix_timestamp($"session_window.start").as("start_s"),
+            unix_timestamp($"session_window.end").as("end_s"),
+            $"n_events")
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out).filter($"user_id" >= 0)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((7L, t0, t0 + 1200 + 14400, 3L)),
+      s"expected one merged 3-event session, got $rows")
+  }
 }
