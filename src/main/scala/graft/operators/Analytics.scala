@@ -960,6 +960,52 @@ object Analytics {
         .agg(sum(when(expr("seq RLIKE re"), 1L).otherwise(0L))
           .as("n_users"))
         .orderBy($"pattern")
+    }),
+
+    // Robust outlier detection via median absolute deviation — the
+    // heavy-tail-safe twin of an_zscore (mean/sd are themselves pulled
+    // by the outliers they're meant to find; median/MAD are not).
+    // Engine-portable: med and mad are ROUNDED at 6dp before any
+    // decision, and the outlier test is the division-free
+    // |x − med| > 3.5·1.4826·mad, so both engines compare identical
+    // doubles. Exact percentile sorts per group — right here where the
+    // oracle demands bit-exactness and groups are type-sized; at
+    // 100 TB swap in approx_percentile (same plan shape, sketch agg).
+    "an_mad_outliers" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy($"event_type", $"med")
+        .agg(round(expr("percentile(abs(value - med), 0.5D)"), 6)
+          .as("mad"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy($"event_type", $"med", $"mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs($"value" - $"med") > lit(3.5) * lit(1.4826) * $"mad",
+            1L).otherwise(0L)).as("n_outliers"))
+        .select($"event_type", $"n", $"med", $"mad", $"n_outliers")
+        .orderBy($"event_type")
+    }),
+
+    // Trailing-interval rolling aggregate via a RANGE frame — unlike
+    // the ROWS frames of an_running_sum, a RANGE frame is gap-correct:
+    // a 7-day trailing sum covers the VALUE interval [day-6, day],
+    // not the last 7 physical rows (which silently lie when days are
+    // missing). Scale shape: the stream collapses to (type, day)
+    // partials first; the window runs over type-sized daily series.
+    "an_rolling_range" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .select($"event_type", expr("ts DIV 86400000000000").as("dy"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"dy").agg(sum($"cents").as("cents"))
+      val w = Window.partitionBy($"event_type").orderBy($"dy")
+        .rangeBetween(-6, Window.currentRow)
+      daily.withColumn("trail7_cents", sum($"cents").over(w))
+        .select($"event_type", $"dy", $"cents", $"trail7_cents")
+        .orderBy($"event_type", $"dy")
     })
   )
 
@@ -1465,6 +1511,33 @@ object Analytics {
         |SELECT pattern,
         |       CAST(sum(CASE WHEN regexp_matches(seq, re)
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_users
-        |FROM s CROSS JOIN p GROUP BY pattern ORDER BY pattern""".stripMargin
+        |FROM s CROSS JOIN p GROUP BY pattern ORDER BY pattern""".stripMargin,
+    "an_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        | mad AS (
+        |  SELECT e.event_type, m.med,
+        |         round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN med m USING (event_type)
+        |  GROUP BY e.event_type, m.med)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, m.med, m.mad,
+        |       CAST(sum(CASE WHEN abs(e.value - m.med)
+        |                          > 3.5 * 1.4826 * m.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY e.event_type, m.med, m.mad
+        |ORDER BY e.event_type""".stripMargin,
+    "an_rolling_range" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS dy,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY event_type, epoch_ns(ts) // 86400000000000)
+        |SELECT event_type, dy, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY dy
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS trail7_cents
+        |FROM daily ORDER BY event_type, dy""".stripMargin
   )
 }
