@@ -1006,6 +1006,24 @@ object Analytics {
       daily.withColumn("trail7_cents", sum($"cents").over(w))
         .select($"event_type", $"dy", $"cents", $"trail7_cents")
         .orderBy($"event_type", $"dy")
+    }),
+
+    // SCD Type-2 dimension build: a change log becomes versioned
+    // dimension rows with [valid_from, valid_to) intervals — valid_to
+    // is the NEXT change's instant (null = current version). One
+    // shuffle to (key, instant) partials, one lead() over key-sized
+    // version chains. The j14_pit_join query consumes exactly this
+    // shape for leakage-safe training joins.
+    "an_scd2_build" -> ((s, d) => {
+      import s.implicits._
+      val ch = Tables.events(s, d)
+        .filter($"event_type" === "click" && $"user_id" < 50)
+        .groupBy($"user_id", expr("ts DIV 1000").as("vf"))
+        .agg(max(round($"value" * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy($"user_id").orderBy($"vf")
+      ch.withColumn("vt", lead($"vf", 1).over(w))
+        .select($"user_id", $"vf", $"vt", $"cents")
+        .orderBy($"user_id", $"vf")
     })
   )
 
@@ -1538,6 +1556,17 @@ object Analytics {
         |       CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY dy
         |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |            AS BIGINT) AS trail7_cents
-        |FROM daily ORDER BY event_type, dy""".stripMargin
+        |FROM daily ORDER BY event_type, dy""".stripMargin,
+    "an_scd2_build" ->
+      """WITH ch AS (SELECT user_id, epoch_us(ts) AS vf,
+        |                   max(CAST(round(value * 100) AS BIGINT))
+        |                     AS cents
+        |            FROM events
+        |            WHERE event_type = 'click' AND user_id < 50
+        |            GROUP BY 1, 2)
+        |SELECT user_id, vf,
+        |       lead(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt,
+        |       cents
+        |FROM ch ORDER BY user_id, vf""".stripMargin
   )
 }

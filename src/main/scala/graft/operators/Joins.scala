@@ -231,6 +231,31 @@ object Joins {
         .agg(count(lit(1)).as("n_events"),
           round(sum($"value"), 4).as("sum_value"))
         .orderBy($"win_id")
+    }),
+
+    // J14 (extra): POINT-IN-TIME join — the feature-store training
+    // join: each label row (purchase) picks up the dimension state
+    // (an_scd2_build's change rows) STRICTLY before its own instant.
+    // The strict `<` is the leakage guard — a feature written at the
+    // label's exact timestamp must NOT be visible to the example.
+    // With integer-microsecond timestamps, "latest change < t" is
+    // exactly "latest change <= t-1", so the one as-of merge machinery
+    // serves both semantics; same single-shuffle plan as J10.
+    "j14_pit_join" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).withColumn("ts", expr("ts DIV 1000"))
+        .filter($"user_id" < 50)
+      val dim = e.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max(round($"value" * 100).cast("long")).as("cents"))
+      val labels = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      Temporal.asofJoin(labels.withColumn("ts", $"ts" - 1), dim,
+          "user_id", "ts", Seq("event_id"), "cents",
+          asofCol = "feat_cents")
+        .select($"user_id", ($"ts" + 1).as("ts"), $"event_id",
+          $"feat_cents")
+        .orderBy($"user_id", $"ts", $"event_id")
     })
   )
 
@@ -296,6 +321,21 @@ object Joins {
         |FROM p ASOF LEFT JOIN q
         |  ON p.hot_id = q.hot_id AND p.ts >= q.ts
         |ORDER BY p.hot_id, p.ts, p.event_id""".stripMargin,
+    "j14_pit_join" ->
+      """WITH dim AS (SELECT user_id, epoch_us(ts) AS ts,
+        |                    max(CAST(round(value * 100) AS BIGINT))
+        |                      AS cents
+        |             FROM events
+        |             WHERE event_type = 'click' AND user_id < 50
+        |             GROUP BY 1, 2),
+        | lab AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |         FROM events
+        |         WHERE event_type = 'purchase' AND user_id < 50)
+        |SELECT lab.user_id, lab.ts, lab.event_id,
+        |       dim.cents AS feat_cents
+        |FROM lab ASOF LEFT JOIN dim
+        |  ON lab.user_id = dim.user_id AND lab.ts > dim.ts
+        |ORDER BY lab.user_id, lab.ts, lab.event_id""".stripMargin,
     "j13_nearest_join" ->
       """WITH q AS (SELECT user_id, epoch_us(ts) AS ts, max(value) AS qval
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
