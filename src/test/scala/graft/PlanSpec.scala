@@ -365,4 +365,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty,
       s"global Window.orderBy without partitionBy in: $offenders")
   }
+
+  test("an_unpivot: one scan feeds all four measures (no UNION-ALL re-scan)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("an_unpivot")(spark, sf).queryExecution
+    // sparkPlan, not executedPlan: AQE's adaptive wrapper hides
+    // children from collect() before execution
+    val scans = qe.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length === 1, s"expected 1 lineitem scan, got ${scans.length}")
+    // the long form comes from Expand (1 scan × 4 rows), not Union
+    val plan = qe.sparkPlan.toString
+    assert(plan.contains("Expand"), plan.take(1500))
+    assert(!plan.contains("Union"), plan.take(1500))
+  }
+
+  test("an_quality_report: the whole constraint suite costs one table scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val qe = SparkEntry.queries("an_quality_report")(spark, sf).queryExecution
+    val scans = qe.sparkPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length === 1, s"expected 1 orders scan, got ${scans.length}")
+  }
+
+  test("an_seq_match: one user shuffle; patterns ride a broadcast, not a shuffle") {
+    val plan = SparkEntry.queries("an_seq_match")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hash exchange for the per-user sequence agg; the pattern
+    // rollup reuses it via partial aggs (3-row final agg); the only
+    // join is the broadcast nested loop against the pattern table
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2,
+      plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
