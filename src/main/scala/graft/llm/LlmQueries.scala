@@ -204,6 +204,33 @@ object LlmQueries {
         .orderBy($"lang", $"doc_id")
     }),
 
+    // Quality-WEIGHTED Bernoulli sampling: each document is kept with
+    // probability proportional to a quality weight (length-based here;
+    // any per-mille score plugs in) — the training-mix lever between
+    // uniform sampling (p8) and hard top-k (stratified). Deterministic
+    // and engine-portable: the coin is the md5 hash fraction of the
+    // doc id (same seed string both engines), the weight is an INTEGER
+    // per-mille (no float sum crosses engines), and the keep decision
+    // compares frac·1000 < w_pm — identical doubles on both sides.
+    // Scale: embarrassingly parallel scan + partial-agg rollup; a
+    // replay keeps exactly the same documents (reproducible corpus).
+    "llm_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      val denom = 1152921504606846976L // 16^15 = 2^60, exact in double
+      val docs = Tables.documents(s, d)
+        .select($"lang", $"doc_id",
+          expr("least(length(text) DIV 2, 1000)").as("w_pm"))
+        .withColumn("frac",
+          conv(substring(md5(concat(lit("ws#"), $"doc_id".cast("string"))),
+            1, 15), 16, 10).cast("long") / lit(denom.toDouble))
+      docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"frac" * 1000.0 < $"w_pm", 1L).otherwise(0L))
+            .as("n_kept"),
+          sum($"w_pm").as("w_pm_sum"))
+        .orderBy($"lang")
+    }),
+
     // Benchmark-contamination scan: corpus docs sharing ≥5 word-3-gram
     // shingles with the (broadcast) benchmark slice (doc_id%7==0 — a
     // modulus small enough that the synthetic corpus's near-dup pairs
@@ -776,6 +803,17 @@ object LlmQueries {
   private def h(x: String) = SHARED_HASH_SQL.format(x)
 
   val oracles: Map[String, String] = Map(
+    "llm_weighted_sample" ->
+      """WITH docs AS (
+        |  SELECT lang, doc_id, least(length(text) // 2, 1000) AS w_pm,
+        |         ('0x' || substr(md5('ws#' || doc_id), 1, 15))::BIGINT
+        |           / 1152921504606846976.0 AS frac
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN frac * 1000.0 < w_pm
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(w_pm) AS BIGINT) AS w_pm_sum
+        |FROM docs GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

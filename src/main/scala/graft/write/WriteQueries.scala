@@ -616,6 +616,44 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // §2.10 (extra): stream-STATIC enrichment — the dimension-join
+    // every ingest pipeline runs: each micro-batch of the event stream
+    // joins the (small, broadcastable) customer dimension and appends
+    // its PRE-AGGREGATED partial counts; the final read merges the
+    // partials. At 100 TB/day the static side rides a broadcast per
+    // batch (no stream-side shuffle, no state store at all — the join
+    // is stateless), and the sink receives segment×type-sized rows per
+    // batch, not events.
+    "st11_stream_enrich" -> ((s, d) => {
+      import s.implicits._
+      val out = RepoPaths.target("graft_stream/st11_out")
+      KVTable.deleteRecursively(out)
+      val ev = Tables.events(s, d)
+      val stage = stageOnce(s, "st11", d, version = 1) { dir =>
+        ev.repartition(3).write.mode("overwrite").parquet(dir)
+      }
+      val dim = Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment")
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val enriched = src.join(broadcast(dim),
+          $"user_id" === $"c_custkey", "left")
+        .select(coalesce($"c_mktsegment", lit("none")).as("segment"),
+          $"event_type")
+      val q = enriched.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(col("segment"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode(SaveMode.Append).parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy($"segment", $"event_type")
+        .agg(sum($"n").as("n"))
+        .orderBy($"segment", $"event_type")
+    }),
+
     // §2.10 (extra): NATIVE session windows — session_window(gap) in a
     // streaming aggregation, the built-in declarative twin of st3's
     // flatMapGroupsWithState sessionizer. APPEND mode + watermark:
@@ -1050,6 +1088,11 @@ object WriteQueries {
         |            ELSE greatest(b.cents, e.mx) END AS cents
         |FROM base b FULL OUTER JOIN ev e ON b.key = e.key
         |ORDER BY key""".stripMargin,
+    "st11_stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'none') AS segment,
+        |       e.event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
     "st10_session_window" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec,
         |                  event_id
