@@ -89,18 +89,27 @@ object Bench {
           }
         })
         appender.setDaemon(true); appender.start()
-        val loaded = try (1 to 2).map(_ => timedRead()).min
-          finally { stop = true; appender.join(10000) }
+        // a read only counts as "under append" if at least one put
+        // LANDED inside its measured interval — a slow first put that
+        // completes after both reads would otherwise satisfy a
+        // whole-run landed>0 check while the reads saw zero load
+        val loadedReads = try {
+          (1 to 2).flatMap { _ =>
+            val before = putsLanded.get()
+            val sec = timedRead()
+            if (putsLanded.get() > before) Some(sec) else None
+          }
+        } finally { stop = true; appender.join(10000) }
         if (appender.isAlive)
           System.err.println("[bench] kv_bench_load: appender still " +
             "running after join timeout; discarding under-append metric")
         sweepCaches()
-        if (appender.isAlive || putsLanded.get() == 0) {
-          if (putsLanded.get() == 0)
-            System.err.println("[bench] kv_bench_load: zero appends " +
-              "landed during the read; discarding under-append metric")
+        if (appender.isAlive || loadedReads.isEmpty) {
+          if (loadedReads.isEmpty)
+            System.err.println("[bench] kv_bench_load: no append " +
+              "overlapped a measured read; discarding under-append metric")
           Some((cold, -1.0)) // cold is still valid; load number is not
-        } else Some((cold, loaded))
+        } else Some((cold, loadedReads.min))
       } catch { case _: Throwable => None }
     val kvExtra = kvLoad.fold("") { case (c, l) =>
       s""""kv_read_cold_sec":${math.round(c * 1000) / 1000.0},""" +

@@ -216,13 +216,11 @@ object LlmQueries {
     // replay keeps exactly the same documents (reproducible corpus).
     "llm_weighted_sample" -> ((s, d) => {
       import s.implicits._
-      val denom = 1152921504606846976L // 16^15 = 2^60, exact in double
       val docs = Tables.documents(s, d)
         .select($"lang", $"doc_id",
           expr("least(length(text) DIV 2, 1000)").as("w_pm"))
         .withColumn("frac",
-          conv(substring(md5(concat(lit("ws#"), $"doc_id".cast("string"))),
-            1, 15), 16, 10).cast("long") / lit(denom.toDouble))
+          TextOps.hashFrac(concat(lit("ws#"), $"doc_id".cast("string"))))
       docs.groupBy($"lang")
         .agg(count(lit(1)).as("n_total"),
           sum(when($"frac" * 1000.0 < $"w_pm", 1L).otherwise(0L))
@@ -804,10 +802,9 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "llm_weighted_sample" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT lang, doc_id, least(length(text) // 2, 1000) AS w_pm,
-        |         ('0x' || substr(md5('ws#' || doc_id), 1, 15))::BIGINT
-        |           / 1152921504606846976.0 AS frac
+        |         ${TextOps.hashFracSql("'ws#' || doc_id")} AS frac
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
         |       CAST(sum(CASE WHEN frac * 1000.0 < w_pm

@@ -18,6 +18,21 @@ object TextOps {
   def sharedHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** 16^15 = 2^60 — [[sharedHash]]'s range, exact in a double. */
+  val HASH_DENOM: Long = 1152921504606846976L
+
+  /** Deterministic uniform(0,1) coin: [[sharedHash]] / 2^60. The
+    * denominator is a power of two so the division is EXACT in double
+    * and both engines produce the identical fraction — every
+    * deterministic sampling / sketch operator must use this one recipe
+    * (never re-derive the constant inline). */
+  def hashFrac(seed: Column): Column =
+    sharedHash(seed) / lit(HASH_DENOM.toDouble)
+
+  /** DuckDB side of [[hashFrac]] over a SQL string expression. */
+  def hashFracSql(seedSql: String): String =
+    s"('0x' || substr(md5($seedSql), 1, 15))::BIGINT / 1152921504606846976.0"
+
   /** Whitespace tokens of a (trimmed) document. */
   def words(text: Column): Column = split(trim(text), " ")
 

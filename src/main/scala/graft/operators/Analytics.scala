@@ -846,15 +846,10 @@ object Analytics {
     "an_kmv_distinct" -> ((s, d) => {
       import s.implicits._
       val k = 64
-      // 16^15 = 2^60: 15 hex chars parse exactly into a long, and the
-      // fraction is an exact double (both engines divide the same
-      // integer by the same power of two)
-      val denom = 1152921504606846976L
       val du = Tables.events(s, d).select($"event_type", $"user_id")
         .distinct()
         .withColumn("frac",
-          conv(substring(md5($"user_id".cast("string")), 1, 15), 16, 10)
-            .cast("long") / lit(denom.toDouble))
+          graft.llm.TextOps.hashFrac($"user_id".cast("string")))
       val w = Window.partitionBy($"event_type").orderBy($"frac")
       val kmin = du.withColumn("rn", row_number().over(w))
         .filter($"rn" <= k)
@@ -1449,10 +1444,10 @@ object Analytics {
         |         AS cents
         |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     "an_kmv_distinct" ->
-      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         |     h AS (SELECT event_type,
-        |                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
-        |                    ::BIGINT / 1152921504606846976.0 AS frac
+        |                  ${graft.llm.TextOps.hashFracSql("user_id::VARCHAR")}
+        |                    AS frac
         |           FROM du),
         |     r AS (SELECT event_type, frac, row_number()
         |             OVER (PARTITION BY event_type ORDER BY frac) AS rn

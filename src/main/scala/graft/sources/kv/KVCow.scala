@@ -1,9 +1,6 @@
 package graft.sources.kv
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -158,15 +155,8 @@ class KVCowDataWriter(inflight: String, numBuckets: Int,
   private lazy val groups = new SimpleGroupFactory(CELL_TYPE)
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) {
-      val conf = new Configuration(false)
-      GroupWriteSupport.setSchema(CELL_TYPE, conf)
-      writer = ExampleParquetWriter.builder(new HPath(s"$inflight/$name"))
-        .withConf(conf)
-        .withCompressionCodec(
-          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-        .build()
-    }
+    if (writer == null)
+      writer = KVLogDataWriter.openCellWriter(s"$inflight/$name")
     // ReplaceData's physical rows may carry the planner's OPERATION
     // column (RowDeltaUtils: 5=WRITE, 6=WRITE_WITH_METADATA) ahead of
     // the cell columns — Spark's plain writing task hands the row
@@ -186,14 +176,7 @@ class KVCowDataWriter(inflight: String, numBuckets: Int,
         s"CoW clustering drift: key ${row.getLong(off)} belongs to bucket " +
           s"$b but arrived in write partition $partitionId")
     }
-    val g = groups.newGroup()
-    if (!row.isNullAt(off)) g.append("key", row.getLong(off))
-    if (!row.isNullAt(off + 1)) g.append("family", row.getUTF8String(off + 1).toString)
-    if (!row.isNullAt(off + 2)) g.append("qualifier", row.getUTF8String(off + 2).toString)
-    if (!row.isNullAt(off + 3)) g.append("value", row.getUTF8String(off + 3).toString)
-    if (!row.isNullAt(off + 4)) g.append("ts", row.getLong(off + 4))
-    if (!row.isNullAt(off + 5)) g.append("tomb", row.getUTF8String(off + 5).toString)
-    writer.write(g)
+    writer.write(KVLogDataWriter.cellGroup(groups, row, off))
   }
 
   override def commit(): WriterCommitMessage =

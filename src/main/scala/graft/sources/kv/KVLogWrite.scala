@@ -77,28 +77,11 @@ class KVLogDataWriter(inflight: String, partitionId: Int, taskId: Long)
   import KVLogDataWriter._
 
   private val name = f"part-$partitionId%05d-$taskId.parquet"
-  private val conf = new Configuration(false)
-  GroupWriteSupport.setSchema(CELL_TYPE, conf)
-  private val writer = ExampleParquetWriter
-    .builder(new HPath(s"$inflight/$name"))
-    .withConf(conf)
-    // same codec Spark's parquet sink defaults to — log files read
-    // identically whichever path appended them
-    .withCompressionCodec(
-      org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-    .build()
+  private val writer = openCellWriter(s"$inflight/$name")
   private val groups = new SimpleGroupFactory(CELL_TYPE)
 
-  override def write(row: InternalRow): Unit = {
-    val g = groups.newGroup()
-    if (!row.isNullAt(0)) g.append("key", row.getLong(0))
-    if (!row.isNullAt(1)) g.append("family", row.getUTF8String(1).toString)
-    if (!row.isNullAt(2)) g.append("qualifier", row.getUTF8String(2).toString)
-    if (!row.isNullAt(3)) g.append("value", row.getUTF8String(3).toString)
-    if (!row.isNullAt(4)) g.append("ts", row.getLong(4))
-    if (!row.isNullAt(5)) g.append("tomb", row.getUTF8String(5).toString)
-    writer.write(g)
-  }
+  override def write(row: InternalRow): Unit =
+    writer.write(cellGroup(groups, row, 0))
 
   override def commit(): WriterCommitMessage = { writer.close(); KVLogFile(name) }
   override def abort(): Unit = writer.close()
@@ -115,4 +98,35 @@ object KVLogDataWriter {
   val CELL_TYPE: MessageType = new MessageType("graft_cells",
     i64("key"), str("family"), str("qualifier"), str("value"),
     i64("ts"), str("tomb"))
+
+  /** Open a parquet-mr writer over [[CELL_TYPE]] — snappy, the codec
+    * Spark's parquet sink defaults to, so cell files read identically
+    * whichever write path produced them. */
+  private[kv] def openCellWriter(
+      file: String): org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group] = {
+    val conf = new Configuration(false)
+    GroupWriteSupport.setSchema(CELL_TYPE, conf)
+    ExampleParquetWriter.builder(new HPath(file))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  /** THE cell→parquet-group encoding (field order = [[CELL_TYPE]]).
+    * Every cell writer — log append and CoW generation alike — encodes
+    * through this one mapping, or generations and log files would
+    * diverge on a schema change. `off` = index of `key` in the row. */
+  private[kv] def cellGroup(groups: SimpleGroupFactory, row: InternalRow,
+                            off: Int): org.apache.parquet.example.data.Group = {
+    val g = groups.newGroup()
+    if (!row.isNullAt(off)) g.append("key", row.getLong(off))
+    if (!row.isNullAt(off + 1)) g.append("family", row.getUTF8String(off + 1).toString)
+    if (!row.isNullAt(off + 2)) g.append("qualifier", row.getUTF8String(off + 2).toString)
+    if (!row.isNullAt(off + 3)) g.append("value", row.getUTF8String(off + 3).toString)
+    if (!row.isNullAt(off + 4)) g.append("ts", row.getLong(off + 4))
+    if (!row.isNullAt(off + 5)) g.append("tomb", row.getUTF8String(off + 5).toString)
+    g
+  }
 }

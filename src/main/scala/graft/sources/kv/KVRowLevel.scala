@@ -129,6 +129,14 @@ class KVDeltaDataWriter(inflight: String, partitionId: Int, taskId: Long)
     val newTs = if (row.isNullAt(4)) Long.MinValue else row.getLong(4)
     if (newTs > liveTs) inner.write(row)
     else if (newTs == liveTs) {
+      // liveTs + 1 would wrap to Long.MinValue and silently LOSE to
+      // every existing version — the exact no-effect update this
+      // auto-bump exists to prevent. Fail fast instead.
+      if (liveTs == Long.MaxValue) throw new IllegalArgumentException(
+        "UPDATE matched a cell whose live version has ts=Long.MaxValue; " +
+          "the ts auto-bump cannot exceed it. Assign an explicit ts " +
+          "semantics-compatible with the sentinel, or delete the " +
+          "sentinel version first.")
       val bumped = new GenericInternalRow(Array[Any](
         if (row.isNullAt(0)) null else java.lang.Long.valueOf(row.getLong(0)),
         if (row.isNullAt(1)) null else row.getUTF8String(1),

@@ -201,11 +201,21 @@ class KVTable(val spark: SparkSession, val path: String) {
     * refresh) caches each state once and diffs adjacent pairs, instead
     * of re-resolving every state twice. */
   def changesBetweenStates(before: DataFrame, after: DataFrame): DataFrame = {
-    val b = before.select(col("key"), col("family"), col("qualifier"),
+    val b = before.select(col("key").as("b_key"), col("family").as("b_family"),
+      col("qualifier").as("b_qualifier"),
       col("value").as("old_value"), col("ts").as("old_ts"))
-    val a = after.select(col("key"), col("family"), col("qualifier"),
+    val a = after.select(col("key").as("a_key"), col("family").as("a_family"),
+      col("qualifier").as("a_qualifier"),
       col("value").as("new_value"), col("ts").as("new_ts"))
-    b.join(a, Seq("key", "family", "qualifier"), "full_outer")
+    // null-SAFE join: a NULL family/qualifier is a real cell coordinate
+    // (resolve groups them), so the two cutoff states must match it to
+    // itself or an unchanged null-keyed cell would diff as delete+insert
+    b.join(a, col("b_key") <=> col("a_key") &&
+        col("b_family") <=> col("a_family") &&
+        col("b_qualifier") <=> col("a_qualifier"), "full_outer")
+      .withColumn("key", coalesce(col("b_key"), col("a_key")))
+      .withColumn("family", coalesce(col("b_family"), col("a_family")))
+      .withColumn("qualifier", coalesce(col("b_qualifier"), col("a_qualifier")))
       .withColumn("change_type",
         when(col("old_ts").isNull, lit("insert"))
           .when(col("new_ts").isNull, lit("delete"))
@@ -547,14 +557,24 @@ object KVTable {
 
   /** HBase read semantics: per (key,family,qualifier) the latest
     * non-tombstone cell wins, unless masked by a row/family/cell
-    * tombstone at or above its ts (maxVersions=1 + delete markers). */
+    * tombstone at or above its ts (maxVersions=1 + delete markers).
+    *
+    * NULL family/qualifier are legitimate cell coordinates (the
+    * version window already groups them), so the mask joins are
+    * null-SAFE — and any tombstone marker that is not 'row'/'family'
+    * masks at cell granularity, exactly like the executor-side
+    * resolve (KVResolvedPartitionReader) and [[KVTable.changeLog]]'s
+    * in-memory replay; the three paths must agree cell-for-cell. */
   def resolve(cells: DataFrame): DataFrame = {
     val rowDel = cells.filter(col("tomb") === "row")
-      .groupBy(col("key")).agg(max(col("ts")).as("row_del_ts"))
+      .groupBy(col("key").as("rd_key")).agg(max(col("ts")).as("row_del_ts"))
     val famDel = cells.filter(col("tomb") === "family")
-      .groupBy(col("key"), col("family")).agg(max(col("ts")).as("fam_del_ts"))
-    val cellDel = cells.filter(col("tomb") === "cell")
-      .groupBy(col("key"), col("family"), col("qualifier"))
+      .groupBy(col("key").as("fd_key"), col("family").as("fd_family"))
+      .agg(max(col("ts")).as("fam_del_ts"))
+    val cellDel = cells.filter(col("tomb").isNotNull &&
+        col("tomb") =!= "row" && col("tomb") =!= "family")
+      .groupBy(col("key").as("cd_key"), col("family").as("cd_family"),
+        col("qualifier").as("cd_qualifier"))
       .agg(max(col("ts")).as("cell_del_ts"))
     // ts desc + value desc: a TOTAL order within the version group, so
     // two cells written at the same (key,family,qualifier,ts) resolve to
@@ -565,9 +585,12 @@ object KVTable {
     cells.filter(col("tomb").isNull)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .join(rowDel, Seq("key"), "left_outer")
-      .join(famDel, Seq("key", "family"), "left_outer")
-      .join(cellDel, Seq("key", "family", "qualifier"), "left_outer")
+      .join(rowDel, col("key") <=> col("rd_key"), "left_outer")
+      .join(famDel, col("key") <=> col("fd_key") &&
+        col("family") <=> col("fd_family"), "left_outer")
+      .join(cellDel, col("key") <=> col("cd_key") &&
+        col("family") <=> col("cd_family") &&
+        col("qualifier") <=> col("cd_qualifier"), "left_outer")
       .filter(col("ts") > coalesce(col("row_del_ts"), lit(Long.MinValue)) &&
               col("ts") > coalesce(col("fam_del_ts"), lit(Long.MinValue)) &&
               col("ts") > coalesce(col("cell_del_ts"), lit(Long.MinValue)))

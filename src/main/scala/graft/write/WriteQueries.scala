@@ -86,6 +86,36 @@ object WriteQueries {
       lit(ts).as("ts"))
   }
 
+  /** m14/m16 shared base state: one `cents` cell per order at ts=1. */
+  private def putOrdersBase(t: KVTable, o: org.apache.spark.sql.DataFrame): Unit = {
+    import o.sparkSession.implicits._
+    val cents = round($"o_totalprice" * 100).cast("long")
+    t.put(o.select($"o_orderkey".as("key"), lit("F").as("family"),
+      lit("cents").as("qualifier"), cents.cast("string").as("value"),
+      lit(1L).as("ts")))
+  }
+
+  /** m14/m16 shared mutation script — updates (%7, ts=2), row-tombstone
+    * deletes (%5, ts=3), fresh inserts (%3 shifted keys, ts=4). m16's
+    * oracle re-derives m14's final state, so the two queries MUST
+    * mutate identically; one definition keeps them in sync. */
+  private def mutateOrders(t: KVTable, o: org.apache.spark.sql.DataFrame): Unit = {
+    import o.sparkSession.implicits._
+    val cents = round($"o_totalprice" * 100).cast("long")
+    t.put(o.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey".as("key"), lit("F").as("family"),
+        lit("cents").as("qualifier"),
+        (cents + 100L).cast("string").as("value"), lit(2L).as("ts")))
+    t.delete(o.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey".as("key"),
+        lit(null).cast("string").as("family"),
+        lit(null).cast("string").as("qualifier")), ts = 3L)
+    t.put(o.filter($"o_orderkey" % 3 === 0)
+      .select(($"o_orderkey" + 2000000L).as("key"), lit("F").as("family"),
+        lit("cents").as("qualifier"), lit("42").as("value"),
+        lit(4L).as("ts")))
+  }
+
   private def ordersCells(s: SparkSession, d: String) = {
     import s.implicits._
     val o = Tables.orders(s, d)
@@ -227,23 +257,9 @@ object WriteQueries {
       import s.implicits._
       val t = KVTable(s, base("m14"), wipe = true)
       val o = Tables.orders(s, d)
-      val cents = round($"o_totalprice" * 100).cast("long")
-      t.put(o.select($"o_orderkey".as("key"), lit("F").as("family"),
-        lit("cents").as("qualifier"), cents.cast("string").as("value"),
-        lit(1L).as("ts")))
+      putOrdersBase(t, o)
       t.compact()
-      t.put(o.filter($"o_orderkey" % 7 === 0)
-        .select($"o_orderkey".as("key"), lit("F").as("family"),
-          lit("cents").as("qualifier"),
-          (cents + 100L).cast("string").as("value"), lit(2L).as("ts")))
-      t.delete(o.filter($"o_orderkey" % 5 === 0)
-        .select($"o_orderkey".as("key"),
-          lit(null).cast("string").as("family"),
-          lit(null).cast("string").as("qualifier")), ts = 3L)
-      t.put(o.filter($"o_orderkey" % 3 === 0)
-        .select(($"o_orderkey" + 2000000L).as("key"), lit("F").as("family"),
-          lit("cents").as("qualifier"), lit("42").as("value"),
-          lit(4L).as("ts")))
+      mutateOrders(t, o)
       t.changesBetween(1L, 4L)
         .select($"key", $"change_type",
           $"old_value".cast("long").as("old_value"),
@@ -273,6 +289,7 @@ object WriteQueries {
           .select(($"c_custkey" + 1000000L).as("key"), lit("42").as("value"))
           .filter($"key" % 5 === 1))
         .createOrReplaceTempView("m15_updates")
+      val prevRowLevel = s.conf.getOption("spark.graft.kv.rowlevel")
       s.conf.set("spark.graft.kv.rowlevel", "cow")
       try {
         s.sql(
@@ -283,7 +300,10 @@ object WriteQueries {
              |  INSERT (key, family, qualifier, value, ts, tomb)
              |  VALUES (u.key, 'F', 'bal', u.value, 2, null)""".stripMargin)
         s.sql(s"DELETE FROM $ident WHERE key % 10 = 3")
-      } finally s.conf.set("spark.graft.kv.rowlevel", "delta")
+      } finally prevRowLevel match {
+        case Some(v) => s.conf.set("spark.graft.kv.rowlevel", v)
+        case None => s.conf.unset("spark.graft.kv.rowlevel")
+      }
       t.resolved()
         .select($"key", $"value".cast("long").as("cents"))
         .orderBy($"key")
@@ -306,25 +326,11 @@ object WriteQueries {
       import s.implicits._
       val t = KVTable(s, base("m16"), wipe = true)
       val o = Tables.orders(s, d)
-      val cents = round($"o_totalprice" * 100).cast("long")
-      def put(df: org.apache.spark.sql.DataFrame): Unit = t.put(df)
-      put(o.select($"o_orderkey".as("key"), lit("F").as("family"),
-        lit("cents").as("qualifier"), cents.cast("string").as("value"),
-        lit(1L).as("ts")))
+      putOrdersBase(t, o)
       val agg = KVTable(s, base("m16_agg"), wipe = true)
-      // three mutation rounds against the BASE table
-      put(o.filter($"o_orderkey" % 7 === 0)
-        .select($"o_orderkey".as("key"), lit("F").as("family"),
-          lit("cents").as("qualifier"),
-          (cents + 100L).cast("string").as("value"), lit(2L).as("ts")))
-      t.delete(o.filter($"o_orderkey" % 5 === 0)
-        .select($"o_orderkey".as("key"),
-          lit(null).cast("string").as("family"),
-          lit(null).cast("string").as("qualifier")), ts = 3L)
-      put(o.filter($"o_orderkey" % 3 === 0)
-        .select(($"o_orderkey" + 2000000L).as("key"), lit("F").as("family"),
-          lit("cents").as("qualifier"), lit("42").as("value"),
-          lit(4L).as("ts")))
+      // three mutation rounds against the BASE table — the SAME script
+      // as m14 (m16's oracle re-derives m14's final state)
+      mutateOrders(t, o)
       // seed the derived table from the base-cutoff state (time travel
       // makes the seed exact even after the mutations landed)
       agg.put(t.resolvedAsOf(1L)

@@ -309,6 +309,16 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
     assert(rootMessages(e).exists(_.contains("below the live version")))
     assert(t.resolved().select($"value").as[String].collect().toSeq
       === Seq("new"))
+    // live ts = Long.MaxValue: the auto-bump cannot go higher — it
+    // must fail fast, never wrap to Long.MinValue and silently lose
+    t.put(Seq((2L, "F", "v", "forever", Long.MaxValue)).toDF(
+      "key", "family", "qualifier", "value", "ts"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE $ident SET value = 'nope' WHERE key = 2")
+    }
+    assert(rootMessages(e2).exists(_.contains("Long.MaxValue")))
+    assert(t.resolved().filter($"key" === 2)
+      .select($"value").as[String].collect().toSeq === Seq("forever"))
   }
 
   test("copy-on-write MERGE/DELETE rewrites a fresh generation") {
@@ -333,6 +343,7 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       .unionByName(cust.select(($"c_custkey" + 1000000).as("key"),
         lit("42").as("value")).filter($"key" % 5 === 1))
       .createOrReplaceTempView("kvspec_cow_updates")
+    val prevRowLevel = spark.conf.getOption("spark.graft.kv.rowlevel")
     spark.conf.set("spark.graft.kv.rowlevel", "cow")
     try {
       spark.sql(
@@ -343,7 +354,10 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
            |  INSERT (key, family, qualifier, value, ts, tomb)
            |  VALUES (u.key, 'F', 'bal', u.value, 3, null)""".stripMargin)
       spark.sql(s"DELETE FROM $ident WHERE key % 10 = 3")
-    } finally spark.conf.set("spark.graft.kv.rowlevel", "delta")
+    } finally prevRowLevel match {
+      case Some(v) => spark.conf.set("spark.graft.kv.rowlevel", v)
+      case None => spark.conf.unset("spark.graft.kv.rowlevel")
+    }
 
     // two CoW ops = two generation flips, no delta/tombstones anywhere
     val genAfter = graft.sources.kv.KVPointer.read(path).map(_._1).get

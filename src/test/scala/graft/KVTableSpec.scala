@@ -116,6 +116,45 @@ class KVTableSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](t2.changeLog(Seq(2L, 1L)))
   }
 
+  test("null-coordinate cells and unknown tomb markers: resolve, " +
+      "changesBetween and changeLog agree") {
+    // NULL family/qualifier are real cell coordinates (the version
+    // window groups them), so the CDC diff must match them null-SAFELY:
+    // an unchanged null-keyed cell emits NO change, not delete+insert
+    val t = fresh("nullcoord")
+    t.put(Seq((1L, Option.empty[String], Option.empty[String],
+        Option("v"), 1L))
+      .toDF("key", "family", "qualifier", "value", "ts"))
+    t.put(cells((2L, "F", "a", "x", 1L), (2L, "F", "a", "y", 2L)))
+    assert(t.resolved().filter($"key" === 1L).count() === 1)
+    assert(t.changesBetween(1L, 2L).filter($"key" === 1L).count() === 0)
+    assert(t.changeLog(Seq(1L, 2L)).filter($"key" === 1L).count() === 0)
+    // a cell tombstone at the (null, null) coordinate masks it — on the
+    // library resolve (null-safe mask join) exactly as on the replay
+    t.put(Seq((1L, Option.empty[String], Option.empty[String],
+        Option.empty[String], 3L, Option("cell")))
+      .toDF("key", "family", "qualifier", "value", "ts", "tomb"))
+    assert(t.resolved().filter($"key" === 1L).count() === 0)
+    assert(t.changesBetween(2L, 3L).filter($"key" === 1L)
+      .select($"change_type").as[String].collect().toSeq === Seq("delete"))
+    assert(t.changeLog(Seq(2L, 3L)).filter($"key" === 1L)
+      .select($"change_type").as[String].collect().toSeq === Seq("delete"))
+
+    // an UNKNOWN tomb marker (conform passes arbitrary strings through
+    // put) masks at cell granularity on every path — library resolve,
+    // changeLog replay, and the DSv2 executor resolve already agreed
+    val t2 = fresh("unknowntomb")
+    t2.put(cells((7L, "F", "a", "v", 1L)))
+    t2.put(Seq((7L, Option("F"), Option("a"), Option.empty[String], 2L,
+        Option("x")))
+      .toDF("key", "family", "qualifier", "value", "ts", "tomb"))
+    assert(t2.resolved().count() === 0)
+    assert(t2.changeLog(Seq(1L, 2L))
+      .select($"change_type").as[String].collect().toSeq === Seq("delete"))
+    assert(t2.changesBetween(1L, 2L)
+      .select($"change_type").as[String].collect().toSeq === Seq("delete"))
+  }
+
   test("increment merges deltas and skips zeros") {
     val t = fresh("incr")
     t.increment(Seq((1L, "C", "n", 5L), (1L, "C", "n", 3L), (2L, "C", "n", 0L))
