@@ -95,16 +95,23 @@ object Dedup {
     * (exact semantics, the oracle-checked default). */
   def ngramJaccard(docs: DataFrame, threshold: Double, k: Int = 3,
                    maxShingleDocFreq: Long = 0L): DataFrame = {
-    val all = docShingles(docs, k)
-    val sh0 =
+    val arr = spread(docs)
+      .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+      .cache()
+    val all = arr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh =
       if (maxShingleDocFreq <= 0) all
       else {
         val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDocFreq).select(col("s"))
-        all.join(hot, Seq("s"), "left_anti")
+        all.join(hot, Seq("s"), "left_anti").cache()
       }
-    val sh = sh0.cache()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // exact path: per-doc count = array size (no shuffle aggregate);
+    // hot-filtered path: must count the FILTERED shingles
+    val cnt =
+      if (maxShingleDocFreq <= 0)
+        arr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      else sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -115,7 +122,7 @@ object Dedup {
       .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jacc") >= threshold)
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
-    barrier(pairs, sh)
+    barrier(pairs, arr, sh)
   }
 
   /** MinHash signatures, computed entirely inside one codegen'd
@@ -145,7 +152,10 @@ object Dedup {
   def minHashLsh(docs: DataFrame, threshold: Double,
                  bands: Int = 4, rowsPerBand: Int = 4, k: Int = 3,
                  maxBucketSize: Long = 0L): DataFrame = {
-    val sh = docShingles(docs, k).cache()
+    val arr = spread(docs)
+      .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+      .cache()
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("s"))
     // cache() is load-bearing: without it Catalyst's CollapseProject
     // inlines the signature expression into every band/join branch and
     // recomputes shingles+md5 per hash index per side.
@@ -164,7 +174,9 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
     // verify candidates with exact Jaccard (candidate-local, not all-pairs)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc shingle count = SIZE of the distinct-shingle array — a
+    // per-row projection off the cache, not a shuffle aggregate
+    val cnt = arr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val common = cand.join(sh.select(col("doc_id").as("da"), col("s")), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
@@ -174,7 +186,7 @@ object Dedup {
       .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jacc") >= threshold)
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
-    barrier(pairs, sh, sig, banded)
+    barrier(pairs, arr, sig, banded)
   }
 
   /** The persistable LSH index of a corpus: one row per (doc, band)
@@ -209,24 +221,31 @@ object Dedup {
       .join(bIdx.select(col("doc_id").as("db"), col("b"), col("bucket")),
         Seq("b", "bucket"))
       .select(col("da"), col("db")).distinct().cache()
-    // exact verify: shingle ONLY the implicated corpus docs + the batch
-    val shc = docShingles(
+    // exact verify: shingle ONLY the implicated corpus docs + the batch;
+    // per-doc counts come from the cached arrays' SIZE (no shuffle agg)
+    val arrC = spread(
       corpus.join(cand.select(col("da").as("doc_id")), Seq("doc_id"),
-        "left_semi"), k).cache()
-    val shb = docShingles(batch, k).cache()
+        "left_semi"))
+      .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+      .cache()
+    val arrB = spread(batch)
+      .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+      .cache()
+    val shc = arrC.select(col("doc_id"), explode(col("sh")).as("s"))
+    val shb = arrB.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = cand
       .join(shc.select(col("doc_id").as("da"), col("s")), Seq("da"))
       .join(shb.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
     val pairs = common
-      .join(shc.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-        .select(col("doc_id").as("da"), col("na")), Seq("da"))
-      .join(shb.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
-        .select(col("doc_id").as("db"), col("nb")), Seq("db"))
+      .join(arrC.select(col("doc_id").as("da"),
+        size(col("sh")).cast("long").as("na")), Seq("da"))
+      .join(arrB.select(col("doc_id").as("db"),
+        size(col("sh")).cast("long").as("nb")), Seq("db"))
       .withColumn("jacc", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jacc") >= threshold)
       .select(col("da"), col("db"), round(col("jacc"), 6).as("jacc"))
-    barrier(pairs, cand, shc, shb)
+    barrier(pairs, cand, arrC, arrB)
   }
 
   /** Dedup CLUSTERS from near-dup pairs: what a pipeline actually acts
@@ -341,32 +360,42 @@ object Dedup {
                           threshold: Double, bands: Int = 4,
                           rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     // the batch is signed and shingled ONCE; batch-batch and
-    // corpus-batch candidates share the one verify pipeline
+    // corpus-batch candidates come out of ONE band-bucket probe: the
+    // `da` side is the union of the standing index and the batch index
+    // (disjoint doc ids by contract), the `db` side is the batch index
+    // — so corpus×corpus pairs never form, and one distinct covers both
+    // candidate families (each micro-batch is fixed-overhead-bound, so
+    // every stage removed is wall-clock at ingest)
     val bIdx = minHashBandIndex(batch, bands, rowsPerBand, k).cache()
-    val nnCand = bIdx.select(col("doc_id").as("da"), col("b"), col("bucket"))
+    val daIdx = bIdx.select(col("doc_id").as("da"), col("b"), col("bucket"),
+        lit(true).as("nn"))
+      .unionByName(corpusIndex.select(col("doc_id").as("da"), col("b"),
+        col("bucket"), lit(false).as("nn")))
+    val cand = daIdx
       .join(bIdx.select(col("doc_id").as("db"), col("b"), col("bucket")),
         Seq("b", "bucket"))
-      .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
-    val ncCand = corpusIndex
-      .select(col("doc_id").as("da"), col("b"), col("bucket"))
-      .join(bIdx.select(col("doc_id").as("db"), col("b"), col("bucket")),
-        Seq("b", "bucket"))
-      .select(col("da"), col("db")).distinct()
-    val cand = nnCand.withColumn("nn", lit(true))
-      .unionByName(ncCand.withColumn("nn", lit(false))).cache()
-    val shb = docShingles(batch, k).cache()
+      .filter(!col("nn") || col("da") < col("db"))
+      .select(col("da"), col("db"), col("nn")).distinct().cache()
+    val arrB = spread(batch)
+      .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+      .cache()
+    val shb = arrB.select(col("doc_id"), explode(col("sh")).as("s"))
     // the corpus contributes only the text of colliding docs
-    val shc = docShingles(corpus.join(
-      ncCand.select(col("da").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi"), k)
-    val shda = shb.unionByName(shc).cache() // the `da` side spans both
+    val arrC = spread(corpus.join(
+      cand.filter(!col("nn")).select(col("da").as("doc_id")),
+      Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+    val arrDa = arrB.unionByName(arrC).cache() // the `da` side spans both
+    val shda = arrDa.select(col("doc_id"), explode(col("sh")).as("s"))
     val common = cand
       .join(shda.select(col("doc_id").as("da"), col("s")), Seq("da"))
       .join(shb.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
       .groupBy(col("da"), col("db"), col("nn"))
       .agg(count(lit(1)).as("common"))
-    val sizes = shda.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc shingle count is the SIZE of the (distinct) shingle
+    // array — a per-row projection off the cached arrays, not a
+    // shuffle aggregate over the exploded rows
+    val sizes = arrDa.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     val pairs = common
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
@@ -395,7 +424,7 @@ object Dedup {
       comp.join(compLabel, "comp")
         .select(col("doc_id"), col("cluster"),
           (col("cluster") === col("doc_id")).cast("long").as("keep")),
-      bIdx, cand, shb, shda, verified)
+      bIdx, cand, arrB, arrDa, verified)
     out
   }
 

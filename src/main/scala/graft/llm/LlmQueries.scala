@@ -144,9 +144,10 @@ object LlmQueries {
     "llm_dedup_clusters_incr" -> ((s, d) => {
       import s.implicits._
       val (corpus, labels, index) = standingDedupState(s, d)
-      Dedup.clustersIncremental(corpus, labels, index,
+      graft.GraftSession.withMicroBatchPlanning(s) {
+        Dedup.clustersIncremental(corpus, labels, index,
           Tables.documents(s, d).filter($"doc_id" % 5 === 0), 0.8)
-        .orderBy($"doc_id")
+      }.orderBy($"doc_id")
     }),
 
     // Dedup clustering: connected components over the minhash-LSH pair

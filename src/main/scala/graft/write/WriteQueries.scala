@@ -902,9 +902,13 @@ object WriteQueries {
       withStreamPartitions(s) {
         val q = src.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            graft.llm.Dedup
-              .clustersIncremental(corpus, labels, index, batch, 0.8)
-              .write.mode(SaveMode.Append).parquet(out)
+            // trigger-sized work: AQE off for the batch body (the
+            // streaming engine already runs the stream itself that way)
+            graft.GraftSession.withMicroBatchPlanning(s) {
+              graft.llm.Dedup
+                .clustersIncremental(corpus, labels, index, batch, 0.8)
+                .write.mode(SaveMode.Append).parquet(out)
+            }
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
