@@ -49,7 +49,15 @@ object GraftSession {
     * Corpus-sized work — index builds, full clustering, compaction —
     * stays OUTSIDE this scope and keeps AQE's coalescing/skew handling;
     * the batch side of an ingest stays trigger-sized at any corpus
-    * scale, so the profile holds at 100 TB. */
+    * scale, so the profile holds at 100 TB.
+    *
+    * Session discipline: pass the session the body's plans actually
+    * execute under. Inside `foreachBatch` that is `batch.sparkSession`
+    * — the engine hands the body a micro-batch CLONE session, so a
+    * toggle on the outer session would miss the batch plans entirely
+    * (and race any concurrent planner on that shared session). The
+    * clone is confined to the running micro-batch, which is what makes
+    * the set/restore safe there. */
   def withMicroBatchPlanning[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.adaptive.enabled", "false")

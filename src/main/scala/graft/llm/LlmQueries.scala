@@ -416,7 +416,9 @@ object LlmQueries {
     // which is what finally made the oracle expressible.
     "llm_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      Bpe.learn(s, Bpe.wordFreq(Tables.documents(s, d)), rounds = 3)
+      // batched learner: exact sequential-greedy merges, a fraction of
+      // the driver round-trips (BpeSpec pins the equivalence)
+      Bpe.learnBatched(s, Bpe.wordFreq(Tables.documents(s, d)), rounds = 3)
         .toDF().select($"round", $"lhs", $"rhs", $"cnt")
         .orderBy($"round")
     }),
@@ -431,7 +433,7 @@ object LlmQueries {
       import s.implicits._
       val words = Bpe.wordFreq(Tables.documents(s, d)).cache()
       try {
-        val merges = Bpe.learn(s, words, rounds = 3)
+        val merges = Bpe.learnBatched(s, words, rounds = 3)
         Bpe.encode(words, merges)
           .select(explode($"tokens").as("token"), $"freq")
           .groupBy($"token").agg(sum($"freq").as("cnt"))
@@ -775,6 +777,19 @@ object LlmQueries {
       val blobs = Multimodal.blobTable(Tables.documents(s, d))
         .as[Multimodal.BlobRow]
       Multimodal.decode(blobs).toDF().orderBy($"doc_id")
+    }),
+
+    // REAL pixel features: complete 24-bpp BMPs (offset, stride
+    // padding, BGR order all honored) decoded to mean RGB + an 8-bin
+    // integer-luma histogram, partition-batched. The pixel channels
+    // are a fixed arithmetic function of (doc_id, pixel index), so the
+    // oracle recomputes the statistics from first principles while the
+    // engine must recover them from the encoded bytes.
+    "llm_bmp_features" -> ((s, d) => {
+      import s.implicits._
+      val blobs = Multimodal.bmpTable(Tables.documents(s, d))
+        .as[Multimodal.BlobRow]
+      Multimodal.extractBmpFeatures(blobs).orderBy($"doc_id")
     })
   )
 
@@ -1709,6 +1724,36 @@ object LlmQueries {
         |         AS channels,
         |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
         |         ELSE 'gif' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_bmp_features" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id,
+        |              (d.doc_id*7 + t.i*13) % 256 AS r,
+        |              (d.doc_id*11 + t.i*17) % 256 AS g,
+        |              (d.doc_id*3 + t.i*19) % 256 AS b
+        |       FROM d JOIN generate_series(0, 34) AS t(i)
+        |         ON t.i < d.w*d.h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+        |       round(sum(r)*1.0/count(*), 6) AS mean_r,
+        |       round(sum(g)*1.0/count(*), 6) AS mean_g,
+        |       round(sum(b)*1.0/count(*), 6) AS mean_b,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 1
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 2
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 3
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l3,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 4
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l4,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 5
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l5,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 6
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l6,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 7
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l7
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -49,6 +49,32 @@ object Multimodal {
     "BM".getBytes("US-ASCII") ++ le32(0) ++ le32(0) ++ le32(54) ++
       le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ tail
 
+  /** COMPLETE real BMP: full 40-byte BITMAPINFOHEADER (BI_RGB, 24 bpp)
+    * plus the actual pixel array — bottom-up rows of BGR triplets,
+    * each row padded to a 4-byte boundary, exactly the on-disk format.
+    * `pixel(i)` supplies (r,g,b) for logical pixel `i` in storage
+    * order. */
+  private[graft] def bmpFull(w: Int, h: Int,
+                             pixel: Int => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val px = new Array[Byte](stride * h)
+    var row = 0
+    while (row < h) {
+      var cx = 0
+      while (cx < w) {
+        val (r, g, b) = pixel(row * w + cx)
+        val o = row * stride + cx * 3
+        px(o) = b.toByte; px(o + 1) = g.toByte; px(o + 2) = r.toByte
+        cx += 1
+      }
+      row += 1
+    }
+    "BM".getBytes("US-ASCII") ++ le32(54L + px.length) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(px.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ px
+  }
+
   /** Minimal real GIF89a: signature + logical screen descriptor. */
   private[graft] def gifBytes(w: Long, h: Long, tail: Array[Byte]): Array[Byte] =
     "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ tail
@@ -131,12 +157,102 @@ object Multimodal {
         col("payload").substr(col("frame_idx") * frameBytes + 1,
           lit(frameBytes)).as("frame"))
 
-  /** Feature-extraction stub: a fixed-width float vector derived from
-    * the frame bytes (deterministic fake — a real deployment calls an
-    * image/audio encoder here; schema and batching stay identical). */
+  /** Byte-level features of an OPAQUE frame: the leading `dims` bytes
+    * scaled to [0,1] — the codec-free baseline for payloads whose
+    * format the engine cannot decode (llm_frames' synthetic "video").
+    * For the format the engine decodes end-to-end (24-bpp BMP), the
+    * REAL per-pixel encoder is [[extractBmpFeatures]]. */
   def extractFeatures(frames: DataFrame, dims: Int = 4): DataFrame =
     frames.withColumn("features", transform(
       sequence(lit(1), lit(dims)),
       i => conv(hex(col("frame")).substr(i, lit(2)), 16, 10).cast("long")
         / 255.0))
+
+  /** Per-image pixel statistics of a REAL BMP decode. */
+  case class BmpStats(doc_id: Long, n_px: Long,
+                      mean_r: Double, mean_g: Double, mean_b: Double,
+                      l0: Long, l1: Long, l2: Long, l3: Long,
+                      l4: Long, l5: Long, l6: Long, l7: Long)
+
+  /** REAL pixel decode of an uncompressed 24-bpp BMP: honors the
+    * header's pixel-array offset, the 4-byte row stride padding, and
+    * signed (bottom-up vs top-down) height; rejects — rather than
+    * mis-decodes — other bit depths, compressed payloads, and blobs
+    * whose pixel array is truncated. Returns the per-pixel channel
+    * sums and an 8-bin luminance histogram (integer Rec.601 luma,
+    * `(299r + 587g + 114b) / 1000`, bins of 32) — the statistic is
+    * order-independent, so row direction never matters to it, but the
+    * stride arithmetic must be exact or padding bytes would pollute
+    * the sums. */
+  private[graft] def decodeBmpPixels(id: Long, p: Array[Byte])
+      : Option[BmpStats] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def rle32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def rle16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val offset = rle32(10)
+    val w = rle32(18)
+    val h = math.abs(rle32(22).toInt).toLong
+    if (rle16(26) != 1 || rle16(28) != 24 || rle32(30) != 0L) return None
+    if (w <= 0 || h <= 0 || w > Int.MaxValue / 4) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (offset < 54 || offset + stride * h > p.length) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val bins = new Array[Long](8)
+    var row = 0
+    while (row < h) {
+      val base = offset + row * stride
+      var cx = 0
+      while (cx < w) {
+        val o = (base + cx * 3).toInt
+        val b = u8(o); val g = u8(o + 1); val r = u8(o + 2)
+        sr += r; sg += g; sb += b
+        bins(((299 * r + 587 * g + 114 * b) / 1000 / 32).toInt) += 1
+        cx += 1
+      }
+      row += 1
+    }
+    val n = w * h
+    Some(BmpStats(id, n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+      bins(0), bins(1), bins(2), bins(3), bins(4), bins(5), bins(6),
+      bins(7)))
+  }
+
+  /** Distributed REAL feature extraction over BMP blobs: partition-
+    * batched decode (the same lazy-iterator shape as [[decode]]), one
+    * stats row per decodable image, undecodable blobs dropped. Means
+    * are ratios of exact integer sums, rounded once at output — the
+    * determinism contract the oracle comparison rides on. */
+  def extractBmpFeatures(blobs: Dataset[BlobRow]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap(b => decodeBmpPixels(b.doc_id, b.payload)))
+      .toDF()
+      .select(col("doc_id"), col("n_px"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("mean_g"), 6).as("mean_g"),
+        round(col("mean_b"), 6).as("mean_b"),
+        col("l0"), col("l1"), col("l2"), col("l3"),
+        col("l4"), col("l5"), col("l6"), col("l7"))
+  }
+
+  /** documents → COMPLETE 24-bpp BMPs whose pixel channels are a fixed
+    * arithmetic function of (doc_id, pixel index) — so an external
+    * oracle recomputes the pixel statistics from first principles
+    * while the engine must recover them from the actual encoded
+    * bytes (offset, stride padding, BGR order). */
+  def bmpTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (1 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        (id, bmpFull(w, h, i => (
+          ((id * 7 + i * 13) % 256).toInt,
+          ((id * 11 + i * 17) % 256).toInt,
+          ((id * 3 + i * 19) % 256).toInt)))
+      }
+      .toDF("doc_id", "payload")
+  }
 }

@@ -1011,16 +1011,23 @@ object Analytics {
     // shape for leakage-safe training joins.
     "an_scd2_build" -> ((s, d) => {
       import s.implicits._
-      val ch = Tables.events(s, d)
-        .filter($"event_type" === "click" && $"user_id" < 50)
-        .groupBy($"user_id", expr("ts DIV 1000").as("vf"))
-        .agg(max(round($"value" * 100).cast("long")).as("cents"))
       val w = Window.partitionBy($"user_id").orderBy($"vf")
-      ch.withColumn("vt", lead($"vf", 1).over(w))
+      scd2Changes(s, d).withColumn("vt", lead($"vf", 1).over(w))
         .select($"user_id", $"vf", $"vt", $"cents")
         .orderBy($"user_id", $"vf")
     })
   )
+
+  /** The change rows behind `an_scd2_build` — shared with the j14
+    * feature-store loop, which PERSISTS them through the KV write path
+    * and point-in-time-joins against the table read (Joins.scala). */
+  private[operators] def scd2Changes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_type" === "click" && $"user_id" < 50)
+      .groupBy($"user_id", expr("ts DIV 1000").as("vf"))
+      .agg(max(round($"value" * 100).cast("long")).as("cents"))
+  }
 
   val oracles: Map[String, String] = Map(
     "tpch_q1" ->

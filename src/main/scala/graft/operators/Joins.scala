@@ -234,20 +234,24 @@ object Joins {
     }),
 
     // J14 (extra): POINT-IN-TIME join — the feature-store training
-    // join: each label row (purchase) picks up the dimension state
-    // (an_scd2_build's change rows) STRICTLY before its own instant.
-    // The strict `<` is the leakage guard — a feature written at the
-    // label's exact timestamp must NOT be visible to the example.
-    // With integer-microsecond timestamps, "latest change < t" is
-    // exactly "latest change <= t-1", so the one as-of merge machinery
-    // serves both semantics; same single-shuffle plan as J10.
+    // join, END TO END: an_scd2_build's versioned dimension rows are
+    // PERSISTED through the KV write path (one versioned cell per
+    // change instant, compacted once per dataset) and each label row
+    // (purchase) picks up the dimension state STRICTLY before its own
+    // instant from the TABLE READ — the store-then-train loop a real
+    // feature store runs, not an in-plan recomputation. The strict `<`
+    // is the leakage guard — a feature written at the label's exact
+    // timestamp must NOT be visible to the example. With
+    // integer-microsecond timestamps, "latest change < t" is exactly
+    // "latest change <= t-1", so the one as-of merge machinery serves
+    // both semantics; same single-shuffle plan as J10.
     "j14_pit_join" -> ((s, d) => {
       import s.implicits._
       val e = Tables.events(s, d).withColumn("ts", expr("ts DIV 1000"))
         .filter($"user_id" < 50)
-      val dim = e.filter($"event_type" === "click")
-        .groupBy($"user_id", $"ts")
-        .agg(max(round($"value" * 100).cast("long")).as("cents"))
+      val dim = scd2DimTable(s, d).resolved()
+        .select($"key".as("user_id"), $"qualifier".cast("long").as("ts"),
+          $"value".cast("long").as("cents"))
       val labels = e.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"event_id")
       Temporal.asofJoin(labels.withColumn("ts", $"ts" - 1), dim,
@@ -258,6 +262,31 @@ object Joins {
         .orderBy($"user_id", $"ts", $"event_id")
     })
   )
+
+  /** The persisted SCD2 feature dimension j14 trains against: one KV
+    * cell per (entity, change instant) — key = user, qualifier = the
+    * instant, value = the feature, ts = the instant (so the version
+    * log IS the history) — compacted into the bucketed layout once per
+    * dataset. Write once, train forever: exactly the feature-store
+    * loop, through the engine's own table. */
+  private def scd2DimTable(s: SparkSession, d: String): graft.write.KVTable = {
+    import graft.sources.kv.GraftFs
+    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val path = graft.RepoPaths.target(s"graft_kv/j14_dim_$slug")
+    val marker = s"$path/_graft_setup.txt"
+    val tag = s"j14_dim v1 $d"
+    val t = graft.write.KVTable(s, path)
+    if (!GraftFs.readString(marker).contains(tag)) {
+      t.drop()
+      t.put(Analytics.scd2Changes(s, d).select(
+        col("user_id").as("key"), lit("F").as("family"),
+        col("vf").cast("string").as("qualifier"),
+        col("cents").cast("string").as("value"), col("vf").as("ts")))
+      t.compact()
+      GraftFs.writeString(marker, tag)
+    }
+    t
+  }
 
   val oracles: Map[String, String] = Map(
     "j1_join" ->

@@ -213,4 +213,39 @@ object GraftFs {
   def len(path: String): Long = {
     val p = new Path(path); fsFor(p).getFileStatus(p).getLen
   }
+
+  /** Set a file's modification time (access time untouched). Stream
+    * staging uses this to make file-source pickup order explicit —
+    * see [[graft.streaming.Staging.ordered]]. */
+  def setModifiedTime(path: String, mtimeMs: Long): Unit = {
+    val p = new Path(path); fsFor(p).setTimes(p, mtimeMs, -1)
+  }
+
+  /** Carry a data file forward BY REFERENCE where the store allows it:
+    * a hard link on local/POSIX filesystems (O(1), and the bytes stay
+    * alive until BOTH directory entries are gone — so retiring the
+    * source generation later never invalidates the link), a plain copy
+    * elsewhere. This is the group-filtered CoW commit's carry-forward
+    * primitive (KVCow.scala): untouched buckets' files move into the
+    * new generation without rewriting their bytes — HBase's reference-
+    * file trick; an object-store deployment would use a manifest layer
+    * instead, which slots in behind this same seam. */
+  def linkOrCopy(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst); val fs = fsFor(s)
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      val sp = java.nio.file.Paths.get(fs.makeQualified(s).toUri.getPath)
+      val dp = java.nio.file.Paths.get(fs.makeQualified(d).toUri.getPath)
+      java.nio.file.Files.createDirectories(dp.getParent)
+      try java.nio.file.Files.createLink(dp, sp)
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(sp, dp,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    } else {
+      org.apache.hadoop.fs.FileUtil.copy(fs, s, fsFor(d), d, false,
+        hadoopConf); ()
+    }
+  }
 }

@@ -60,11 +60,14 @@ class KVBatchTable(path: String, tsMax: Option[Long] = None)
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   /** `_cell` — the non-null row-identity struct the row-level delta
-    * rewrite uses as rowId (see [[KVCellIdColumn]]); available to any
-    * scan (the row-wise readers synthesize it from the cell columns). */
+    * rewrite uses as rowId (see [[KVCellIdColumn]]) — and `_bucket` —
+    * the group identity the CoW rewrite's runtime group filter keys on
+    * (see [[KVBucketColumn]]); both available to any scan (the
+    * row-wise readers synthesize them from the cell columns and the
+    * partition's bucket id). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(KVCellIdColumn)
+    Array(KVCellIdColumn, KVBucketColumn)
   override def name(): String =
     s"graft-kv `$path`" + tsMax.fold("")(v => s" @v<=$v")
   override def schema(): StructType = KVBatchTable.CELL_SCHEMA
@@ -217,7 +220,8 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
     val session = org.apache.spark.sql.SparkSession.getActiveSession
     val vectorized =
       session.forall(_.conf.get("graft.kv.vectorized", "true").toBoolean) &&
-        !required.fieldNames.contains(KVCellIdColumn.NAME)
+        !required.fieldNames.contains(KVCellIdColumn.NAME) &&
+        !required.fieldNames.contains(KVBucketColumn.NAME)
     // snapshot the DRIVER's Hadoop conf for the executor-side parquet
     // opens — a bare `new Configuration(false)` would strip the
     // cluster's filesystem settings (HDFS auth, buffer sizes, S3
@@ -283,21 +287,30 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
   // columns to decode = required ∪ filter references ∪ key (for the
   // bucket gate on log rows) ∪ the `_cell` struct's parts when the
   // metadata column is requested; output = required only, in order
-  // (`_cell` synthesized from the parts at emit).
+  // (`_cell` synthesized from the parts, `_bucket` from the
+  // partition's bucket id, at emit).
   private val filterCols = filters.flatMap(_.references).distinct
   private val needKey = p.numBuckets > 0 && p.logFiles.nonEmpty
   private val cellParts = Array("key", "family", "qualifier", "ts")
+  private val metaCols = Set(KVCellIdColumn.NAME, KVBucketColumn.NAME)
   private val wantsCell = required.fieldNames.contains(KVCellIdColumn.NAME)
   private val readCols: Array[String] =
-    (required.fieldNames.filter(_ != KVCellIdColumn.NAME) ++
+    (required.fieldNames.filterNot(metaCols) ++
       (if (wantsCell) cellParts else Array.empty[String]) ++
       filterCols ++ (if (needKey) Seq("key") else Nil))
       .distinct
   private val colIdx: Map[String, Int] = readCols.zipWithIndex.toMap
   private val readColSet: Set[String] = readCols.toSet
-  // -1 marks the `_cell` slot; resolved to a struct of the parts
-  private val outIdx: Array[Int] = required.fieldNames.map(n =>
-    if (n == KVCellIdColumn.NAME) -1 else colIdx(n))
+  // -1 marks the `_cell` slot (a struct of the parts), -2 the
+  // `_bucket` slot (the partition's bucket id — every row this task
+  // emits is bucket-gated to it; -1 on an unbucketed layout)
+  private val outIdx: Array[Int] = required.fieldNames.map {
+    case KVCellIdColumn.NAME => -1
+    case KVBucketColumn.NAME => -2
+    case n => colIdx(n)
+  }
+  private val bucketVal: java.lang.Integer =
+    java.lang.Integer.valueOf(if (p.numBuckets > 0) p.bucket else -1)
   private val cellPartIdx: Array[Int] =
     if (wantsCell) cellParts.map(colIdx) else Array.empty
   private val keyIdx: Int = colIdx.getOrElse("key", -1)
@@ -370,6 +383,7 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
           while (j < outIdx.length) {
             out(j) =
               if (outIdx(j) >= 0) vals(outIdx(j))
+              else if (outIdx(j) == -2) bucketVal
               else new GenericInternalRow(cellPartIdx.map(vals(_)))
             j += 1
           }

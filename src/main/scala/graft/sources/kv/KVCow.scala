@@ -4,7 +4,7 @@ import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.Filter
@@ -29,12 +29,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * sides of which this source now implements.
   *
   * Scale/correctness contract:
-  *  - The CoW scan accepts NO pushdown and NO bucket pruning: its
-  *    output IS the replacement table contents, so any scan-level
-  *    dropping of rows would silently delete them. Spark applies the
-  *    command's predicates above the scan. (Group granularity here is
-  *    the whole table; per-bucket group filtering is the delta path's
-  *    job — a MERGE that touches few rows should use MoR anyway.)
+  *  - The CoW scan accepts NO predicate pushdown: its output is the
+  *    replacement content of every group it reads, so scan-level
+  *    dropping of ROWS would silently delete them. What it DOES accept
+  *    is Spark's runtime GROUP filter (`RowLevelOperationRuntime-
+  *    GroupFiltering`): the operation declares the `_bucket` metadata
+  *    attribute, the optimizer runs the command's matching condition
+  *    as a subquery projecting DISTINCT touched buckets, and
+  *    [[KVCowScan.filter]] prunes the scan — and hence the rewrite —
+  *    to exactly those buckets. Dropping a WHOLE group is sound
+  *    because the commit carries every unread bucket forward by
+  *    reference ([[GraftFs.linkOrCopy]]) and re-appends the scan
+  *    snapshot's log rows of unread buckets (their pending state must
+  *    survive the snapshot retirement; touched buckets' log rows are
+  *    already folded into the rewritten files — and must NOT survive,
+  *    or a row the command deleted would resurrect). A MERGE touching
+  *    k of n buckets therefore rewrites k files, not the table.
   *  - The write requires a distribution CLUSTERED BY `key` into
   *    exactly `numBuckets` partitions and (key, family, qualifier)
   *    ordering — Spark's hash-clustering into N partitions places a
@@ -65,32 +75,119 @@ class KVCowOperation(path: String, cmd: RowLevelOperation.Command)
   // exactly the log files the scan consumed, never a racing append's
   private[kv] lazy val layout: KVLayout = KVLayout(path)
 
+  /** Buckets the runtime group filter restricted the scan to; None =
+    * the filter never fired (full rewrite, the safe default). Written
+    * driver-side by [[KVCowScan.filter]] before partition planning,
+    * read driver-side by [[KVCowWrite.commit]] — same query, ordered
+    * by execution. */
+  @volatile private[kv] var groupBuckets: Option[Set[Int]] = None
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-kv-cow $cmd `$path`"
 
+  /** The group identity: Spark resolves `_bucket` on the scan relation
+    * and its runtime group-filter rule aggregates the DISTINCT touched
+    * values — small by construction (≤ numBuckets), unlike filtering
+    * on raw keys, whose matched set is unbounded at 100 TB. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (layout.bucketed) Array(Expressions.column(KVBucketColumn.NAME))
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KVCowScanBuilder(path, layout)
+    new KVCowScanBuilder(path, layout, this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new KVCowWrite(path, layout, info)
+      override def build(): Write = new KVCowWrite(path, layout, info, KVCowOperation.this)
     }
 }
 
-/** Resolved scan with NO pushdown surface: the scan output is the
-  * replacement content, so nothing may be dropped below it. */
-class KVCowScanBuilder(path: String, layout: KVLayout) extends ScanBuilder {
+/** Resolved scan with NO predicate pushdown (the scan output is the
+  * replacement content of each group it reads) but WITH column pruning
+  * (Spark must be able to project the `_bucket` metadata attribute). */
+class KVCowScanBuilder(path: String, layout: KVLayout, op: KVCowOperation)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = KVBatchTable.CELL_SCHEMA
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    new KVResolvedScan(path, layout, KVBatchTable.CELL_SCHEMA,
-      Array.empty[Filter])
+    new KVCowScan(path, layout, required, op)
 }
 
-class KVCowWrite(path: String, layout: KVLayout, info: LogicalWriteInfo)
+/** The CoW operation's read side: the resolved scan, accepting the
+  * runtime GROUP filter on `_bucket` (whole-bucket pruning only — row
+  * predicates are never pushed below a replacement scan). */
+class KVCowScan(path: String, layout: KVLayout, required: StructType,
+                op: KVCowOperation)
+    extends KVResolvedScan(path, layout, required, Array.empty[Filter])
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (layout.bucketed) Array(Expressions.column(KVBucketColumn.NAME))
+    else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.flatMap(KVCowScan.bucketsOf)
+    if (sets.nonEmpty) {
+      val buckets = sets.reduce(_ intersect _)
+      op.groupBuckets = Some(buckets)
+      runtimeBuckets = Some(buckets)
+    } // unparseable predicate shapes: keep the full-rewrite default
+  }
+}
+
+object KVCowScan {
+  import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def intOf(v: Any): Option[Int] = v match {
+    case n: java.lang.Number => Some(n.intValue())
+    case _ => None
+  }
+
+  private def isBucketRef(e: Any): Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.length == 1 && r.fieldNames()(0) == KVBucketColumn.NAME
+    case _ => false
+  }
+
+  /** `_bucket IN (…)` / `_bucket = v` → the bucket set; anything else
+    * → None (the caller then keeps the unfiltered default). */
+  private[kv] def bucketsOf(p: Predicate): Option[Set[Int]] = {
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.nonEmpty && isBucketRef(ch(0)) =>
+        val vals = ch.drop(1).flatMap {
+          case l: Literal[_] => intOf(l.value)
+          case _ => None
+        }
+        if (vals.length == ch.length - 1) Some(vals.toSet) else None
+      case "=" if ch.length == 2 && isBucketRef(ch(0)) =>
+        ch(1) match {
+          case l: Literal[_] => intOf(l.value).map(Set(_))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+}
+
+class KVCowWrite(path: String, layout: KVLayout, info: LogicalWriteInfo,
+                 op: KVCowOperation)
     extends Write with BatchWrite with RequiresDistributionAndOrdering {
-  require(info.schema().fieldNames.sameElements(
-    KVBatchTable.CELL_SCHEMA.fieldNames),
-    s"CoW replace schema ${info.schema().fieldNames.mkString(",")} does " +
-      "not match the cell schema")
+  // declared schema = the cell columns, optionally followed by the
+  // `_bucket` metadata attribute the group-filtered plan carries
+  private val declared = info.schema().fieldNames
+  require(declared.take(KVBatchTable.CELL_SCHEMA.size).sameElements(
+    KVBatchTable.CELL_SCHEMA.fieldNames) &&
+    declared.drop(KVBatchTable.CELL_SCHEMA.size).forall(_ == KVBucketColumn.NAME),
+    s"CoW replace schema ${declared.mkString(",")} does not match the " +
+      "cell schema (+ optional _bucket)")
+  private val declaredWidth = declared.length
 
   private val numBuckets = if (layout.bucketed) layout.numBuckets else 8
   private val inflight = s"$path/compacted/.inflight-${info.queryId()}"
@@ -107,13 +204,22 @@ class KVCowWrite(path: String, layout: KVLayout, info: LogicalWriteInfo)
     Expressions.sort(Expressions.column("qualifier"), SortDirection.ASCENDING))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KVCowWriterFactory(inflight, numBuckets)
+    new KVCowWriterFactory(inflight, numBuckets, declaredWidth)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val t = graft.write.KVTable(spark, path)
     val newGen = t.nextGen
     val genDir = s"$path/compacted/gen-$newGen"
+    // a crashed earlier attempt (moved some files, died before the
+    // pointer flip) leaves a non-empty unpublished gen-<N+1>; a retry
+    // recomputes the same nextGen, and moving fresh files NEXT TO the
+    // stale ones would publish duplicated rows. The dir is unpublished
+    // by construction (the pointer still names gen-N), so wiping it is
+    // safe — and a CONCURRENT compaction racing to the same generation
+    // loses at the pointer CAS, not here.
+    if (GraftFs.list(genDir).nonEmpty)
+      GraftFs.delete(genDir, recursive = true)
     GraftFs.mkdirs(genDir)
     messages.foreach {
       case KVCowFile(name) if name.nonEmpty =>
@@ -121,6 +227,35 @@ class KVCowWrite(path: String, layout: KVLayout, info: LogicalWriteInfo)
       case _ => ()
     }
     GraftFs.delete(inflight, recursive = true)
+    // group-filtered rewrite: the scan — and so the replacement — was
+    // pruned to the touched buckets; every other bucket carries its
+    // current-generation file(s) forward by reference, and its PENDING
+    // log rows are re-appended so the snapshot retirement below cannot
+    // lose them. (Touched buckets' log rows are folded into the
+    // rewritten files and must NOT be re-appended — a deleted row
+    // would resurrect. A re-appended row duplicating a crashed earlier
+    // attempt's is harmless: latest-wins resolution is idempotent over
+    // identical versions.)
+    op.groupBuckets match {
+      case Some(touched) if layout.bucketed =>
+        val untouched = (0 until numBuckets).toSet -- touched
+        untouched.foreach { b =>
+          layout.compactedByBucket.getOrElse(b, Seq.empty).foreach { f =>
+            GraftFs.linkOrCopy(f, s"$genDir/${f.substring(f.lastIndexOf('/') + 1)}")
+          }
+        }
+        if (layout.logFiles.nonEmpty && untouched.nonEmpty) {
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          spark.read.schema(graft.write.KVTable.CELL_SCHEMA_DDL)
+            .parquet(layout.logFiles: _*)
+            .filter(!pmod(hash(col("key")), lit(numBuckets))
+              .isin(touched.toSeq.map(Integer.valueOf): _*))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$path/log")
+        }
+      case _ => () // no runtime group filter: full rewrite, nothing to carry
+    }
     t.registerGenerationTable(newGen, numBuckets)
     t.publishGeneration(newGen, numBuckets, layout.logFiles)
   }
@@ -132,10 +267,12 @@ class KVCowWrite(path: String, layout: KVLayout, info: LogicalWriteInfo)
 
 case class KVCowFile(name: String) extends WriterCommitMessage
 
-class KVCowWriterFactory(inflight: String, numBuckets: Int)
+class KVCowWriterFactory(inflight: String, numBuckets: Int,
+                         declaredWidth: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KVCowDataWriter(inflight, numBuckets, partitionId, taskId)
+    new KVCowDataWriter(inflight, numBuckets, partitionId, taskId,
+      declaredWidth)
 }
 
 /** One task = one bucket = one sorted parquet file, named with the
@@ -144,7 +281,7 @@ class KVCowWriterFactory(inflight: String, numBuckets: Int)
   * Rows stream through parquet-mr in arrival (= required sort) order;
   * the writer is created lazily so empty buckets produce no file. */
 class KVCowDataWriter(inflight: String, numBuckets: Int,
-                      partitionId: Int, taskId: Long)
+                      partitionId: Int, taskId: Long, declaredWidth: Int)
     extends DataWriter[InternalRow] {
   import KVLogDataWriter.CELL_TYPE
 
@@ -159,14 +296,17 @@ class KVCowDataWriter(inflight: String, numBuckets: Int,
       writer = KVLogDataWriter.openCellWriter(s"$inflight/$name")
     // ReplaceData's physical rows may carry the planner's OPERATION
     // column (RowDeltaUtils: 5=WRITE, 6=WRITE_WITH_METADATA) ahead of
-    // the cell columns — Spark's plain writing task hands the row
-    // through un-projected. Accept both layouts, refuse anything else.
+    // the DECLARED columns (cells, plus `_bucket` when the group-
+    // filtered plan carries it — trailing, ignored here) — Spark's
+    // plain writing task hands the row through un-projected. The
+    // declared width disambiguates; refuse anything else.
     val off = row.numFields match {
-      case 6 => 0
-      case 7 if !row.isNullAt(0) && (row.getInt(0) == 5 || row.getInt(0) == 6) => 1
+      case w if w == declaredWidth => 0
+      case w if w == declaredWidth + 1 && !row.isNullAt(0) &&
+          (row.getInt(0) == 5 || row.getInt(0) == 6) => 1
       case n => throw new IllegalStateException(
-        s"unexpected CoW replace-row layout: $n fields, " +
-          s"first=${if (row.isNullAt(0)) "null" else row.getInt(0).toString}")
+        s"unexpected CoW replace-row layout: $n fields vs declared " +
+          s"$declaredWidth")
     }
     // loud failure beats silent layout corruption: the clustering
     // contract (partition id == bucket id) is verified per row

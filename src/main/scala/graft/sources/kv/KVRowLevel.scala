@@ -84,6 +84,25 @@ object KVCellIdColumn
     "graft cell identity (key, family, qualifier, ts of the live version)"
 }
 
+/** `_bucket` metadata column: the row's bucket id in the compacted
+  * layout (`pmod(murmur3(key), numBuckets)`, [[GraftBucket]]) — the
+  * GROUP identity of the copy-on-write row-level path. The CoW
+  * operation declares it via `requiredMetadataAttributes`, Spark's
+  * runtime group-filter rule collects the DISTINCT matched buckets and
+  * pushes them back into the scan ([[KVCowScan.filter]]), and the
+  * commit then rewrites only those buckets' files (KVCow.scala).
+  * `-1` on a never-compacted table (no bucketed layout to group by). */
+object KVBucketColumn
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  val NAME = "_bucket"
+  override def name(): String = NAME
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "graft bucket id of the row's key in the compacted layout"
+}
+
 // --- write side ------------------------------------------------------
 
 class KVDeltaWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -206,6 +225,10 @@ class KVResolvedScan(path: String, layout: KVLayout,
                      required: StructType, pushed: Array[Filter])
     extends Scan with Batch with SupportsReportPartitioning {
 
+  /** Buckets injected at RUNTIME (the CoW group filter, [[KVCowScan]]);
+    * None = no runtime restriction. */
+  @volatile protected var runtimeBuckets: Option[Set[Int]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -220,8 +243,9 @@ class KVResolvedScan(path: String, layout: KVLayout,
 
   override def planInputPartitions(): Array[InputPartition] =
     if (layout.bucketed) {
-      val allowed = KVFilterEval.keyBuckets(pushed, layout.numBuckets)
+      val static = KVFilterEval.keyBuckets(pushed, layout.numBuckets)
         .getOrElse((0 until layout.numBuckets).toSet)
+      val allowed = runtimeBuckets.fold(static)(static intersect _)
       (0 until layout.numBuckets).filter(allowed)
         .map { b =>
           val comp = layout.compactedByBucket.getOrElse(b, Seq.empty)
@@ -300,10 +324,15 @@ class KVResolvedPartitionReader(p: KVBucketPartition, required: StructType,
         }
       }
     } finally raw.close()
-    // -1 marks the `_cell` metadata struct (the delta rewrite's rowId)
-    val outIdx = required.fieldNames.map(n =>
-      if (n == KVCellIdColumn.NAME) -1
-      else KVBatchTable.CELL_SCHEMA.fieldNames.indexOf(n))
+    // -1 marks the `_cell` metadata struct (the delta rewrite's rowId),
+    // -2 the `_bucket` id (the CoW group filter's key)
+    val outIdx = required.fieldNames.map {
+      case KVCellIdColumn.NAME => -1
+      case KVBucketColumn.NAME => -2
+      case n => KVBatchTable.CELL_SCHEMA.fieldNames.indexOf(n)
+    }
+    val bucketVal =
+      java.lang.Integer.valueOf(if (p.numBuckets > 0) p.bucket else -1)
     winners.iterator.collect {
       case ((key, fam, qual), (ts, value))
           if ts > rowDel.getOrElse(key, Long.MinValue) &&
@@ -315,6 +344,7 @@ class KVResolvedPartitionReader(p: KVBucketPartition, required: StructType,
           value, java.lang.Long.valueOf(ts), null)
         new GenericInternalRow(outIdx.map(i =>
           if (i >= 0) full(i)
+          else if (i == -2) bucketVal
           else new GenericInternalRow(Array[Any](kv,
             UTF8String.fromString(fam), UTF8String.fromString(qual),
             java.lang.Long.valueOf(ts))): Any)): InternalRow

@@ -95,14 +95,38 @@ object CasPointerStore extends PointerStore {
     * WITH `fs.s3a.create.conditional.enabled` — older clients silently
     * degrade to exists-check-then-PUT, which would let two
     * same-generation publishers both believe they won. The decision is
-    * keyed on `hasPathCapability` ALONE: on a capable client the
+    * keyed on `hasPathCapability` first: on a capable client the
     * enabled flag surfaces as the path capability, while on an older
-    * client the flag is a no-op, so trusting the flag directly would
-    * let exactly the broken configuration through (pure decision split
-    * out for the spec). */
+    * client the flag is a no-op, so trusting the flag ALONE would let
+    * exactly the broken configuration through (pure decision split
+    * out for the spec).
+    *
+    * Indeterminate probes: if `hasPathCapability` itself THREW (some
+    * S3-compatible stores and older shims reject capability queries
+    * outright — the probe then says nothing about conditional create),
+    * the enable flag in the Hadoop conf is accepted as the operator's
+    * word. A CLEAN `false` with the flag set still fails fast —
+    * a capable 3.4.1+ client advertises the capability when the
+    * feature is on — but the failure message documents both overrides
+    * (`-Dgraft.kv.pointer.trustConditionalCreate=true` for builds that
+    * genuinely implement conditional create without advertising it,
+    * `-Dgraft.kv.pointer.protocol=rename` for stores with real atomic
+    * rename), so a non-standard deployment is a config line, not a
+    * dead publish path. */
   private[graft] def conditionalCreateUnsupported(scheme: String,
       hasCapability: Boolean): Boolean =
     scheme.startsWith("s3") && !hasCapability
+
+  /** Probe outcome → verdict, pure for the spec: `capability` is
+    * None when the probe threw. */
+  private[graft] def probeDecision(scheme: String,
+      capability: Option[Boolean], flagEnabled: Boolean,
+      operatorTrust: Boolean): Boolean = capability match {
+    case Some(cap) =>
+      conditionalCreateUnsupported(scheme, cap) && !operatorTrust
+    case None => // indeterminate probe: defer to the operator's flag
+      scheme.startsWith("s3") && !flagEnabled && !operatorTrust
+  }
 
   /** Per-scheme probe VERDICT (None = pass, Some(msg) = fail), not just
     * "was probed": a failed probe must keep failing every retried
@@ -120,9 +144,15 @@ object CasPointerStore extends PointerStore {
     val scheme = Option(fs.getUri.getScheme).getOrElse("file")
     val verdict = probeVerdict.computeIfAbsent(scheme, _ => {
       val cap =
-        try fs.hasPathCapability(p, "fs.s3a.capability.conditional.create")
-        catch { case _: Exception => false }
-      if (conditionalCreateUnsupported(scheme, cap))
+        try Some(fs.hasPathCapability(p, "fs.s3a.capability.conditional.create"))
+        catch { case _: Exception => None } // probe itself unavailable
+      val flagEnabled =
+        fs.getConf != null &&
+          fs.getConf.getBoolean("fs.s3a.create.conditional.enabled", false)
+      val operatorTrust =
+        sys.props.get("graft.kv.pointer.trustConditionalCreate")
+          .contains("true")
+      if (probeDecision(scheme, cap, flagEnabled, operatorTrust))
         Some(
           s"CAS pointer protocol selected for scheme '$scheme', but the " +
             "filesystem does not advertise atomic conditional create: " +
@@ -130,8 +160,11 @@ object CasPointerStore extends PointerStore {
             "fs.s3a.create.conditional.enabled=true. Without it, " +
             "create(overwrite=false) is a non-atomic exists-then-PUT and " +
             "two same-generation publishers could both win. Enable the " +
-            "flag, or force -Dgraft.kv.pointer.protocol=rename if the " +
-            "store actually has atomic rename.")
+            "flag; if this build implements conditional create without " +
+            "advertising the capability, set " +
+            "-Dgraft.kv.pointer.trustConditionalCreate=true; or force " +
+            "-Dgraft.kv.pointer.protocol=rename if the store actually " +
+            "has atomic rename.")
       else None
     })
     verdict.foreach(msg => throw new IllegalStateException(msg))

@@ -137,13 +137,14 @@ object StreamStats {
         GroupStateTimeout.NoTimeout)(alertFn(threshold))
       .toDF()
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
-      }
+      // batch-idempotent file sink: a replayed batchId overwrites its
+      // own partition (IdempotentSink); the partition column doubles
+      // as the per-batch provenance the spec asserts on
+      .foreachBatch(IdempotentSink.parquet(outDir))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.read.parquet(outDir)
+      .withColumnRenamed(IdempotentSink.COL, "batch_id")
   }
 
   /** Latest per-key power-sum snapshot (the KV resolve already kept

@@ -646,15 +646,17 @@ object WriteQueries {
           $"user_id" === $"c_custkey", "left")
         .select(coalesce($"c_mktsegment", lit("none")).as("segment"),
           $"event_type")
+      // batch-idempotent sink: a replayed batchId overwrites its own
+      // partition instead of double-counting (streaming/IdempotentSink)
       val q = enriched.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.groupBy(col("segment"), col("event_type"))
-            .agg(count(lit(1)).as("n"))
-            .write.mode(SaveMode.Append).parquet(out)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.parquet(out)(
+            batch.groupBy(col("segment"), col("event_type"))
+              .agg(count(lit(1)).as("n")), batchId)
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(out)
+      graft.streaming.IdempotentSink.read(s, out)
         .groupBy($"segment", $"event_type")
         .agg(sum($"n").as("n"))
         .orderBy($"segment", $"event_type")
@@ -676,16 +678,19 @@ object WriteQueries {
       val out = RepoPaths.target("graft_stream/st10_out")
       KVTable.deleteRecursively(out)
       val ev = Tables.events(s, d)
-      val stage = stageOnce(s, "st10", d, version = 1) { dir =>
-        ev.filter($"user_id" < 100).coalesce(1)
-          .write.mode("overwrite").parquet(dir)
+      val stage = stageOnce(s, "st10", d, version = 2) { dir =>
         val maxNs = ev.agg(max($"ts")).as[Long].head()
-        Seq(6L, 7L).foreach { h =>
-          ev.limit(1)
-            .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
-            .withColumn("user_id", lit(-1L))
-            .coalesce(1).write.mode("append").parquet(dir)
-        }
+        def flush(h: Long): Unit = ev.limit(1)
+          .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
+          .withColumn("user_id", lit(-1L))
+          .coalesce(1).write.mode("append").parquet(dir)
+        // sentinels stamped strictly after the real events — pickup
+        // order must not hinge on write-clock ties (Staging.ordered)
+        graft.streaming.Staging.ordered(dir)(
+          () => ev.filter($"user_id" < 100).coalesce(1)
+            .write.mode("overwrite").parquet(dir),
+          () => flush(6L),
+          () => flush(7L))
       }
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -695,17 +700,17 @@ object WriteQueries {
         .agg(count(lit(1)).as("n_events"))
       withStreamPartitions(s) {
         val q = agg.writeStream.outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.select(col("user_id"),
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.IdempotentSink.parquet(out)(
+              batch.select(col("user_id"),
                 unix_timestamp(col("session_window.start")).as("start_s"),
                 unix_timestamp(col("session_window.end")).as("end_s"),
-                col("n_events"))
-              .write.mode(SaveMode.Append).parquet(out)
+                col("n_events")), batchId)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.read.parquet(out).filter($"user_id" >= 0)
+      graft.streaming.IdempotentSink.read(s, out).filter($"user_id" >= 0)
         .orderBy($"user_id", $"start_s")
     }),
 
@@ -725,15 +730,18 @@ object WriteQueries {
       val out = RepoPaths.target("graft_stream/st2_out")
       KVTable.deleteRecursively(out)
       val ev = Tables.events(s, d)
-      val stage = stageOnce(s, "st2", d, version = 1) { dir =>
-        ev.coalesce(1).write.mode("overwrite").parquet(dir)
+      val stage = stageOnce(s, "st2", d, version = 2) { dir =>
         val maxNs = ev.agg(max($"ts")).as[Long].head()
-        Seq(3L, 4L).foreach { h =>
-          ev.limit(1)
-            .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
-            .withColumn("event_type", lit("__flush__"))
-            .coalesce(1).write.mode("append").parquet(dir)
-        }
+        def flush(h: Long): Unit = ev.limit(1)
+          .withColumn("ts", lit(maxNs + h * 3600L * 1000000000L))
+          .withColumn("event_type", lit("__flush__"))
+          .coalesce(1).write.mode("append").parquet(dir)
+        // explicit mtime order: the flush sentinels MUST be picked up
+        // after every real event (graft.streaming.Staging)
+        graft.streaming.Staging.ordered(dir)(
+          () => ev.coalesce(1).write.mode("overwrite").parquet(dir),
+          () => flush(3L),
+          () => flush(4L))
       }
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -743,15 +751,15 @@ object WriteQueries {
         .agg(count(lit(1)).as("n"))
       withStreamPartitions(s) {
         val q = agg.writeStream.outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.select(unix_timestamp($"window.start").as("hour_start"),
-                col("event_type"), col("n"))
-              .write.mode(SaveMode.Append).parquet(out)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.IdempotentSink.parquet(out)(
+              batch.select(unix_timestamp($"window.start").as("hour_start"),
+                col("event_type"), col("n")), batchId)
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.read.parquet(out)
+      graft.streaming.IdempotentSink.read(s, out)
         .filter($"event_type" =!= "__flush__")
         .orderBy($"hour_start", $"event_type")
     }),
@@ -841,17 +849,17 @@ object WriteQueries {
       // result in driver heap, the first thing to break at 100 TB).
       withStreamPartitions(s) {
         val q0 = joined.writeStream.outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.select(col("c_user").as("user_id"),
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.IdempotentSink.parquet(out)(
+              batch.select(col("c_user").as("user_id"),
                 col("c_id").as("click_id"), col("p_id").as("purchase_id"),
                 (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
-                  .as("gap_sec"))
-              .write.mode(SaveMode.Append).parquet(out)
+                  .as("gap_sec")), batchId)
           }
           .trigger(Trigger.AvailableNow()).start()
         q0.awaitTermination()
       }
-      s.read.parquet(out)
+      graft.streaming.IdempotentSink.read(s, out)
         .orderBy($"user_id", $"click_id", $"purchase_id")
     }),
 
@@ -901,19 +909,23 @@ object WriteQueries {
         .option("maxFilesPerTrigger", "1").parquet(stage)
       withStreamPartitions(s) {
         val q = src.writeStream.outputMode("append")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             // trigger-sized work: AQE off for the batch body (the
-            // streaming engine already runs the stream itself that way)
-            graft.GraftSession.withMicroBatchPlanning(s) {
-              graft.llm.Dedup
-                .clustersIncremental(corpus, labels, index, batch, 0.8)
-                .write.mode(SaveMode.Append).parquet(out)
+            // streaming engine already runs the stream itself that way).
+            // The body executes in the micro-batch CLONE session — the
+            // toggle must land on batch.sparkSession, not the outer `s`
+            // (where it would be both ineffective and racy).
+            graft.GraftSession.withMicroBatchPlanning(batch.sparkSession) {
+              graft.streaming.IdempotentSink.parquet(out)(
+                graft.llm.Dedup
+                  .clustersIncremental(corpus, labels, index, batch, 0.8),
+                batchId)
             }
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
-      s.read.parquet(out).orderBy($"doc_id")
+      graft.streaming.IdempotentSink.read(s, out).orderBy($"doc_id")
     }),
 
     // §2.10 (extra): st7 — event-time z-score ALERTS against the
@@ -932,15 +944,16 @@ object WriteQueries {
       // three time-ordered files = three genuine stateful micro-batches
       // (the state-crossing proof) without paying per-batch state-store
       // commits for more batches than the semantics need
-      val stage = stageOnce(s, "st7", d, version = 1) { dir =>
+      val stage = stageOnce(s, "st7", d, version = 2) { dir =>
         val bounds = ev.stat.approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.0)
         val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
-        cuts.sliding(2).foreach {
-          case Array(lo, hi) =>
-            ev.filter($"ts" > lo && $"ts" <= hi)
-              .coalesce(1).write.mode("append").parquet(dir)
-          case _ => ()
-        }
+        // event-time pickup order stamped explicitly (Staging.ordered)
+        graft.streaming.Staging.ordered(dir)(
+          cuts.sliding(2).collect {
+            case Array(lo, hi) => () =>
+              ev.filter($"ts" > lo && $"ts" <= hi)
+                .coalesce(1).write.mode("append").parquet(dir)
+          }.toSeq: _*)
       }
       withStreamPartitions(s) {
         graft.streaming.StreamStats

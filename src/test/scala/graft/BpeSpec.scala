@@ -71,4 +71,59 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     // round 1 merges (a,b); the single-symbol word has no pairs left
     assert(m.size === 1 && m.head.lhs === "a" && m.head.rhs === "b")
   }
+
+  test("batched learner: self-pair merges must gate the batch") {
+    // (a,a)=30 dominates; merging it CREATES (aa,aa)=10, which outranks
+    // (b,c)=5 — a batch accepting (b,c) alongside (a,a) would diverge
+    // from sequential greedy. The selfBound (<= 30/2) must reject it.
+    val words = Seq(("aaaa", 10L), ("bc", 5L)).toDF("word", "freq")
+    val seqM = Bpe.learn(spark, words, rounds = 3)
+    val batM = Bpe.learnBatched(spark, words, rounds = 3)
+    assert(seqM.map(m => (m.round, m.lhs, m.rhs, m.cnt)) === Seq(
+      (1L, "a", "a", 30L), (2L, "aa", "aa", 10L), (3L, "b", "c", 5L)))
+    assert(batM === seqM)
+  }
+
+  test("batched learner equals sequential on the bench corpus") {
+    // the testdata vocabulary is tiny (31 words) and heavily
+    // overlapping — adversarial for batching, which must then fall
+    // back toward one-merge rounds WITHOUT diverging from sequential
+    val words = Bpe.wordFreq(Tables.documents(spark, sf)).cache()
+    try {
+      val rounds = 24
+      val seqM = Bpe.learn(spark, words, rounds)
+      val (batM, trips) = Bpe.learnBatchedCounted(spark, words, rounds)
+      assert(batM === seqM,
+        s"batched merges diverged from sequential greedy:\n$batM\nvs\n$seqM")
+      assert(trips < rounds,
+        s"batching bought nothing: $trips trips for $rounds merges")
+      info(s"$rounds merges learned in $trips driver round-trips")
+    } finally { words.unpersist(); () }
+  }
+
+  test("batched learner: wide disjoint vocabulary collapses to few trips") {
+    // 31 two-char words over disjoint alphabets with strictly distinct
+    // frequencies: every pair is symbol-disjoint and gap-safe, so ONE
+    // pair-count round-trip learns the whole merge list — the
+    // production-corpus shape (large vocab, long frequency tail)
+    val alpha = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    val ws = alpha.grouped(2).take(31).zipWithIndex.map { case (cs, i) =>
+      (cs.mkString, 1000L - 10L * i)
+    }.toSeq
+    val words = ws.toDF("word", "freq")
+    val rounds = 20
+    val seqM = Bpe.learn(spark, words, rounds)
+    val (batM, trips) = Bpe.learnBatchedCounted(spark, words, rounds)
+    assert(batM === seqM)
+    assert(seqM.size === rounds)
+    assert(trips === 1,
+      s"disjoint gap-safe vocab should batch in one trip, took $trips")
+  }
+
+  test("batched learner handles quote-bearing symbols and ties") {
+    val words = Seq(("don't", 5L), ("won't", 3L), ("""a\'b""", 2L))
+      .toDF("word", "freq")
+    assert(Bpe.learnBatched(spark, words, rounds = 4) ===
+      Bpe.learn(spark, words, rounds = 4))
+  }
 }

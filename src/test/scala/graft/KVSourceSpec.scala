@@ -393,6 +393,81 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
       s"bucketed layout lost: ${agg.queryExecution.executedPlan}")
   }
 
+  test("group-filtered CoW: a 2-bucket MERGE rewrites exactly those buckets") {
+    import graft.sources.kv.{GraftBucket, GraftFs, KVPointer}
+    val path = targetPath("graft_kv_test/dsv2_cow_group")
+    val t = KVTable(spark, path, wipe = true)
+    val cust = Tables.customer(spark, sf)
+    t.put(cust.select($"c_custkey".as("key"), lit("F").as("family"),
+      lit("bal").as("qualifier"),
+      round($"c_acctbal" * 100).cast("long").cast("string").as("value"),
+      lit(1L).as("ts")))
+    t.compact()
+    val keys = cust.select($"c_custkey").as[Long].collect().toSeq.sorted
+    val byBucket = keys.groupBy(k => GraftBucket.of(k, 8))
+    assert(byBucket.size === 8, "need every bucket populated")
+    val bs = byBucket.keys.toList.sorted
+    val (bA, bB, bC) = (bs(0), bs(1), bs(2))
+    val (kA, kB, kC) = (byBucket(bA).head, byBucket(bB).head, byBucket(bC).head)
+    // a pending log row in a bucket the MERGE does NOT touch — the
+    // group-filtered commit must carry it through the log rewrite
+    t.put(Seq((kC, "F", "bal", "9999", 2L)).toDF(
+      "key", "family", "qualifier", "value", "ts"))
+    val genBefore = KVPointer.read(path).map(_._1).get
+    val oldDir = s"$path/compacted/gen-$genBefore"
+    val oldFiles = GraftFs.dataFiles(oldDir).map(_.name).toSet
+    assert(oldFiles.size === 8)
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+    Seq((kA, "111111"), (kB, "222222")).toDF("key", "value")
+      .createOrReplaceTempView("kvspec_cowgroup_updates")
+    val prev = spark.conf.getOption("spark.graft.kv.rowlevel")
+    spark.conf.set("spark.graft.kv.rowlevel", "cow")
+    try {
+      spark.sql(
+        s"""MERGE INTO $ident t USING kvspec_cowgroup_updates u
+           |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+           |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 3""".stripMargin)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.kv.rowlevel", v)
+      case None => spark.conf.unset("spark.graft.kv.rowlevel")
+    }
+    val genAfter = KVPointer.read(path).map(_._1).get
+    assert(genAfter === genBefore + 1)
+    val newDir = s"$path/compacted/gen-$genAfter"
+    val newFiles = GraftFs.dataFiles(newDir).map(_.name).toSet
+    // files-level proof: exactly the two touched buckets' files are
+    // fresh; the other six are the OLD generation's files carried
+    // forward by reference
+    val fresh = newFiles -- oldFiles
+    val carried = newFiles intersect oldFiles
+    val pat = "_(\\d{5})\\.".r
+    def bucketsOf(names: Set[String]): Set[Int] =
+      names.flatMap(n => pat.findFirstMatchIn(n).map(_.group(1).toInt))
+    assert(bucketsOf(fresh) === Set(bA, bB),
+      s"rewrote buckets ${bucketsOf(fresh)}, expected {$bA, $bB}")
+    assert(carried.size === 6, s"expected 6 carried files, got $carried")
+    // carried = same bytes by REFERENCE (hard link on local fs)
+    val sample = carried.head
+    assert(java.nio.file.Files.isSameFile(
+      java.nio.file.Paths.get(new java.net.URI(
+        GraftFs.dataFiles(oldDir).find(_.name == sample).get.path).getPath),
+      java.nio.file.Paths.get(new java.net.URI(
+        GraftFs.dataFiles(newDir).find(_.name == sample).get.path).getPath)),
+      "carried file is a copy, not a reference")
+    // semantics: updates landed, untouched bucket kept its PENDING log
+    // row (the filtered log rewrite), everything else intact
+    val got = t.resolved().select($"key", $"value".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(kA) === 111111L && got(kB) === 222222L)
+    assert(got(kC) === 9999L, "untouched bucket lost its pending log row")
+    val base = cust.select($"c_custkey", round($"c_acctbal" * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    base.foreach { case (k, cents) =>
+      if (k != kA && k != kB && k != kC)
+        assert(got(k) === cents, s"key $k changed unexpectedly")
+    }
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE syncs the table to the source") {
     // the sync-table pattern: rows absent from the source are deleted,
     // matched rows updated — one MERGE makes the KV state mirror the

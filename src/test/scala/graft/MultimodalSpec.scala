@@ -68,4 +68,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(got(0L).width === 1L + (d0(0) & 0xff))
     assert(got(0L).height === 1L + (d0(1) & 0xff))
   }
+
+  test("BMP pixel decode: golden vector, stride padding, rejects") {
+    // hand-built 2x2 24-bpp BMP: stride = 8 (2 padding bytes per row);
+    // pixels (r,g,b) = (10,20,30), (40,50,60), (70,80,90), (200,150,100)
+    val pxs = Array((10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 150, 100))
+    val blob = Multimodal.bmpFull(2, 2, pxs(_))
+    assert(blob.length === 54 + 8 * 2)
+    val s = Multimodal.decodeBmpPixels(5L, blob).get
+    assert(s.n_px === 4L)
+    assert(s.mean_r === (10 + 40 + 70 + 200) / 4.0)
+    assert(s.mean_g === (20 + 50 + 80 + 150) / 4.0)
+    assert(s.mean_b === (30 + 60 + 90 + 100) / 4.0)
+    // integer Rec.601 luma: 18, 48, 78, 159 -> bins 0, 1, 2, 4
+    assert(Seq(s.l0, s.l1, s.l2, s.l3, s.l4, s.l5, s.l6, s.l7)
+      === Seq(1L, 1L, 1L, 0L, 1L, 0L, 0L, 0L))
+    // truncated pixel array / non-24bpp / compressed are rejected
+    assert(Multimodal.decodeBmpPixels(1L, blob.dropRight(1)).isEmpty)
+    val md5Tail = Array.fill[Byte](16)(0)
+    assert(Multimodal.decodeBmpPixels(1L,
+      Multimodal.bmpBytes(2, 2, md5Tail)).isEmpty)
+  }
+
+  test("bmpTable → extractBmpFeatures matches the pixel formula") {
+    val docs = Seq((3L, "x"), (11L, "y")).toDF("doc_id", "text")
+    val got = Multimodal.extractBmpFeatures(
+        Multimodal.bmpTable(docs).as[BlobRow])
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(3L, 11L)) {
+      val (w, h) = ((1 + id % 7).toInt, (1 + id % 5).toInt)
+      val n = w * h
+      val rs = (0 until n).map(i => (id * 7 + i * 13) % 256)
+      assert(got(id).getLong(1) === n.toLong)
+      assert(got(id).getDouble(2) ===
+        math.rint(rs.sum.toDouble / n * 1e6) / 1e6)
+    }
+  }
 }

@@ -143,4 +143,26 @@ class PointerStoreSpec extends AnyFunSuite with SparkSpec {
     assert(!conditionalCreateUnsupported("hdfs", hasCapability = false))
     assert(!conditionalCreateUnsupported("gs", hasCapability = false))
   }
+
+  test("probe verdict: indeterminate probes defer to the operator") {
+    import graft.sources.kv.CasPointerStore.probeDecision
+    // clean probe answers: capability rules, flag ignored
+    assert(probeDecision("s3a", Some(false), flagEnabled = true,
+      operatorTrust = false))
+    assert(!probeDecision("s3a", Some(true), flagEnabled = false,
+      operatorTrust = false))
+    // probe THREW (None): nothing learned — the conf flag is the
+    // operator's word and must not fail every publish spuriously
+    assert(!probeDecision("s3a", None, flagEnabled = true,
+      operatorTrust = false))
+    assert(probeDecision("s3a", None, flagEnabled = false,
+      operatorTrust = false))
+    // explicit operator trust overrides even a clean negative probe
+    // (builds that implement conditional create without advertising it)
+    assert(!probeDecision("s3a", Some(false), flagEnabled = false,
+      operatorTrust = true))
+    // non-s3 never rejected
+    assert(!probeDecision("gs", None, flagEnabled = false,
+      operatorTrust = false))
+  }
 }

@@ -51,12 +51,13 @@ class StreamStatsSpec extends AnyFunSuite with SparkSpec {
     graft.sources.kv.GraftFs.delete(stage, recursive = true)
     val bounds = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
     val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
-    cuts.sliding(2).foreach {
-      case Array(lo, hi) =>
-        ev.filter($"ts" > lo && $"ts" <= hi)
-          .coalesce(1).write.mode("append").parquet(stage)
-      case _ => ()
-    }
+    // pin pickup order explicitly (mtime ties would reorder batches)
+    graft.streaming.Staging.ordered(stage)(
+      cuts.sliding(2).collect {
+        case Array(lo, hi) => () =>
+          ev.filter($"ts" > lo && $"ts" <= hi)
+            .coalesce(1).write.mode("append").parquet(stage)
+      }.toSeq: _*)
     val got = StreamStats.alerts(spark, stage, ev.schema,
       targetPath("streamalerts_spec_out"))
 

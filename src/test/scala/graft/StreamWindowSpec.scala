@@ -26,12 +26,14 @@ class StreamWindowSpec extends AnyFunSuite with SparkSpec {
     // to max-1h after the first batch
     val bounds = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
     val cuts = Long.MinValue +: bounds.map(_.toLong) :+ Long.MaxValue
-    cuts.sliding(2).foreach {
-      case Array(lo, hi) =>
-        ev.filter($"ts" > lo && $"ts" <= hi)
-          .coalesce(1).write.mode("append").parquet(stage)
-      case _ => ()
-    }
+    // explicit mtimes: quartile pickup order must not hinge on
+    // write-clock ties (graft.streaming.Staging)
+    graft.streaming.Staging.ordered(stage)(
+      cuts.sliding(2).collect {
+        case Array(lo, hi) => () =>
+          ev.filter($"ts" > lo && $"ts" <= hi)
+            .coalesce(1).write.mode("append").parquet(stage)
+      }.toSeq: _*)
     val src = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .withColumn("tsc", expr("CAST(ts DIV 1000000000 AS TIMESTAMP)"))
@@ -78,9 +80,13 @@ class StreamWindowSpec extends AnyFunSuite with SparkSpec {
       rows.toDF("user_id", "sec")
         .select($"user_id", ($"sec" * 1000000000L).as("ts"))
         .coalesce(1).write.mode("append").parquet(stage)
-    file(Seq((7L, t0), (7L, t0 + 600)))
-    file(Seq((7L, t0 + 1200)))
-    file(Seq((-1L, t0 + 500000)))
+    // explicit mtimes: the far-future flush sentinel must be the LAST
+    // file the source picks up — an mtime tie could process it first
+    // and drop the real events as late (graft.streaming.Staging)
+    graft.streaming.Staging.ordered(stage)(
+      () => file(Seq((7L, t0), (7L, t0 + 600))),
+      () => file(Seq((7L, t0 + 1200))),
+      () => file(Seq((-1L, t0 + 500000))))
     val src = spark.readStream
       .schema(spark.read.parquet(stage).schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
