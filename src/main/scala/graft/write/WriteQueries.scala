@@ -714,6 +714,45 @@ object WriteQueries {
         .orderBy($"user_id", $"start_s")
     }),
 
+    // ST12 (extra): the CDC feed as a STANDING STREAM — m14/m16's
+    // change history consumed through the graft-cdc readStream source
+    // (sources/kv/KVCdc.scala): offset = version-log cutoff, stepTs=1
+    // rate-limits each trigger to one mutation round, so the same
+    // three-round script arrives as three micro-batches of net-change
+    // rows (bucket-local dual-cutoff replay inside the scan — no
+    // shuffle, no state store). The idempotent sink records each
+    // batch; round = batchId + 1 by the rate limit's construction.
+    // This is m16's catch-up loop turned into a standing incremental-
+    // MV feed: a consumer folds each batch into derived state at
+    // O(churn), forever.
+    "st12_cdc_stream" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("st12"), wipe = true)
+      val o = Tables.orders(s, d)
+      putOrdersBase(t, o)
+      t.compact()
+      mutateOrders(t, o)
+      val out = RepoPaths.target("graft_stream/st12_out")
+      KVTable.deleteRecursively(out)
+      val src = s.readStream.format("graft-cdc")
+        .option("path", base("st12"))
+        .option("startTs", "1").option("stepTs", "1")
+        .load()
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.parquet(out)(batch, batchId)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select((col(graft.streaming.IdempotentSink.COL) + 1)
+            .cast("long").as("round"),
+          $"key", $"change_type",
+          $"old_value".cast("long").as("old_value"),
+          $"new_value".cast("long").as("new_value"))
+        .orderBy($"round", $"key")
+    }),
+
     // §2.10: windowed aggregation with watermark (beyond the reference's
     // surface, built-in Structured Streaming). APPEND mode: a window
     // emits exactly once, when the watermark passes its end — so state
@@ -1035,6 +1074,24 @@ object WriteQueries {
         |       CAST(42 AS BIGINT)
         |FROM base WHERE key % 3 = 0
         |ORDER BY key""".stripMargin,
+    "st12_cdc_stream" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS round, key, 'update' AS change_type,
+        |       cents AS old_value, cents + 100 AS new_value
+        |FROM base WHERE key % 7 = 0
+        |UNION ALL
+        |SELECT 2, key, 'delete',
+        |       CASE WHEN key % 7 = 0 THEN cents + 100 ELSE cents END,
+        |       CAST(NULL AS BIGINT)
+        |FROM base WHERE key % 5 = 0
+        |UNION ALL
+        |SELECT 3, key + 2000000, 'insert', CAST(NULL AS BIGINT),
+        |       CAST(42 AS BIGINT)
+        |FROM base WHERE key % 3 = 0
+        |ORDER BY round, key""".stripMargin,
     "m3_increment" ->
       """SELECT user_id AS key,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS counter

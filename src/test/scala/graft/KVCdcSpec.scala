@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.kv.{KVCdcMicroBatchStream, KVCdcOffset, KVCdcPartition}
+import graft.streaming.IdempotentSink
+import graft.write.KVTable
+
+/** The graft-cdc streaming source: rate-limited cutoff offsets,
+  * restart continuation from the checkpoint, and deterministic replay
+  * of a committed window — the contracts a standing incremental-MV
+  * consumer stands on. */
+class KVCdcSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def seed(path: String): KVTable = {
+    val t = KVTable(spark, path, wipe = true)
+    val c = Tables.customer(spark, sf)
+    t.put(c.select($"c_custkey".as("key"), lit("F").as("family"),
+      lit("bal").as("qualifier"),
+      round($"c_acctbal" * 100).cast("long").cast("string").as("value"),
+      lit(1L).as("ts")))
+    t.compact()
+    t
+  }
+
+  private def mutate(t: KVTable): Unit = {
+    val c = Tables.customer(spark, sf)
+    t.put(c.filter($"c_custkey" % 4 === 0)
+      .select($"c_custkey".as("key"), lit("F").as("family"),
+        lit("bal").as("qualifier"), lit("777").as("value"), lit(2L).as("ts")))
+    t.delete(c.filter($"c_custkey" % 6 === 0)
+      .select($"c_custkey".as("key"), lit(null).cast("string").as("family"),
+        lit(null).cast("string").as("qualifier")), ts = 3L)
+  }
+
+  test("stream continues from the checkpoint across restarts; >=3 batches") {
+    val path = targetPath("graft_kv_test/cdc_stream")
+    val out = targetPath("graft_kv_test/cdc_stream_out")
+    val ckpt = targetPath("graft_kv_test/cdc_stream_ckpt")
+    Seq(out, ckpt).foreach(p =>
+      graft.sources.kv.GraftFs.delete(p, recursive = true))
+    val t = seed(path)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", path).option("startTs", "0").option("stepTs", "1")
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          IdempotentSink.parquet(out)(b, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // catches up to cutoff 1: one batch of pure inserts
+    val afterFirst = spark.read.parquet(out)
+    assert(afterFirst.select(col(IdempotentSink.COL)).distinct().count() === 1)
+    assert(afterFirst.filter($"change_type" =!= "insert").count() === 0)
+    mutate(t)
+    run() // resumes at cutoff 1, drains rounds 2 and 3 (stepTs=1)
+    val all = spark.read.parquet(out)
+    assert(all.select(col(IdempotentSink.COL)).distinct().count() === 3,
+      "expected 3 rate-limited micro-batches across the two runs")
+    // the accumulated feed equals the one-pass batch CDC walk, no dups
+    val got = IdempotentSink.read(spark, out)
+      .select($"key", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    val want = t.changeLog(Seq(0L, 1L, 2L, 3L))
+      .select($"key", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    assert(got === want)
+  }
+
+  test("a committed window replays deterministically from the source") {
+    val path = targetPath("graft_kv_test/cdc_replay")
+    val t = seed(path)
+    mutate(t)
+    val stream = new KVCdcMicroBatchStream(path, startTs = 0L,
+      stepTs = Long.MaxValue)
+    def readWindow(from: Long, to: Long): Seq[(Long, String, String, String)] = {
+      val parts = stream.planInputPartitions(KVCdcOffset(from), KVCdcOffset(to))
+      val factory = stream.createReaderFactory()
+      parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val rows = Iterator.continually(r)
+          .takeWhile(_.next())
+          .map { rr =>
+            val row = rr.get()
+            (row.getLong(0),
+              row.getUTF8String(3).toString,
+              if (row.isNullAt(4)) null else row.getUTF8String(4).toString,
+              if (row.isNullAt(5)) null else row.getUTF8String(5).toString)
+          }.toList
+        r.close()
+        rows
+      }.toSeq
+    }
+    val first = readWindow(1L, 2L).sorted
+    val second = readWindow(1L, 2L).sorted
+    assert(first === second, "replayed window diverged")
+    assert(first.nonEmpty && first.forall(_._2 == "update"))
+    val batch = t.changesBetween(1L, 2L)
+      .select($"key", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, String, String)].collect().toSeq.sorted
+    assert(first === batch, "stream window != batch changesBetween")
+    // rate limiting: stepTs bounds each trigger's cutoff advance
+    val limited = new KVCdcMicroBatchStream(path, 0L, stepTs = 1L)
+    val o1 = limited.latestOffset(KVCdcOffset(0L),
+      limited.getDefaultReadLimit)
+    assert(o1 === KVCdcOffset(1L))
+    val o2 = limited.latestOffset(o1, limited.getDefaultReadLimit)
+    assert(o2 === KVCdcOffset(2L))
+    val o3 = limited.latestOffset(KVCdcOffset(2L), limited.getDefaultReadLimit)
+    assert(o3 === KVCdcOffset(3L), s"high-water cutoff: $o3")
+    assert(limited.latestOffset(o3, limited.getDefaultReadLimit)
+      === KVCdcOffset(3L), "offset must not advance past available data")
+  }
+}
