@@ -88,7 +88,13 @@ class KVBatchTable(path: String, tsMax: Option[Long] = None)
     * row-level ops by default ([[KVRowLevelOperation]]); the session
     * picks the group-based copy-on-write strategy with
     * `SET spark.graft.kv.rowlevel=cow` ([[KVCowOperation]]) — the
-    * write-optimized vs read-optimized pair, per operation. */
+    * write-optimized vs read-optimized pair, per operation. `auto`
+    * defers to the engine's measured selection
+    * ([[graft.write.KVTable.withAutoRowLevel]] sets the concrete
+    * strategy for the command's scope from the source's touched-bucket
+    * fraction); a bare SQL command under `auto` — no source in reach
+    * here, RowLevelOperationInfo carries none — takes the
+    * write-optimized delta default. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -96,10 +102,11 @@ class KVBatchTable(path: String, tsMax: Option[Long] = None)
     val mode = org.apache.spark.sql.SparkSession.active.conf
       .get("spark.graft.kv.rowlevel", "delta")
     mode match {
-      case "cow"   => new KVCowBuilder(path, info)
-      case "delta" => new KVRowLevelBuilder(path, info)
+      case "cow"            => new KVCowBuilder(path, info)
+      case "delta" | "auto" => new KVRowLevelBuilder(path, info)
       case other => throw new IllegalArgumentException(
-        s"spark.graft.kv.rowlevel must be 'delta' or 'cow', got '$other'")
+        s"spark.graft.kv.rowlevel must be 'delta', 'cow' or 'auto', " +
+          s"got '$other'")
     }
   }
 

@@ -429,6 +429,49 @@ class KVTable(val spark: SparkSession, val path: String) {
     }
   }
 
+  /** Engine-side MoR-vs-CoW strategy selection for a row-level SQL
+    * command (`spark.graft.kv.rowlevel=auto`) — the write-side answer
+    * to the reference's acknowledged join-strategy-selection TODO
+    * (README.md:14,232): measure, then pick, instead of asking the
+    * user to know.
+    *
+    * The decision statistic is the TOUCHED-BUCKET FRACTION of the
+    * command's source: one tiny aggregate (`distinct pmod(murmur3(key),
+    * n)` — at most n values, broadcast-collected) over the source keys,
+    * nothing read from the table. With the group-filtered CoW commit
+    * the cost model is clean: a copy-on-write rewrite pays exactly the
+    * touched buckets' bytes once and reads are maximally compact after,
+    * while a delta append pays O(changed rows) now and resolve
+    * amplification on every later read. Few buckets touched → delta
+    * (MoR); at or above `spark.graft.kv.rowlevel.auto.cowThreshold`
+    * (default 0.5) of the buckets → CoW. The decision lives HERE and
+    * not in the connector because Spark's RowLevelOperationInfo carries
+    * no source statistics — the operation builder is constructed
+    * before the source plan is bound, so the engine's merge entry
+    * point, which holds the source, is the one place that can measure
+    * it (Delta Lake sizes its own commands the same way). Raw SQL under
+    * `auto` without this wrapper falls back to delta, the
+    * write-optimized default.
+    *
+    * Sets the session strategy for the scope of `body`, restores
+    * `auto` after; the decision is also returned for inspection. */
+  def withAutoRowLevel[T](source: DataFrame, keyCol: String = "key")(
+      body: => T): (T, String) = {
+    val mode = spark.conf.get("spark.graft.kv.rowlevel", "delta")
+    if (mode != "auto") (body, mode)
+    else {
+      val n = currentGen.map(_._2).getOrElse(8)
+      val touched = source
+        .select(pmod(hash(col(keyCol)), lit(n)).as("b")).distinct().count()
+      val threshold = spark.conf
+        .get("spark.graft.kv.rowlevel.auto.cowThreshold", "0.5").toDouble
+      val decided = if (touched >= threshold * n) "cow" else "delta"
+      spark.conf.set("spark.graft.kv.rowlevel", decided)
+      try (body, decided)
+      finally spark.conf.set("spark.graft.kv.rowlevel", "auto")
+    }
+  }
+
   /** Async bulk-load completion (reference `completeAsync`,
     * HBaseTable.scala:316-344): compaction on a background thread so the
     * writer can continue appending to the log while the heavy rewrite

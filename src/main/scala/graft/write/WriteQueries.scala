@@ -309,6 +309,54 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M17 (extra): rowlevel=auto — the engine MEASURES each command's
+    // touched-bucket fraction and picks the strategy itself
+    // (KVTable.withAutoRowLevel): the near-full first MERGE lands as a
+    // copy-on-write generation flip, the surgical second as a delta
+    // append — the MoR/CoW pair selected per command, the write-side
+    // answer to the reference's join-strategy-selection TODO
+    // (README.md:14,232). Final state oracle-checked; KVSourceSpec
+    // pins that each command took the intended physical path.
+    "m17_merge_auto" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m17"), wipe = true)
+      t.put(customerCents(s, d, ts = 1L))
+      t.compact()
+      val ident = graft.sources.kv.KVSource.sqlName(s, base("m17"))
+      val cust = Tables.customer(s, d)
+      val prev = s.conf.getOption("spark.graft.kv.rowlevel")
+      s.conf.set("spark.graft.kv.rowlevel", "auto")
+      try {
+        val big = cust.select($"c_custkey".as("key"),
+          (round($"c_acctbal" * 100).cast("long") + 50L).cast("string")
+            .as("value"))
+        big.createOrReplaceTempView("m17_big")
+        t.withAutoRowLevel(big) {
+          s.sql(
+            s"""MERGE INTO $ident t USING m17_big u
+               |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+               |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 2""".stripMargin)
+        }
+        val small = cust.filter($"c_custkey" % 97 === 0)
+          .select($"c_custkey".as("key"),
+            (round($"c_acctbal" * 100).cast("long") + 57L).cast("string")
+              .as("value"))
+        small.createOrReplaceTempView("m17_small")
+        t.withAutoRowLevel(small) {
+          s.sql(
+            s"""MERGE INTO $ident t USING m17_small u
+               |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+               |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 3""".stripMargin)
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.graft.kv.rowlevel", v)
+        case None => s.conf.unset("spark.graft.kv.rowlevel")
+      }
+      t.resolved()
+        .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
     // M16 (extra): incremental materialized-view maintenance over the
     // CDC feed — the reason changesBetween exists. A derived per-group
     // SUM is seeded from the base state, then three mutation rounds
@@ -1045,6 +1093,12 @@ object WriteQueries {
         |  FROM customer WHERE (c_custkey + 1000000) % 5 = 1)
         |SELECT key, cents FROM base WHERE key % 10 <> 3
         |ORDER BY key""".stripMargin,
+    "m17_merge_auto" ->
+      """SELECT c_custkey AS key,
+        |       CAST(round(c_acctbal*100)
+        |         + CASE WHEN c_custkey % 97 = 0 THEN 57 ELSE 50 END
+        |         AS BIGINT) AS cents
+        |FROM customer ORDER BY key""".stripMargin,
     "m16_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,

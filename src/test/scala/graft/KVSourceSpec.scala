@@ -468,6 +468,64 @@ class KVSourceSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rowlevel=auto: small MERGE plans delta, near-full MERGE plans CoW") {
+    import graft.sources.kv.{GraftFs, KVPointer}
+    val path = targetPath("graft_kv_test/dsv2_auto")
+    val t = KVTable(spark, path, wipe = true)
+    val cust = Tables.customer(spark, sf)
+    t.put(cust.select($"c_custkey".as("key"), lit("F").as("family"),
+      lit("bal").as("qualifier"),
+      round($"c_acctbal" * 100).cast("long").cast("string").as("value"),
+      lit(1L).as("ts")))
+    t.compact()
+    val ident = graft.sources.kv.KVSource.sqlName(spark, path)
+    val prev = spark.conf.getOption("spark.graft.kv.rowlevel")
+    spark.conf.set("spark.graft.kv.rowlevel", "auto")
+    try {
+      // SMALL command: one key = 1/8 buckets touched → MoR (delta
+      // append: generation unchanged, a new log file carries the delta)
+      val k = cust.select(min($"c_custkey")).as[Long].head()
+      val genBefore = KVPointer.read(path).map(_._1).get
+      val small = Seq((k, "111")).toDF("key", "value")
+      small.createOrReplaceTempView("kvspec_auto_small")
+      val (_, smallMode) = t.withAutoRowLevel(small) {
+        spark.sql(
+          s"""MERGE INTO $ident t USING kvspec_auto_small u
+             |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+             |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 2""".stripMargin)
+      }
+      assert(smallMode === "delta")
+      assert(KVPointer.read(path).map(_._1).get === genBefore,
+        "small MERGE must not rewrite a generation")
+      assert(GraftFs.dataFiles(s"$path/log").nonEmpty,
+        "small MERGE must land as a delta append")
+      // NEAR-FULL command: every key → all buckets touched → CoW
+      // (fresh generation, consumed log retired)
+      val big = cust.select($"c_custkey".as("key"),
+        lit("999").as("value"))
+      big.createOrReplaceTempView("kvspec_auto_big")
+      val (_, bigMode) = t.withAutoRowLevel(big) {
+        spark.sql(
+          s"""MERGE INTO $ident t USING kvspec_auto_big u
+             |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+             |WHEN MATCHED THEN UPDATE SET value = u.value, ts = 3""".stripMargin)
+      }
+      assert(bigMode === "cow")
+      assert(KVPointer.read(path).map(_._1).get === genBefore + 1,
+        "near-full MERGE must land as a CoW generation flip")
+      assert(GraftFs.dataFiles(s"$path/log").isEmpty,
+        "CoW commit must have retired the consumed log files")
+      // the conf is back to auto, and the state reflects both commands
+      assert(spark.conf.get("spark.graft.kv.rowlevel") === "auto")
+      val vals = t.resolved().select($"value").distinct()
+        .as[String].collect().toSet
+      assert(vals === Set("999"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.kv.rowlevel", v)
+      case None => spark.conf.unset("spark.graft.kv.rowlevel")
+    }
+  }
+
   test("MERGE with NOT MATCHED BY SOURCE syncs the table to the source") {
     // the sync-table pattern: rows absent from the source are deleted,
     // matched rows updated — one MERGE makes the KV state mirror the
