@@ -341,6 +341,31 @@ class KVTable(val spark: SparkSession, val path: String) {
     writeCompacted(KVTable.resolve(cellsFrom(snapshot)), numBuckets, snapshot)
   }
 
+  /** Compaction with a CDC RETENTION HORIZON: versions and tombstones
+    * with `ts > retainSince` survive the rewrite VERBATIM; history at
+    * or below the horizon collapses to the resolved winners as of
+    * `retainSince` (tombstones ≤ the horizon are applied, then
+    * dropped). Live state is untouched — resolving (winners-at-horizon
+    * ∪ retained-recent) equals resolving the full log — but every
+    * as-of read, `changesBetween` window and graft-cdc stream offset
+    * at or above the horizon stays EXACT across the rewrite, where
+    * plain [[compact]] folds them to net effect. This is the knob
+    * that lets a lagging CDC consumer (bounded by its checkpoint lag)
+    * coexist with compaction: pick `retainSince` ≤ the slowest
+    * consumer's committed cutoff, exactly like a changelog/CDF
+    * retention window (or HBase's KEEP_DELETED_CELLS + TTL pair).
+    * Cost: the compacted files carry the horizon's churn extra rows —
+    * O(churn since horizon), the price of the replayability. */
+  def compactRetaining(retainSince: Long, numBuckets: Int = 8): Unit = {
+    val snapshot = listLogFiles()
+    val all = cellsFrom(snapshot)
+    val base = KVTable.resolve(all.filter(col("ts") <= retainSince))
+      .withColumn("tomb", lit(null).cast("string"))
+    val recent = all.filter(col("ts") > retainSince)
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    writeCompactedCells(base.unionByName(recent), numBuckets, snapshot)
+  }
+
   /** Generational rewrite. Each compaction writes a FRESH directory
     * (`compacted/gen-<N+1>`) under a FRESH catalog table
     * (`<stem>_g<N+1>`) and then flips the pointer file:
@@ -357,10 +382,18 @@ class KVTable(val spark: SparkSession, val path: String) {
     *  - concurrent appends survive exactly as before: only the
     *    snapshot's log files are deleted after the swap. */
   private def writeCompacted(state: DataFrame, numBuckets: Int,
-                             snapshotLogFiles: Seq[String]): Unit = {
+                             snapshotLogFiles: Seq[String]): Unit =
+    writeCompactedCells(state.withColumn("tomb", lit(null).cast("string")),
+      numBuckets, snapshotLogFiles)
+
+  /** [[writeCompacted]] for CELL inputs that may legitimately carry
+    * versions and tombstones ([[compactRetaining]]'s retained tail) —
+    * every read path resolves tombstones wherever they live, so a
+    * compacted generation holding them is just more rows. */
+  private def writeCompactedCells(cells: DataFrame, numBuckets: Int,
+                                  snapshotLogFiles: Seq[String]): Unit = {
     val newGen = currentGen.map(_._1 + 1).getOrElse(0)
-    state
-      .withColumn("tomb", lit(null).cast("string"))
+    cells
       .repartition(numBuckets, col("key")) // align tasks with buckets: one file per bucket
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "key")

@@ -116,6 +116,32 @@ object WriteQueries {
         lit(4L).as("ts")))
   }
 
+  /** The st13 fold, shared with KVCdcSpec's double-apply pin: land one
+    * CDC micro-batch's net changes on the derived per-group SUM table,
+    * REPLAY-IDEMPOTENTLY. Under `startTs=1, stepTs=1`, batch `i`
+    * covers the cutoff window `(1+i, 2+i]` — the fold reads the MV as
+    * of the window's LOWER cutoff (that version is immutable history)
+    * and writes only the CHANGED groups' new totals at the UPPER
+    * cutoff's ts, so a replay recomputes from the same base and lands
+    * byte-identical versions that latest-wins absorbs. O(churn)
+    * versions written per trigger; unchanged groups keep their older
+    * version and resolve untouched. */
+  private[graft] def cdcApplyBatch(agg: KVTable)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val prevTs = 1L + batchId
+    val delta = batch
+      .groupBy((col("key") % 100).as("key"))
+      .agg(sum(coalesce(col("new_value").cast("long"), lit(0L))
+        - coalesce(col("old_value").cast("long"), lit(0L))).as("delta"))
+    val cur = agg.resolvedAsOf(prevTs)
+      .select(col("key"), col("value").cast("long").as("cur"))
+    agg.put(delta.join(cur, Seq("key"), "left_outer")
+      .select(col("key"), lit("A").as("family"), lit("sum").as("qualifier"),
+        (coalesce(col("cur"), lit(0L)) + col("delta"))
+          .cast("string").as("value"),
+        lit(prevTs + 1L).as("ts")))
+  }
+
   private def ordersCells(s: SparkSession, d: String) = {
     import s.implicits._
     val o = Tables.orders(s, d)
@@ -354,6 +380,31 @@ object WriteQueries {
       }
       t.resolved()
         .select($"key", $"value".cast("long").as("cents"))
+        .orderBy($"key")
+    }),
+
+    // M18 (extra): compaction with a CDC RETENTION HORIZON
+    // (KVTable.compactRetaining): the same m14 mutation script, then a
+    // rewrite that collapses history at-or-below cutoff 2 to its
+    // resolved winners while keeping every later version and tombstone
+    // VERBATIM — so the post-compaction changesBetween(2, 4) window is
+    // still EXACT (the oracle recomputes it from the script). This is
+    // the knob that lets a lagging CDC consumer coexist with
+    // compaction: retain back to the slowest checkpoint's cutoff, pay
+    // O(churn-since-horizon) extra rows, keep replayability. KVCdcSpec
+    // drives an actual graft-cdc stream ACROSS the rewrite.
+    "m18_compact_retain" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m18"), wipe = true)
+      val o = Tables.orders(s, d)
+      putOrdersBase(t, o)
+      t.compact()
+      mutateOrders(t, o)
+      t.compactRetaining(retainSince = 2L)
+      t.changesBetween(2L, 4L)
+        .select($"key", $"change_type",
+          $"old_value".cast("long").as("old_value"),
+          $"new_value".cast("long").as("new_value"))
         .orderBy($"key")
     }),
 
@@ -801,6 +852,45 @@ object WriteQueries {
         .orderBy($"round", $"key")
     }),
 
+    // ST13 (extra): STANDING incremental-MV maintenance — the m16 +
+    // st12 composition the CDC source exists for: the graft-cdc stream
+    // delivers each mutation round as a micro-batch of net-change rows,
+    // and foreachBatch folds ONLY the diff into a derived per-group SUM
+    // kept in a second KV table. Exactly-once without a transactional
+    // sink: the fold reads the MV AS OF THE PREVIOUS CUTOFF
+    // (resolvedAsOf — the MV is itself versioned, one version per
+    // cutoff) and writes the new totals at the batch's own cutoff ts,
+    // so a replayed batch recomputes from the same base and lands the
+    // same version — latest-wins absorbs it (KVCdcSpec pins the
+    // double-apply). At 100 TB the refresh costs O(churn) per trigger,
+    // forever; the oracle recomputes the aggregate from scratch, so
+    // the gate proves streaming-incremental == batch.
+    "st13_cdc_apply_stream" -> ((s, d) => withStreamPartitions(s) {
+      import s.implicits._
+      val t = KVTable(s, base("st13"), wipe = true)
+      val o = Tables.orders(s, d)
+      putOrdersBase(t, o)
+      t.compact()
+      mutateOrders(t, o)
+      val agg = KVTable(s, base("st13_agg"), wipe = true)
+      agg.put(t.resolvedAsOf(1L)
+        .groupBy(($"key" % 100).as("key"))
+        .agg(sum($"value".cast("long")).as("total"))
+        .select($"key", lit("A").as("family"), lit("sum").as("qualifier"),
+          $"total".cast("string").as("value"), lit(1L).as("ts")))
+      val src = s.readStream.format("graft-cdc")
+        .option("path", base("st13"))
+        .option("startTs", "1").option("stepTs", "1")
+        .load()
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch(cdcApplyBatch(agg) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      agg.resolved()
+        .select($"key".as("grp"), $"value".cast("long").as("total"))
+        .orderBy($"grp")
+    }),
+
     // §2.10: windowed aggregation with watermark (beyond the reference's
     // surface, built-in Structured Streaming). APPEND mode: a window
     // emits exactly once, when the watermark passes its end — so state
@@ -1093,6 +1183,21 @@ object WriteQueries {
         |  FROM customer WHERE (c_custkey + 1000000) % 5 = 1)
         |SELECT key, cents FROM base WHERE key % 10 <> 3
         |ORDER BY key""".stripMargin,
+    "m18_compact_retain" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT key, 'delete' AS change_type,
+        |       CASE WHEN key % 7 = 0 THEN cents + 100 ELSE cents END
+        |         AS old_value,
+        |       CAST(NULL AS BIGINT) AS new_value
+        |FROM base WHERE key % 5 = 0
+        |UNION ALL
+        |SELECT key + 2000000, 'insert', CAST(NULL AS BIGINT),
+        |       CAST(42 AS BIGINT)
+        |FROM base WHERE key % 3 = 0
+        |ORDER BY key""".stripMargin,
     "m17_merge_auto" ->
       """SELECT c_custkey AS key,
         |       CAST(round(c_acctbal*100)
@@ -1128,6 +1233,19 @@ object WriteQueries {
         |       CAST(42 AS BIGINT)
         |FROM base WHERE key % 3 = 0
         |ORDER BY key""".stripMargin,
+    "st13_cdc_apply_stream" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS key,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT key,
+        |         cents + CASE WHEN key % 7 = 0 THEN 100 ELSE 0 END AS cents
+        |  FROM base WHERE key % 5 <> 0
+        |  UNION ALL
+        |  SELECT key + 2000000, 42 FROM base WHERE key % 3 = 0)
+        |SELECT key % 100 AS grp, CAST(sum(cents) AS BIGINT) AS total
+        |FROM final GROUP BY 1 ORDER BY grp""".stripMargin,
     "st12_cdc_stream" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,

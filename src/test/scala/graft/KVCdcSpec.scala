@@ -77,6 +77,104 @@ class KVCdcSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("st13 fold: re-applying a batch leaves the MV unchanged") {
+    // the incremental-MV fold's exactly-once story is versioned as-of
+    // reads, not a transactional sink — a replayed batch must recompute
+    // from the same immutable base version and land byte-identical
+    // cells that latest-wins absorbs
+    val path = targetPath("graft_kv_test/cdc_apply")
+    val t = seed(path)
+    mutate(t)
+    val agg = KVTable(spark, targetPath("graft_kv_test/cdc_apply_mv"),
+      wipe = true)
+    agg.put(t.resolvedAsOf(1L)
+      .groupBy(($"key" % 100).as("key"))
+      .agg(sum($"value".cast("long")).as("total"))
+      .select($"key", lit("A").as("family"), lit("sum").as("qualifier"),
+        $"total".cast("string").as("value"), lit(1L).as("ts")))
+    def fold(batchId: Long, from: Long, to: Long): Unit =
+      graft.write.WriteQueries.cdcApplyBatch(agg)(
+        t.changesBetween(from, to), batchId)
+    fold(0L, 1L, 2L)
+    fold(1L, 2L, 3L)
+    val once = agg.resolved().select($"key", $"value")
+      .as[(Long, String)].collect().toSeq.sorted
+    // replay BOTH batches out of order — each re-lands its own version
+    fold(1L, 2L, 3L)
+    fold(0L, 1L, 2L)
+    val twice = agg.resolved().select($"key", $"value")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(twice === once, "replayed fold changed the MV")
+    // and the MV equals the from-scratch recompute of the final state
+    // (a group whose every member was deleted stays in the MV at total
+    // 0 — the recompute simply has no rows for it)
+    val want = t.resolved()
+      .groupBy(($"key" % 100).as("key"))
+      .agg(sum($"value".cast("long")).cast("string").as("value"))
+      .as[(Long, String)].collect().toMap
+    once.foreach { case (g, v) =>
+      assert(v === want.getOrElse(g, "0"),
+        s"group $g: incremental $v != recompute ${want.get(g)}")
+    }
+    assert(want.keySet.subsetOf(once.map(_._1).toSet),
+      "recompute has groups the MV never saw")
+  }
+
+  test("stream survives a retention-aware compaction mid-flight") {
+    // the real operational sequence: a consumer checkpoints at cutoff
+    // 2, a compactRetaining(2) rewrite lands, the consumer resumes —
+    // its remaining windows must be byte-identical to the uncompacted
+    // history's
+    val path = targetPath("graft_kv_test/cdc_compact")
+    val out = targetPath("graft_kv_test/cdc_compact_out")
+    val ckpt = targetPath("graft_kv_test/cdc_compact_ckpt")
+    Seq(out, ckpt).foreach(p =>
+      graft.sources.kv.GraftFs.delete(p, recursive = true))
+    val t = seed(path)
+    val c = Tables.customer(spark, sf)
+    def drain(): Unit = {
+      // AvailableNow drains to the high-water cutoff at start time
+      val q = spark.readStream.format("graft-cdc")
+        .option("path", path).option("startTs", "1")
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          IdempotentSink.parquet(out)(b, id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // round 1 lands (ts=2) and the consumer drains (1,2]
+    t.put(c.filter($"c_custkey" % 4 === 0)
+      .select($"c_custkey".as("key"), lit("F").as("family"),
+        lit("bal").as("qualifier"), lit("777").as("value"), lit(2L).as("ts")))
+    drain()
+    // round 2 lands (tombstones at ts=3); reference feed computed on
+    // the UNCOMPACTED history
+    t.delete(c.filter($"c_custkey" % 6 === 0)
+      .select($"c_custkey".as("key"), lit(null).cast("string").as("family"),
+        lit(null).cast("string").as("qualifier")), ts = 3L)
+    val want = t.changeLog(Seq(1L, 2L, 3L))
+      .select($"key", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    // a retention-aware compaction lands (horizon = the consumer's
+    // committed cutoff)...
+    t.compactRetaining(retainSince = 2L)
+    assert(graft.sources.kv.GraftFs.dataFiles(s"$path/log").isEmpty,
+      "compaction should have retired the log")
+    // ...and the consumer resumes over the rewritten files
+    drain()
+    val got = IdempotentSink.read(spark, out)
+      .select($"key", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    assert(got === want,
+      "feed across the compaction diverged from the uncompacted history")
+  }
+
   test("a committed window replays deterministically from the source") {
     val path = targetPath("graft_kv_test/cdc_replay")
     val t = seed(path)
