@@ -462,6 +462,48 @@ class KVTable(val spark: SparkSession, val path: String) {
     }
   }
 
+  // --- CDC consumer registry (the operational half of the retention
+  // horizon: compaction picks its horizon from the slowest registered
+  // consumer instead of a human guessing one) ------------------------
+
+  private def consumersDir = s"$path/_cdc_consumers"
+
+  /** Record `name`'s committed CDC cutoff — one tiny file per
+    * consumer, atomically replaced. A graft-cdc consumer calls this
+    * from its fold (after the batch lands; the streaming checkpoint
+    * remains the source of truth for the consumer itself — this
+    * registry only protects it from compaction). */
+  def commitCdcCutoff(name: String, cutoff: Long): Unit =
+    graft.sources.kv.GraftFs.atomicReplace(
+      s"$consumersDir/$name.txt", cutoff.toString)
+
+  /** Registered consumers' committed cutoffs. */
+  def cdcCutoffs: Map[String, Long] =
+    graft.sources.kv.GraftFs.list(consumersDir)
+      .filter(e => !e.isDir && e.name.endsWith(".txt"))
+      .flatMap { e =>
+        graft.sources.kv.GraftFs.readString(e.path)
+          .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+          .map(e.name.stripSuffix(".txt") -> _)
+      }.toMap
+
+  /** Deregister a retired consumer so it stops pinning history. */
+  def releaseCdcConsumer(name: String): Unit = {
+    graft.sources.kv.GraftFs.delete(s"$consumersDir/$name.txt",
+      recursive = false); ()
+  }
+
+  /** Compaction that can run on a cron WITHOUT coordinating with CDC
+    * consumers: the retention horizon is the slowest registered
+    * consumer's committed cutoff ([[compactRetaining]]), so every
+    * registered stream keeps an exact feed across the rewrite; with no
+    * registered consumers it is a plain [[compact]]. */
+  def compactSafely(numBuckets: Int = 8): Unit =
+    cdcCutoffs.values.minOption match {
+      case Some(h) => compactRetaining(h, numBuckets)
+      case None => compact(numBuckets)
+    }
+
   /** Engine-side MoR-vs-CoW strategy selection for a row-level SQL
     * command (`spark.graft.kv.rowlevel=auto`) — the write-side answer
     * to the reference's acknowledged join-strategy-selection TODO
@@ -499,9 +541,21 @@ class KVTable(val spark: SparkSession, val path: String) {
       val threshold = spark.conf
         .get("spark.graft.kv.rowlevel.auto.cowThreshold", "0.5").toDouble
       val decided = if (touched >= threshold * n) "cow" else "delta"
+      // when the measurement already proves the rewrite near-TOTAL,
+      // Spark's runtime group-filter subquery (a bucket-granularity
+      // source⋈target join) can prune nothing — skip it for this
+      // command's scope instead of paying a second join's worth of work
+      val groupFilterConf =
+        "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+      val skipGroupFilter = decided == "cow" && touched >= n * 95L / 100L
+      val prevGf = spark.conf.get(groupFilterConf, "true")
       spark.conf.set("spark.graft.kv.rowlevel", decided)
+      if (skipGroupFilter) spark.conf.set(groupFilterConf, "false")
       try (body, decided)
-      finally spark.conf.set("spark.graft.kv.rowlevel", "auto")
+      finally {
+        spark.conf.set("spark.graft.kv.rowlevel", "auto")
+        spark.conf.set(groupFilterConf, prevGf)
+      }
     }
   }
 

@@ -883,7 +883,12 @@ object WriteQueries {
         .option("startTs", "1").option("stepTs", "1")
         .load()
       val q = src.writeStream.outputMode("append")
-        .foreachBatch(cdcApplyBatch(agg) _)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          cdcApplyBatch(agg)(batch, batchId)
+          // register the committed cutoff so the base table's
+          // compactions pick a safe retention horizon (compactSafely)
+          t.commitCdcCutoff("st13_mv", 2L + batchId)
+        }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       agg.resolved()

@@ -175,6 +175,42 @@ class KVCdcSpec extends AnyFunSuite with SparkSpec {
       "feed across the compaction diverged from the uncompacted history")
   }
 
+  test("compactSafely picks its horizon from the slowest consumer") {
+    val path = targetPath("graft_kv_test/cdc_registry")
+    val t = seed(path)
+    mutate(t) // versions at ts 2, tombstones at ts 3
+    t.commitCdcCutoff("slow", 2L)
+    t.commitCdcCutoff("fast", 3L)
+    assert(t.cdcCutoffs === Map("slow" -> 2L, "fast" -> 3L))
+    val want = t.changesBetween(2L, 3L)
+      .select($"key", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    // horizon = min = 2: the slow consumer's remaining window stays
+    // exact across the rewrite
+    t.compactSafely()
+    val got = t.changesBetween(2L, 3L)
+      .select($"key", $"change_type", $"old_value", $"new_value")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    assert(got === want, "slow consumer's window broke across compaction")
+    // retire the slow consumer: the next safe compaction may fold its
+    // history (horizon 3 keeps only post-3 exactness), live state fixed
+    t.releaseCdcConsumer("slow")
+    assert(t.cdcCutoffs === Map("fast" -> 3L))
+    val live = t.resolved().select($"key", $"value")
+      .as[(Long, String)].collect().toSeq.sorted
+    t.compactSafely()
+    assert(t.resolved().select($"key", $"value")
+      .as[(Long, String)].collect().toSeq.sorted === live)
+    // superseded pre-horizon versions are gone: raw cells now hold at
+    // most live + post-horizon rows (no ts<=2 duplicates of updated keys)
+    val rawPerCell = t.cells.groupBy($"key", $"family", $"qualifier")
+      .count().filter($"count" > 1).count()
+    assert(rawPerCell === 0,
+      "horizon-3 safe compaction left pre-horizon duplicate versions")
+  }
+
   test("a committed window replays deterministically from the source") {
     val path = targetPath("graft_kv_test/cdc_replay")
     val t = seed(path)
