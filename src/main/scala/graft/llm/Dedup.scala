@@ -48,6 +48,103 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** Exact duplicated-SPAN detection (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", at k-token-gram
+    * granularity): mark every token position whose k-gram window occurs
+    * ≥2 times in the WHOLE corpus (within- or cross-document — boiler-
+    * plate, licenses, templated headers), and score each document by
+    * the fraction of its tokens covered by some duplicated window.
+    *
+    * Scale shape: positions hash per-row (one transform over the token
+    * array, no shuffle); the ONE full-data shuffle keys k-gram hashes —
+    * uniform by construction — to count corpus occurrences; duplicated
+    * positions join back on the same key (a bloom-filtered semi-join at
+    * 100 TB); per-doc interval-union coverage is a sorted fold over the
+    * doc's OWN duplicated starts (bounded by its token count, the same
+    * bound the text column already carries) — never an explode of
+    * covered positions. Hashes are the engine-portable md5 sharedHash,
+    * so the DuckDB oracle reproduces every count bit-for-bit. */
+  def dupSpans(docs: DataFrame, k: Int = 8,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val grams = gramPositions(docs, k, idCol, textCol)
+    val dupHashes = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2)
+    spanReport(docs, grams.join(dupHashes.select("gh"), Seq("gh")),
+      k, idCol, textCol)
+  }
+
+  /** The persistable standing index behind [[dupSpansIncremental]]:
+    * corpus-wide k-gram occurrence counts keyed by the engine-portable
+    * gram hash. Built ONCE per corpus generation (one uniform-key
+    * shuffle), stored bucketed by `gh`, and incremented by ingest
+    * batches' own gram counts — the corpus text never re-tokenizes. */
+  def gramIndex(docs: DataFrame, k: Int = 8,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    gramPositions(docs, k, idCol, textCol)
+      .groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+
+  /** Incremental duplicated-span scoring — the daily-ingest path of
+    * [[dupSpans]]: a NEW batch is scored against the standing
+    * [[gramIndex]] without re-reading the corpus. A batch position is
+    * duplicated when its gram's corpus count plus the batch's own
+    * count reaches 2, which makes the result IDENTICAL to a full
+    * [[dupSpans]] over corpus∪batch restricted to batch docs (spec-
+    * pinned). Only batch-sized data shuffles; the index join keys the
+    * batch's distinct gram hashes (broadcast-sized against 100 TB). */
+  def dupSpansIncremental(index: DataFrame, batch: DataFrame, k: Int = 8,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val grams = gramPositions(batch, k, idCol, textCol)
+    val totals = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("batch_occ"))
+      .join(index.withColumnRenamed("occ", "corpus_occ"), Seq("gh"), "left")
+      .filter(col("batch_occ") + coalesce(col("corpus_occ"), lit(0L)) >= 2)
+    spanReport(batch, grams.join(totals.select("gh"), Seq("gh")),
+      k, idCol, textCol)
+  }
+
+  /** Per-position k-gram hashes of a document set (no shuffle). */
+  private def gramPositions(docs: DataFrame, k: Int,
+                            idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= k)
+      .withColumn("g", transform(
+        sequence(lit(1), col("n") - (k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          sharedHash(concat_ws(" ",
+            (0 until k).map(o => element_at(col("w"), i + o)): _*))
+            .as("gh"))))
+      .select(col(idCol), explode(col("g")).as("pg"))
+      .select(col(idCol), col("pg.pos"), col("pg.gh"))
+
+  /** Fold duplicated starts into the per-doc coverage report. */
+  private def spanReport(docs: DataFrame, dupPos: DataFrame, k: Int,
+                         idCol: String, textCol: String): DataFrame = {
+    val dupStats = dupPos
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup"),
+        sort_array(collect_list(col("pos"))).as("starts"))
+      .withColumn("state", aggregate(col("starts"),
+        struct(lit(0L).as("cov"), lit(0L).as("end")),
+        (acc, s) => struct(
+          (acc("cov") + when(s > acc("end"), lit(k.toLong))
+            .otherwise(s + lit(k - 1) - acc("end"))).as("cov"),
+          (s + lit(k - 1)).as("end"))))
+      .select(col(idCol), col("n_dup"), col("state.cov").as("covered"))
+    docs.select(col(idCol), words(col(textCol)).as("w"))
+      .withColumn("n", size(col("w"))).filter(col("n") >= k)
+      .select(col(idCol), col("n").cast("long").as("n_tokens"))
+      .join(dupStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(coalesce(col("covered"), lit(0L)) * lit(1.0) / col("n_tokens"),
+          6).as("dup_ratio"))
+  }
+
   /** Benchmark-contamination detection: corpus documents sharing at
     * least `minCommon` distinct word-k-gram shingles with any document
     * of a benchmark set (eval leakage scan). The benchmark side is

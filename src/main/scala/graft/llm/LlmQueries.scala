@@ -517,6 +517,34 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Corpus-level duplicated-SPAN detection (Lee et al. 2021 exact
+    // substring dedup at 8-token-gram granularity): positions whose
+    // 8-gram occurs ≥2 times anywhere in the corpus, per-doc coverage
+    // by interval-union fold. Unlike llm_repetition (within-doc) and
+    // llm_dedup_* (whole-doc), this finds the cross-document
+    // boilerplate spans inside otherwise-unique documents — the case
+    // whole-doc dedup is blind to. One uniform hash shuffle; coverage
+    // is per-row array algebra, never an exploded position set.
+    "llm_dup_spans" -> ((s, d) => {
+      import s.implicits._
+      Dedup.dupSpans(Tables.documents(s, d), k = 8).orderBy($"doc_id")
+    }),
+
+    // Incremental duplicated-span scoring: an ingest batch (doc_id%5=0)
+    // probes the STANDING gram-count index built once from the corpus
+    // (doc_id%5≠0) — the corpus never re-tokenizes, only batch-sized
+    // data moves, and the result is provably identical to a full
+    // dupSpans over corpus∪batch restricted to the batch (DedupSpec).
+    // Completes the incremental-index quartet (exact-hash, minhash
+    // bands, IVF/PQ codes, gram counts).
+    "llm_dup_spans_incr" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val index = Dedup.gramIndex(docs.filter($"doc_id" % 5 =!= 0), k = 8)
+      Dedup.dupSpansIncremental(index, docs.filter($"doc_id" % 5 === 0),
+        k = 8).orderBy($"doc_id")
+    }),
+
     // Perplexity-proxy quality score: per-document mean negative
     // log-likelihood under the corpus's own bigram LM (the CCNet-style
     // LM quality filter — repetitive/templated docs score LOW nll,
@@ -790,6 +818,21 @@ object LlmQueries {
       val blobs = Multimodal.bmpTable(Tables.documents(s, d))
         .as[Multimodal.BlobRow]
       Multimodal.extractBmpFeatures(blobs).orderBy($"doc_id")
+    }),
+
+    // REAL pixel decode of a COMPRESSED format: complete truecolor
+    // PNGs (real CRCs, zlib IDAT, per-row filters cycling through all
+    // five of None/Sub/Up/Average/Paeth) are decoded back to pixels by
+    // walking chunks, inflating, and reversing the filters — the
+    // oracle recomputes the channel stats from the pixel formula, so
+    // any chunk-walk / inflate / unfilter mistake breaks the hash.
+    // MultimodalSpec additionally validates the encoder against the
+    // JDK's own independent ImageIO PNG reader.
+    "llm_png_features" -> ((s, d) => {
+      import s.implicits._
+      val blobs = Multimodal.pngTable(Tables.documents(s, d))
+        .as[Multimodal.BlobRow]
+      Multimodal.extractPngFeatures(blobs).orderBy($"doc_id")
     })
   )
 
@@ -1505,6 +1548,54 @@ object LlmQueries {
         |       round(1.0 - count(DISTINCT s) * 1.0 / count(*), 6)
         |         AS rep_ratio
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |             FROM documents),
+        |tt AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, n, i AS pos,
+        |        ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
+        |          ::BIGINT AS gh
+        |      FROM tt, generate_series(1, 65536) AS gs(i)
+        |      WHERE i <= n - 7),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+        |        FROM (SELECT DISTINCT doc_id, pos + o AS p
+        |              FROM ds, generate_series(0, 7) AS go(o))
+        |        GROUP BY doc_id),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |       FROM ds GROUP BY doc_id)
+        |SELECT tt.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       COALESCE(n_dup, 0) AS n_dup,
+        |       COALESCE(covered, 0) AS covered,
+        |       round(COALESCE(covered, 0) * 1.0 / n, 6) AS dup_ratio
+        |FROM tt LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_dup_spans_incr" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |             FROM documents),
+        |tt AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, n, i AS pos,
+        |        ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
+        |          ::BIGINT AS gh
+        |      FROM tt, generate_series(1, 65536) AS gs(i)
+        |      WHERE i <= n - 7),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)
+        |       WHERE doc_id % 5 = 0),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
+        |        FROM (SELECT DISTINCT doc_id, pos + o AS p
+        |              FROM ds, generate_series(0, 7) AS go(o))
+        |        GROUP BY doc_id),
+        |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |       FROM ds GROUP BY doc_id)
+        |SELECT tt.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |       COALESCE(n_dup, 0) AS n_dup,
+        |       COALESCE(covered, 0) AS covered,
+        |       round(COALESCE(covered, 0) * 1.0 / n, 6) AS dup_ratio
+        |FROM tt LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |WHERE tt.doc_id % 5 = 0
+        |ORDER BY tt.doc_id""".stripMargin,
     "llm_quality_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
         |             FROM documents),
@@ -1725,6 +1816,36 @@ object LlmQueries {
         |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
         |         ELSE 'gif' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_png_features" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 6 AS w, 1 + doc_id % 6 AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id,
+        |              (d.doc_id*5 + t.i*23) % 256 AS r,
+        |              (d.doc_id*13 + t.i*29) % 256 AS g,
+        |              (d.doc_id*7 + t.i*31) % 256 AS b
+        |       FROM d JOIN generate_series(0, 35) AS t(i)
+        |         ON t.i < d.w*d.h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+        |       round(sum(r)*1.0/count(*), 6) AS mean_r,
+        |       round(sum(g)*1.0/count(*), 6) AS mean_g,
+        |       round(sum(b)*1.0/count(*), 6) AS mean_b,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 1
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 2
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 3
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l3,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 4
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l4,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 5
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l5,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 6
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l6,
+        |       CAST(sum(CASE WHEN (299*r+587*g+114*b)//1000//32 = 7
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS l7
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_bmp_features" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
         |           FROM documents),

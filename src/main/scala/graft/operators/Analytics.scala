@@ -865,6 +865,175 @@ object Analytics {
         .orderBy($"event_type")
     }),
 
+    // HyperLogLog approximate distinct (Flajolet et al. 2007), made
+    // ENGINE-PORTABLE and therefore hash-checkable: the 60-bit md5
+    // sharedHash splits into a 6-bit register index (m=64) and a
+    // 54-bit suffix whose leading-zero count (via length(bin(r)) —
+    // identical in Spark and DuckDB) gives rho. The query builds
+    // PARTIAL sketches per (group, shard) first and then merges them
+    // by per-register max — the exact associative merge a 1000-executor
+    // cluster runs (sketch per partition, max-combine at the reducer),
+    // so register state is 64 longs per group regardless of data size;
+    // no distinct, no Expand, duplicates absorbed by max() in the
+    // partial agg. The estimator keeps Z as an EXACT integer numerator
+    // (sum of 2^(55-reg), zero registers contribute 2^55) so the only
+    // floating math is one division + one round — bit-identical across
+    // engines; the small-range branch is linear counting (m*ln(m/V)).
+    "an_hll_distinct" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type", $"user_id")
+      val rho = ev
+        .withColumn("h",
+          graft.llm.TextOps.sharedHash($"user_id".cast("string")))
+        .withColumn("shard", pmod($"user_id", lit(8L)))
+        .withColumn("bucket", expr("h DIV 18014398509481984"))
+        .withColumn("r", pmod($"h", lit(18014398509481984L)))
+        .withColumn("rho",
+          when($"r" > 0, lit(55) - length(bin($"r"))).otherwise(lit(55))
+            .cast("long"))
+      val partial = rho.groupBy($"event_type", $"shard", $"bucket")
+        .agg(max($"rho").as("reg"))
+      val merged = partial.groupBy($"event_type", $"bucket")
+        .agg(max($"reg").as("reg"))
+      val z = merged.groupBy($"event_type").agg(
+        count(lit(1)).as("filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))"))
+          .as("zfill"))
+      val exact = ev.distinct().groupBy($"event_type")
+        .agg(count(lit(1)).as("n_exact"))
+      z.join(exact, "event_type")
+        .withColumn("v_zero", (lit(64L) - $"filled").cast("long"))
+        .withColumn("z_num",
+          ($"zfill" + $"v_zero" * lit(36028797018963968L)).cast("long"))
+        .withColumn("raw",
+          lit(0.709) * 4096 * 36028797018963968.0 / $"z_num")
+        .select($"event_type", $"n_exact", $"v_zero", $"z_num",
+          when($"raw" <= 160.0 && $"v_zero" > 0,
+            round(lit(64.0) * log(lit(64.0) / $"v_zero"), 4))
+            .otherwise(round($"raw", 4)).as("est"))
+        .orderBy($"event_type")
+    }),
+
+    // Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    // the third mergeable sketch next to KMV and HLL, again made
+    // ENGINE-PORTABLE so the gate hash-checks an approximate operator.
+    // d=4 hash rows (seeded md5) × w=512 counters; every event lands
+    // in 4 cells, so the partial aggregation collapses each map task
+    // to ≤2048 rows no matter the input size — THE property that lets
+    // a 1000-executor rollup ship sketches, not rows, and the merge is
+    // plain per-cell SUM (associative, commutative). The candidate set
+    // here is the exact top-20 (so the oracle can reproduce rows
+    // bit-for-bit); production reads candidates from the previous
+    // window's sketch. CM guarantees est ≥ exact always and
+    // est ≤ exact + e/w·N w.h.p. — StatsSketchSpec pins both sides.
+    "an_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.TextOps.sharedHash
+      val W = 512L
+      val D = 4
+      val ev = Tables.events(s, d).select($"user_id")
+      def cell(j: Int, c: org.apache.spark.sql.Column) =
+        pmod(sharedHash(concat(lit(s"cm$j:"), c.cast("string"))), lit(W))
+      val cells = ev
+        .select(posexplode(array((0 until D).map(j => cell(j, $"user_id")): _*))
+          .as(Seq("j", "cell")))
+        .groupBy($"j", $"cell").agg(count(lit(1)).as("cnt"))
+      val top = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"user_id".asc).limit(20)
+      top.select($"user_id", $"n_exact",
+          posexplode(array((0 until D).map(j => cell(j, $"user_id")): _*))
+            .as(Seq("j", "cell")))
+        .join(broadcast(cells), Seq("j", "cell"))
+        .groupBy($"user_id", $"n_exact")
+        .agg(min($"cnt").as("est"))
+        .orderBy($"n_exact".desc, $"user_id".asc)
+    }),
+
+    // One-pass Pearson correlation matrix: all 6 measure pairs of
+    // (quantity, extendedprice, discount, tax) per returnflag group
+    // from a SINGLE aggregation — n + 4 linear sums + 10 product sums
+    // — where the naive form runs corr() 6 times (6 scans, or one scan
+    // with 6 stateful aggs). The sums are EXACT integers (cents;
+    // products in decimal(38) ↔ DuckDB HUGEINT, since Σp² overflows
+    // a BIGINT at sf≥0.1), so both engines see identical values and
+    // the double arithmetic downstream is bit-identical. At 100 TB:
+    // one scan, one partial-agg'd shuffle to 3 group rows, zero joins.
+    "an_corr_matrix" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_returnflag",
+        round($"l_quantity" * 100).cast("long").as("q"),
+        round($"l_extendedprice" * 100).cast("long").as("p"),
+        round($"l_discount" * 100).cast("long").as("dc"),
+        round($"l_tax" * 100).cast("long").as("t"))
+      def big(c: String) = col(c).cast("decimal(38,0)")
+      val ms = Seq("q", "p", "dc", "t")
+      val prodSums = for {
+        (x, i) <- ms.zipWithIndex; (y, j) <- ms.zipWithIndex if i <= j
+      } yield sum(big(x) * big(y)).as(s"s_${x}_$y")
+      val agg = li.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        (ms.map(m => sum(col(m)).as(s"s_$m")) ++ prodSums): _*)
+      def corr(x: String, y: String) = {
+        val n = $"n".cast("double")
+        val sx = col(s"s_$x").cast("double")
+        val sy = col(s"s_$y").cast("double")
+        val sxy = col(s"s_${x}_$y").cast("double")
+        val sxx = col(s"s_${x}_$x").cast("double")
+        val syy = col(s"s_${y}_$y").cast("double")
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      }
+      val pairs = for {
+        (x, i) <- ms.zipWithIndex; (y, j) <- ms.zipWithIndex if i < j
+      } yield (s"${x}_$y", corr(x, y))
+      agg.select($"l_returnflag",
+          explode(map(pairs.flatMap { case (nm, c) =>
+            Seq(lit(nm), c) }: _*)).as(Seq("pair", "corr")))
+        .orderBy($"l_returnflag", $"pair")
+    }),
+
+    // Welch's two-sample t-test (the A/B-testing staple) per
+    // event_type, groups = user_id parity: statistic and
+    // Welch–Satterthwaite df computed entirely from one pass of EXACT
+    // integer power sums (cents — accumulation-order-independent, so
+    // a 1000-executor partial agg equals the oracle bit-for-bit; the
+    // double math happens only once, on the 8 agreed sums). n≤1
+    // groups emit null rather than divide by zero (DuckDB errors, it
+    // doesn't null). One scan, one shuffle to event_type-sized output.
+    "an_ab_ttest" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"event_type",
+        ($"user_id" % 2).as("grp"),
+        round($"value" * 100).cast("long").as("cents"))
+      val g = ev.groupBy($"event_type").agg(
+        count(when($"grp" === 0, 1)).as("n_a"),
+        sum(when($"grp" === 0, $"cents")).as("sa1"),
+        sum(when($"grp" === 0, $"cents" * $"cents")).as("sa2"),
+        count(when($"grp" === 1, 1)).as("n_b"),
+        sum(when($"grp" === 1, $"cents")).as("sb1"),
+        sum(when($"grp" === 1, $"cents" * $"cents")).as("sb2"))
+      def mean(s1: String, n: String) =
+        col(s1).cast("double") / col(n) / 100.0
+      def vr(s1: String, s2: String, n: String) =
+        (col(s2).cast("double") -
+          col(s1).cast("double") * col(s1) / col(n)) / (col(n) - 1)
+      g.withColumn("va", vr("sa1", "sa2", "n_a"))
+        .withColumn("vb", vr("sb1", "sb2", "n_b"))
+        .withColumn("se2", $"va" / $"n_a" + $"vb" / $"n_b")
+        .select($"event_type", $"n_a", $"n_b",
+          round(mean("sa1", "n_a"), 6).as("mean_a"),
+          round(mean("sb1", "n_b"), 6).as("mean_b"),
+          when($"n_a" > 1 && $"n_b" > 1,
+            round((mean("sa1", "n_a") - mean("sb1", "n_b")) * 100.0 /
+              sqrt($"se2"), 6)).as("t_stat"),
+          when($"n_a" > 1 && $"n_b" > 1,
+            round($"se2" * $"se2" /
+              (($"va" / $"n_a") * ($"va" / $"n_a") / ($"n_a" - 1) +
+               ($"vb" / $"n_b") * ($"vb" / $"n_b") / ($"n_b" - 1)), 4))
+            .as("df"))
+        .orderBy($"event_type")
+    }),
+
     // Data-quality report (the Deequ/great-expectations staple): the
     // whole constraint suite — completeness, validity, uniqueness,
     // range — computed in ONE aggregation pass over the table, then
@@ -1469,6 +1638,140 @@ object Analytics {
         |            ELSE round(63 / kth, 4) END AS est
         |FROM est JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "an_hll_distinct" ->
+      """WITH h AS (SELECT event_type, user_id % 8 AS shard,
+        |                  ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+        |                    ::BIGINT AS h
+        |           FROM events),
+        |     b AS (SELECT event_type, shard,
+        |                  h // 18014398509481984 AS bucket,
+        |                  h % 18014398509481984 AS r
+        |           FROM h),
+        |     rh AS (SELECT event_type, shard, bucket,
+        |                   CASE WHEN r > 0 THEN 55 - length(bin(r))
+        |                        ELSE 55 END AS rho
+        |            FROM b),
+        |     part AS (SELECT event_type, shard, bucket,
+        |                     max(rho) AS reg
+        |              FROM rh GROUP BY 1, 2, 3),
+        |     merged AS (SELECT event_type, bucket, max(reg) AS reg
+        |                FROM part GROUP BY 1, 2),
+        |     z AS (SELECT event_type, CAST(count(*) AS BIGINT) AS filled,
+        |                  CAST(sum(1::BIGINT << (55 - reg)) AS BIGINT)
+        |                    AS zfill
+        |           FROM merged GROUP BY 1),
+        |     ex AS (SELECT event_type,
+        |                   CAST(count(DISTINCT user_id) AS BIGINT)
+        |                     AS n_exact
+        |            FROM events GROUP BY 1)
+        |SELECT z.event_type, n_exact,
+        |       CAST(64 - filled AS BIGINT) AS v_zero,
+        |       CAST(zfill + (64 - filled) * 36028797018963968 AS BIGINT)
+        |         AS z_num,
+        |       CASE WHEN 0.709::DOUBLE * 4096 * 36028797018963968::DOUBLE /
+        |                    (zfill + (64 - filled) * 36028797018963968)
+        |                  <= 160.0 AND filled < 64
+        |            THEN round(64.0 * ln(64.0 / (64 - filled)), 4)
+        |            ELSE round(0.709::DOUBLE * 4096 * 36028797018963968::DOUBLE /
+        |                   (zfill + (64 - filled) * 36028797018963968), 4)
+        |       END AS est
+        |FROM z JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "an_heavy_hitters" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |cm AS (SELECT g.j,
+        |         ('0x' || substr(md5('cm' || g.j || ':' || user_id::VARCHAR),
+        |            1, 15))::BIGINT % 512 AS cell
+        |       FROM ev, generate_series(0, 3) AS g(j)),
+        |cells AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM cm GROUP BY 1, 2),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |        FROM ev GROUP BY 1
+        |        ORDER BY n_exact DESC, user_id LIMIT 20),
+        |tc AS (SELECT t.user_id, t.n_exact, g.j,
+        |         ('0x' || substr(md5('cm' || g.j || ':' || t.user_id::VARCHAR),
+        |            1, 15))::BIGINT % 512 AS cell
+        |       FROM top t, generate_series(0, 3) AS g(j))
+        |SELECT user_id, n_exact, min(cnt) AS est
+        |FROM tc JOIN cells USING (j, cell)
+        |GROUP BY 1, 2
+        |ORDER BY n_exact DESC, user_id""".stripMargin,
+    "an_corr_matrix" ->
+      """WITH li AS (SELECT l_returnflag,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS t
+        |       FROM lineitem),
+        |sums AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |           sum(q) AS s_q, sum(p) AS s_p, sum(dc) AS s_dc,
+        |           sum(t) AS s_t,
+        |           sum(q::HUGEINT * q) AS s_q_q,
+        |           sum(q::HUGEINT * p) AS s_q_p,
+        |           sum(q::HUGEINT * dc) AS s_q_dc,
+        |           sum(q::HUGEINT * t) AS s_q_t,
+        |           sum(p::HUGEINT * p) AS s_p_p,
+        |           sum(p::HUGEINT * dc) AS s_p_dc,
+        |           sum(p::HUGEINT * t) AS s_p_t,
+        |           sum(dc::HUGEINT * dc) AS s_dc_dc,
+        |           sum(dc::HUGEINT * t) AS s_dc_t,
+        |           sum(t::HUGEINT * t) AS s_t_t
+        |         FROM li GROUP BY 1),
+        |c AS (SELECT l_returnflag, n::DOUBLE AS nd,
+        |        s_q::DOUBLE AS dq, s_p::DOUBLE AS dp, s_dc::DOUBLE AS ddc,
+        |        s_t::DOUBLE AS dt,
+        |        s_q_q::DOUBLE AS dqq, s_q_p::DOUBLE AS dqp,
+        |        s_q_dc::DOUBLE AS dqdc, s_q_t::DOUBLE AS dqt,
+        |        s_p_p::DOUBLE AS dpp, s_p_dc::DOUBLE AS dpdc,
+        |        s_p_t::DOUBLE AS dpt, s_dc_dc::DOUBLE AS ddcdc,
+        |        s_dc_t::DOUBLE AS ddct, s_t_t::DOUBLE AS dtt
+        |      FROM sums)
+        |SELECT l_returnflag, pr.pair,
+        |       round(CASE pr.pair
+        |         WHEN 'q_p' THEN (nd*dqp - dq*dp) /
+        |           sqrt((nd*dqq - dq*dq) * (nd*dpp - dp*dp))
+        |         WHEN 'q_dc' THEN (nd*dqdc - dq*ddc) /
+        |           sqrt((nd*dqq - dq*dq) * (nd*ddcdc - ddc*ddc))
+        |         WHEN 'q_t' THEN (nd*dqt - dq*dt) /
+        |           sqrt((nd*dqq - dq*dq) * (nd*dtt - dt*dt))
+        |         WHEN 'p_dc' THEN (nd*dpdc - dp*ddc) /
+        |           sqrt((nd*dpp - dp*dp) * (nd*ddcdc - ddc*ddc))
+        |         WHEN 'p_t' THEN (nd*dpt - dp*dt) /
+        |           sqrt((nd*dpp - dp*dp) * (nd*dtt - dt*dt))
+        |         ELSE (nd*ddct - ddc*dt) /
+        |           sqrt((nd*ddcdc - ddc*ddc) * (nd*dtt - dt*dt))
+        |       END, 6) AS corr
+        |FROM c CROSS JOIN (VALUES ('q_p'), ('q_dc'), ('q_t'), ('p_dc'),
+        |  ('p_t'), ('dc_t')) AS pr(pair)
+        |ORDER BY l_returnflag, pair""".stripMargin,
+    "an_ab_ttest" ->
+      """WITH ev AS (SELECT event_type, user_id % 2 AS grp,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |       FROM events),
+        |g AS (SELECT event_type,
+        |        CAST(count(*) FILTER (grp = 0) AS BIGINT) AS n_a,
+        |        sum(cents) FILTER (grp = 0) AS sa1,
+        |        sum(cents * cents) FILTER (grp = 0) AS sa2,
+        |        CAST(count(*) FILTER (grp = 1) AS BIGINT) AS n_b,
+        |        sum(cents) FILTER (grp = 1) AS sb1,
+        |        sum(cents * cents) FILTER (grp = 1) AS sb2
+        |      FROM ev GROUP BY 1),
+        |v AS (SELECT *,
+        |        (sa2::DOUBLE - sa1::DOUBLE * sa1 / n_a) / (n_a - 1) AS va,
+        |        (sb2::DOUBLE - sb1::DOUBLE * sb1 / n_b) / (n_b - 1) AS vb
+        |      FROM g),
+        |se AS (SELECT *, va / n_a + vb / n_b AS se2 FROM v)
+        |SELECT event_type, n_a, n_b,
+        |       round(sa1::DOUBLE / n_a / 100.0, 6) AS mean_a,
+        |       round(sb1::DOUBLE / n_b / 100.0, 6) AS mean_b,
+        |       CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |         round((sa1::DOUBLE / n_a / 100.0 - sb1::DOUBLE / n_b / 100.0)
+        |           * 100.0 / sqrt(se2), 6) END AS t_stat,
+        |       CASE WHEN n_a > 1 AND n_b > 1 THEN
+        |         round(se2 * se2 /
+        |           ((va / n_a) * (va / n_a) / (n_a - 1) +
+        |            (vb / n_b) * (vb / n_b) / (n_b - 1)), 4) END AS df
+        |FROM se ORDER BY event_type""".stripMargin,
     "an_quality_report" ->
       """WITH m AS (
         |  SELECT CAST(count(*) AS BIGINT) AS row_count,

@@ -402,6 +402,45 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.filter($"n" === 1 && $"kept" =!= 1).count() === 0)
   }
 
+  test("dupSpans: interval union, cross-doc boilerplate, within-doc repeats") {
+    // Tokens are single letters; k=4 keeps the arithmetic checkable.
+    // d1/d2 share the 6-token prefix "a b c d e f" → 3 duplicated
+    // 4-gram starts each (1,2,3), interval-union covers tokens 1..6.
+    // d3 is fully unique. d4 repeats its own 4-gram "x y z w" twice
+    // (within-doc duplication counts: duplicated starts {1, 5},
+    // disjoint spans → covered = 8 of 9; the in-between grams
+    // "y z w x" / "z w x y" / "w x y z" each occur once).
+    val docs = Seq(
+      (1L, "a b c d e f p q r"),
+      (2L, "a b c d e f s t u"),
+      (3L, "m n o g h i j k l"),
+      (4L, "x y z w x y z w v")
+    ).toDF("doc_id", "text")
+    val out = llm.Dedup.dupSpans(docs, k = 4).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out === Seq(
+      (1L, 9L, 3L, 6L, 0.666667),
+      (2L, 9L, 3L, 6L, 0.666667),
+      (3L, 9L, 0L, 0L, 0.0),
+      (4L, 9L, 2L, 8L, 0.888889)))
+  }
+
+  test("dupSpansIncremental over the standing gram index equals a full " +
+      "recompute restricted to the batch") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val incr = llm.Dedup.dupSpansIncremental(
+        llm.Dedup.gramIndex(corpus, k = 8), batch, k = 8)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val full = llm.Dedup.dupSpans(docs, k = 8)
+      .filter($"doc_id" % 5 === 0).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(incr.nonEmpty)
+    assert(incr === full)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Tables.embeddings(spark, sf).limit(1)
       .select(Similarity.cosine(

@@ -90,6 +90,60 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       Multimodal.bmpBytes(2, 2, md5Tail)).isEmpty)
   }
 
+  test("PNG encoder is readable by the JDK's independent ImageIO decoder") {
+    // 4x7 exercises every scanline filter (row % 5 → None/Sub/Up/
+    // Average/Paeth and a second None/Sub pass with a prior row).
+    // ImageIO is a from-scratch PNG implementation shipped with the
+    // JDK — agreement here rules out self-consistent filter bugs that
+    // a pngFull→decodePngPixels round-trip alone could hide.
+    val (w, h) = (4, 7)
+    def px(i: Int) = ((i * 37 + 11) % 256, (i * 53 + 5) % 256, (i * 71) % 256)
+    val blob = Multimodal.pngFull(w, h, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img != null, "ImageIO could not parse the generated PNG")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val (er, eg, eb) = px(y * w + x)
+      assert(((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+        === ((er, eg, eb)), s"pixel ($x,$y)")
+    }
+  }
+
+  test("PNG pixel decode: round-trip through all five filters, rejects") {
+    val (w, h) = (5, 11)
+    def px(i: Int) = ((i * 29 + 3) % 256, (i * 41 + 7) % 256, (i * 59 + 13) % 256)
+    val blob = Multimodal.pngFull(w, h, px)
+    val s = Multimodal.decodePngPixels(9L, blob).get
+    val n = w * h
+    val pxs = (0 until n).map(px)
+    assert(s.n_px === n.toLong)
+    assert(s.mean_r === pxs.map(_._1).sum.toDouble / n)
+    assert(s.mean_g === pxs.map(_._2).sum.toDouble / n)
+    assert(s.mean_b === pxs.map(_._3).sum.toDouble / n)
+    val bins = new Array[Long](8)
+    pxs.foreach { case (r, g, b) =>
+      bins((299 * r + 587 * g + 114 * b) / 1000 / 32) += 1 }
+    assert(Seq(s.l0, s.l1, s.l2, s.l3, s.l4, s.l5, s.l6, s.l7)
+      === bins.toSeq)
+    // rejects: truncated chunk stream, truncated zlib data, RGBA color
+    // type (header-only blobTable blob), undersized payload
+    assert(Multimodal.decodePngPixels(1L, blob.dropRight(20)).isEmpty)
+    // chop INSIDE the IDAT data: rebuild with a shortened IDAT chunk
+    val idatAt = blob.indexOfSlice("IDAT".getBytes("US-ASCII")) - 4
+    val idatLen = ((blob(idatAt) & 0xff) << 24) |
+      ((blob(idatAt + 1) & 0xff) << 16) |
+      ((blob(idatAt + 2) & 0xff) << 8) | (blob(idatAt + 3) & 0xff)
+    val cut = idatLen / 2
+    val shortened = blob.take(idatAt) ++
+      Array[Byte](0, 0, ((cut >> 8) & 0xff).toByte, (cut & 0xff).toByte) ++
+      blob.slice(idatAt + 4, idatAt + 8 + cut) ++ blob.slice(
+        idatAt + 8 + idatLen, blob.length)
+    assert(Multimodal.decodePngPixels(1L, shortened).isEmpty)
+    assert(Multimodal.decodePngPixels(1L,
+      Multimodal.pngBytes(2, 2, Array.fill[Byte](16)(0))).isEmpty)
+  }
+
   test("bmpTable → extractBmpFeatures matches the pixel formula") {
     val docs = Seq((3L, "x"), (11L, "y")).toDF("doc_id", "text")
     val got = Multimodal.extractBmpFeatures(

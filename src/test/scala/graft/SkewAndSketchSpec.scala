@@ -39,6 +39,146 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("HLL estimate within 30% of exact for every event_type (m=64)") {
+    // m=64 ⇒ HLL σ ≈ 1.04/√64 = 13%; the sf0.01 cardinalities sit in
+    // the linear-counting crossover where error is worst, so pin 30%.
+    // Bit-level portability is the an_hll_distinct oracle's job — this
+    // spec pins the ACCURACY contract of the estimator itself.
+    val rows = SparkEntry.queries("an_hll_distinct")(
+        spark, "/root/testdata/sf0.01")
+      .select($"event_type", $"n_exact", $"est")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, exact, est) =>
+      val rel = math.abs(est - exact) / exact
+      assert(rel < 0.30, s"$et: est $est vs exact $exact (rel $rel)")
+    }
+  }
+
+  test("HLL sketch merge of disjoint halves equals the whole's sketch") {
+    // The property a 1000-executor rollup rests on: per-partition
+    // register vectors combined by max() ARE the whole dataset's
+    // sketch — no re-scan, any grouping of the input.
+    def regs(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", graft.llm.TextOps.sharedHash($"user_id".cast("string")))
+      .withColumn("bucket", expr("h DIV 18014398509481984"))
+      .withColumn("r", pmod($"h", lit(18014398509481984L)))
+      .withColumn("rho",
+        when($"r" > 0, lit(55) - length(bin($"r"))).otherwise(lit(55))
+          .cast("long"))
+      .groupBy($"bucket").agg(max($"rho").as("reg"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id")
+    val whole = regs(ev).as[(Long, Long)].collect().toMap
+    val a = regs(ev.filter(pmod($"user_id", lit(2L)) === 0))
+    val b = regs(ev.filter(pmod($"user_id", lit(2L)) === 1))
+    val mergedHalves = a.union(b).groupBy($"bucket")
+      .agg(max($"reg").as("reg")).as[(Long, Long)].collect().toMap
+    assert(mergedHalves === whole)
+  }
+
+  test("count-min: est >= exact always, overestimate bounded by eN") {
+    // The two CM guarantees (Cormode & Muthukrishnan 2005): min over
+    // d rows never undercounts, and with w=512 the expected
+    // overestimate is N·e/512 ≈ 0.53% of stream length — pin 4 rows
+    // at 8× that (union bound slack). Bit-level portability is the
+    // an_heavy_hitters oracle's job; this pins the sketch contract.
+    val d = "/root/testdata/sf0.01"
+    val n = Tables.events(spark, d).count()
+    val rows = SparkEntry.queries("an_heavy_hitters")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (uid, exact, est) =>
+      assert(est >= exact, s"user $uid: CM undercounted ($est < $exact)")
+      assert(est <= exact + 8L * n * 3 / 512,
+        s"user $uid: est $est vs exact $exact at N=$n")
+    }
+  }
+
+  test("count-min sketch merge of disjoint halves equals the whole") {
+    // Per-cell SUM is the mergeable-sketch property the 1000-executor
+    // rollup uses: partial (j,cell) counts from any partitioning of
+    // the input sum to the whole stream's sketch.
+    import graft.llm.TextOps.sharedHash
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(posexplode(array((0 until 4).map(j =>
+        pmod(sharedHash(concat(lit(s"cm$j:"), $"user_id".cast("string"))),
+          lit(512L))): _*)).as(Seq("j", "cell")))
+      .groupBy($"j", $"cell").agg(count(lit(1)).as("cnt"))
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id")
+    val whole = sketch(ev).as[(Int, Long, Long)].collect()
+      .map { case (j, c, n) => (j, c) -> n }.toMap
+    val halves = sketch(ev.filter(pmod($"user_id", lit(2L)) === 0))
+      .union(sketch(ev.filter(pmod($"user_id", lit(2L)) === 1)))
+      .groupBy($"j", $"cell").agg(sum($"cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (j, c, n) => (j, c) -> n }.toMap
+    assert(halves === whole)
+  }
+
+  test("one-pass corr matrix agrees with Spark's built-in corr()") {
+    // Independent implementation check: the exact-integer power-sum
+    // form vs Catalyst's streaming co-moment aggregate. They differ
+    // only in float accumulation order, so 1e-4 absolute agreement.
+    val d = "/root/testdata/sf0.01"
+    val ours = SparkEntry.queries("an_corr_matrix")(spark, d)
+      .as[(String, String, Double)].collect()
+      .map { case (rf, pair, c) => (rf, pair) -> c }.toMap
+    assert(ours.size === 18)
+    val li = Tables.lineitem(spark, d).select($"l_returnflag",
+      round($"l_quantity" * 100).cast("long").as("q"),
+      round($"l_extendedprice" * 100).cast("long").as("p"),
+      round($"l_discount" * 100).cast("long").as("dc"),
+      round($"l_tax" * 100).cast("long").as("t"))
+    val builtin = li.groupBy($"l_returnflag").agg(
+        corr($"q", $"p").as("q_p"), corr($"q", $"dc").as("q_dc"),
+        corr($"q", $"t").as("q_t"), corr($"p", $"dc").as("p_dc"),
+        corr($"p", $"t").as("p_t"), corr($"dc", $"t").as("dc_t"))
+      .collect()
+    builtin.foreach { r =>
+      val rf = r.getString(0)
+      Seq("q_p", "q_dc", "q_t", "p_dc", "p_t", "dc_t").zipWithIndex
+        .foreach { case (pair, i) =>
+          val expected = r.getDouble(i + 1)
+          val got = ours((rf, pair))
+          assert(math.abs(got - expected) < 1e-4,
+            s"($rf,$pair): $got vs builtin $expected")
+          assert(got >= -1.0 && got <= 1.0)
+        }
+    }
+  }
+
+  test("Welch t-test agrees with a direct two-sample computation") {
+    val d = "/root/testdata/sf0.01"
+    val ours = SparkEntry.queries("an_ab_ttest")(spark, d)
+      .select($"event_type", $"t_stat", $"df")
+      .as[(String, Option[Double], Option[Double])].collect()
+    assert(ours.nonEmpty)
+    val ev = Tables.events(spark, d)
+      .select($"event_type", ($"user_id" % 2).as("grp"),
+        (round($"value" * 100) / 100.0).as("v"))
+    val direct = ev.groupBy($"event_type", $"grp")
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg($"v").as("m"), var_samp($"v").as("s2"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    ours.foreach { case (et, tOpt, dfOpt) =>
+      val (na, ma, va) = direct((et, 0L))
+      val (nb, mb, vb) = direct((et, 1L))
+      val se2 = va / na + vb / nb
+      val t = (ma - mb) / math.sqrt(se2)
+      val df = se2 * se2 / ((va / na) * (va / na) / (na - 1) +
+        (vb / nb) * (vb / nb) / (nb - 1))
+      assert(math.abs(tOpt.get - t) < 1e-3, s"$et: t ${tOpt.get} vs $t")
+      assert(math.abs(dfOpt.get - df) / df < 1e-3,
+        s"$et: df ${dfOpt.get} vs $df")
+      // Welch df is bounded by the two sample sizes
+      assert(dfOpt.get >= math.min(na, nb) - 1 &&
+        dfOpt.get <= na + nb - 2)
+    }
+  }
+
   test("approx_count_distinct within 5% of exact on orders custkeys") {
     val o = Tables.orders(spark, "/root/testdata/sf0.01")
     val row = o.agg(countDistinct($"o_custkey").as("exact"),
