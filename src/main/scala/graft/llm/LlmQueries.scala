@@ -230,6 +230,21 @@ object LlmQueries {
         .orderBy($"lang")
     }),
 
+    // DSIR data selection (Xie et al., NeurIPS 2023): hashed-n-gram
+    // importance weights ln p̂_en/q̂_raw in exact integer micro-nats +
+    // deterministic Gumbel top-k resample. Target model = the 'en'
+    // slice, raw model = the whole corpus; both fit as ≤64-row
+    // broadcast sketches, scoring is one feature explode + one
+    // per-doc integer sum, selection is TakeOrderedAndProject.
+    "llm_dsir_sample" -> ((s, d) => {
+      import s.implicits._
+      val B = 64
+      val docs = Tables.documents(s, d)
+      val fb = Dsir.bucketed(Dsir.features(docs, Seq("lang")), B)
+      val lr = Dsir.logRatioMicros(fb, $"lang" === "en", B)
+      Dsir.sample(Dsir.weights(fb, lr), k = 100)
+    }),
+
     // Benchmark-contamination scan: corpus docs sharing ≥5 word-3-gram
     // shingles with the (broadcast) benchmark slice (doc_id%7==0 — a
     // modulus small enough that the synthetic corpus's near-dup pairs
@@ -870,6 +885,38 @@ object LlmQueries {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(w_pm) AS BIGINT) AS w_pm_sum
         |FROM docs GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_dsir_sample" ->
+      s"""WITH wt AS (SELECT doc_id, lang,
+        |              list_filter(string_split(trim(text), ' '),
+        |                          t -> t <> '') AS w
+        |            FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM wt),
+        |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
+        |       FROM wt, range(1, 600) r(i) WHERE i + 1 <= len(w)),
+        |fb AS (SELECT doc_id, lang, ${h("f")} % 64 AS b
+        |       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
+        |pb AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+        |              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS ct
+        |       FROM fb GROUP BY b),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+        |               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |                    AS BIGINT) AS nt
+        |        FROM fb),
+        |lr AS (SELECT b, CAST(round(ln((ct + 1.0) * (nr + 64) /
+        |                 ((cr + 1.0) * (nt + 64))) * 1e6) AS BIGINT)
+        |              AS lr_micro
+        |       FROM pb CROSS JOIN tot),
+        |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+        |       FROM fb GROUP BY doc_id, b),
+        |wgt AS (SELECT doc_id, CAST(sum(n * lr_micro) AS BIGINT) AS w_micro
+        |        FROM db JOIN lr USING (b) GROUP BY doc_id),
+        |g AS (SELECT doc_id, w_micro, w_micro + CAST(round(
+        |        -ln(-ln(${TextOps.hashFracSql("'dsir:' || doc_id")}))
+        |        * 1e6) AS BIGINT) AS g_micro
+        |      FROM wgt)
+        |SELECT doc_id, w_micro, g_micro FROM g
+        |ORDER BY g_micro DESC, doc_id LIMIT 100""".stripMargin,
     "llm_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

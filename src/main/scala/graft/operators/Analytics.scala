@@ -1037,6 +1037,58 @@ object Analytics {
     // Data-quality report (the Deequ/great-expectations staple): the
     // whole constraint suite — completeness, validity, uniqueness,
     // range — computed in ONE aggregation pass over the table, then
+    // Mergeable equi-width-histogram quantile sketch — the fourth
+    // mergeable sketch next to KMV/HLL/CMS, completing the family
+    // (distinct, frequency, quantiles). Where `an_percentiles` runs
+    // Spark's exact percentile (a per-group sort whose state is the
+    // GROUP'S ROWS), this keeps 128 bin counters per group no matter
+    // the input size: map tasks partial-agg to ≤ groups×128 rows, the
+    // merge is per-bin SUM (associative/commutative — the sketch a
+    // 1000-executor rollup ships), and the estimate interpolates
+    // inside the covering bin. ALL arithmetic is 64-bit integer (cents
+    // domain, DIV bin math, per-mille ranks), so the estimate — not
+    // just the exact verifier — hash-matches the oracle bit-for-bit.
+    // Error bound: est is off by at most one bin width (span/128).
+    "an_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("c"))
+      val bounds = li.agg(min($"c").as("lo"), max($"c").as("hi"))
+      val binned = li.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr("((c - lo) * 128) DIV (hi - lo + 1)"))
+      val perBin = binned.groupBy($"l_returnflag", $"lo", $"hi", $"bin")
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy($"l_returnflag").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perBin.withColumn("cum", sum($"cnt").over(wCum))
+        .withColumn("cum_prev", $"cum" - $"cnt")
+      val ranks = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        .select($"l_returnflag".as("rf"), $"n",
+          explode(array(lit(500L), lit(900L), lit(990L))).as("q_pm"))
+        .withColumn("r", expr("(q_pm * n + 999) DIV 1000"))
+      val est = cum.join(broadcast(ranks),
+          $"l_returnflag" === $"rf" && $"cum_prev" < $"r" && $"cum" >= $"r")
+        .withColumn("bin_lo", expr("lo + (bin * (hi - lo + 1)) DIV 128"))
+        .withColumn("bin_w", expr(
+          "((bin + 1) * (hi - lo + 1)) DIV 128 - (bin * (hi - lo + 1)) DIV 128"))
+        .select($"l_returnflag", $"q_pm", $"n", expr(
+          "bin_lo + ((r - cum_prev) * bin_w) DIV (cnt + 1)").as("est_cents"))
+      // exact verifier: distinct-value cumulative counts (state =
+      // distinct values, not rows), first value whose cum covers r
+      val vc = li.groupBy($"l_returnflag", $"c").agg(count(lit(1)).as("vn"))
+      val wVal = Window.partitionBy($"l_returnflag").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vcum = vc.withColumn("vcum", sum($"vn").over(wVal))
+        .withColumn("vprev", $"vcum" - $"vn")
+      val exact = vcum.join(broadcast(ranks),
+          $"l_returnflag" === $"rf" && $"vprev" < $"r" && $"vcum" >= $"r")
+        .select($"l_returnflag", $"q_pm", $"c".as("exact_cents"))
+      est.join(exact, Seq("l_returnflag", "q_pm"))
+        .select($"l_returnflag", $"q_pm", $"n", $"est_cents", $"exact_cents",
+          abs($"est_cents" - $"exact_cents").as("abs_err"))
+        .orderBy($"l_returnflag", $"q_pm")
+    }),
+
     // pivoted to a constant-size (check, metric, ok) report. At
     // 100 TB this is the shape that matters: N checks cost one scan,
     // not N scans; only count(DISTINCT) adds an Expand (×2 rows
@@ -1799,6 +1851,49 @@ object Analytics {
         |  UNION ALL SELECT '06_unique_orderkey', distinct_key::DOUBLE,
         |         CAST(distinct_key = row_count AS BIGINT) FROM m)
         |ORDER BY chk""".stripMargin,
+    "an_quantile_sketch" ->
+      """WITH li AS (SELECT l_returnflag,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |            FROM lineitem),
+        |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM li),
+        |binned AS (SELECT l_returnflag, c, lo, hi,
+        |                  ((c - lo) * 128) // (hi - lo + 1) AS bin
+        |           FROM li CROSS JOIN bounds),
+        |per_bin AS (SELECT l_returnflag, lo, hi, bin,
+        |                   CAST(count(*) AS BIGINT) AS cnt
+        |            FROM binned GROUP BY 1, 2, 3, 4),
+        |cum AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY l_returnflag
+        |                    ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |                  AS BIGINT) AS cum
+        |        FROM per_bin),
+        |cum2 AS (SELECT *, cum - cnt AS cum_prev FROM cum),
+        |ranks AS (SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+        |                 unnest([500, 900, 990]::BIGINT[]) AS q_pm
+        |          FROM li GROUP BY 1),
+        |ranks2 AS (SELECT rf, n, q_pm, (q_pm * n + 999) // 1000 AS r
+        |           FROM ranks),
+        |est AS (SELECT l_returnflag, q_pm, n,
+        |               lo + (bin * (hi - lo + 1)) // 128
+        |                 + ((r - cum_prev) *
+        |                    (((bin + 1) * (hi - lo + 1)) // 128
+        |                     - (bin * (hi - lo + 1)) // 128))
+        |                   // (cnt + 1) AS est_cents
+        |        FROM cum2 JOIN ranks2 ON l_returnflag = rf
+        |          AND cum_prev < r AND cum >= r),
+        |vc AS (SELECT l_returnflag, c, CAST(count(*) AS BIGINT) AS vn
+        |       FROM li GROUP BY 1, 2),
+        |vcum AS (SELECT *, CAST(sum(vn) OVER (PARTITION BY l_returnflag
+        |                     ORDER BY c ROWS UNBOUNDED PRECEDING)
+        |                   AS BIGINT) AS vcum
+        |         FROM vc),
+        |vcum2 AS (SELECT *, vcum - vn AS vprev FROM vcum),
+        |exact AS (SELECT l_returnflag, q_pm, c AS exact_cents
+        |          FROM vcum2 JOIN ranks2 ON l_returnflag = rf
+        |            AND vprev < r AND vcum >= r)
+        |SELECT l_returnflag, q_pm, n, est_cents, exact_cents,
+        |       abs(est_cents - exact_cents) AS abs_err
+        |FROM est JOIN exact USING (l_returnflag, q_pm)
+        |ORDER BY l_returnflag, q_pm""".stripMargin,
     "an_gapfill" ->
       """WITH b AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS dy,

@@ -187,4 +187,23 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     val rel = math.abs(row._2 - row._1).toDouble / row._1
     assert(rel < 0.05, s"approx ${row._2} vs exact ${row._1} (rel $rel)")
   }
+
+  test("quantile sketch: estimate within one bin width of exact") {
+    // The estimate is hash-checked against DuckDB by the
+    // an_quantile_sketch oracle; this spec pins the ACCURACY contract
+    // of the 128-bin equi-width sketch: |est - exact| <= span/128.
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(round($"l_extendedprice" * 100).cast("long").as("c"))
+    val (lo, hi) = li.agg(min($"c"), max($"c")).as[(Long, Long)]
+      .collect().head
+    val binW = (hi - lo + 1) / 128 + 1
+    val rows = SparkEntry.queries("an_quantile_sketch")(
+        spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 9) // 3 groups x {p50, p90, p99}
+    rows.foreach { case (rf, q, _, est, exact, err) =>
+      assert(err === math.abs(est - exact))
+      assert(err <= binW, s"$rf p$q: est $est vs exact $exact (bin $binW)")
+    }
+  }
 }
