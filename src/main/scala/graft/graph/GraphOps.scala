@@ -382,6 +382,76 @@ object GraphOps {
         sum(col("tp_s")).as("tp"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the O(log n)-round algorithm for
+    * HIGH-DIAMETER graphs, where per-step label propagation
+    * ([[bspIterateDelta]], Dedup.clusters) needs O(diameter) rounds.
+    * Each round is two groupBy-min passes over the shrinking edge set:
+    *
+    *  - large-star: every vertex u computes m = min(N(u) ∪ u) and
+    *    points its LARGER neighbors at m — long chains halve.
+    *  - small-star: every vertex u points its smaller-or-equal
+    *    neighbors (and itself) at the minimum — stars flatten.
+    *
+    * State is only the edge set itself (re-keyed each round, partially
+    * aggregated — no vertex-indexed side structures), lineage is cut
+    * per round with an eager localCheckpoint, and the fixpoint check
+    * is an exact `except ... limit 1` probe (bounded ≤1-row collect),
+    * not a hashed signature that could falsely converge. Terminates in
+    * O(log² n) rounds worst-case; `maxRounds` is a runaway guard that
+    * FAILS FAST rather than returning unconverged labels.
+    *
+    * Input: (src, dst) pairs, any orientation/duplication. Output:
+    * (vertex, cluster) for every non-isolated vertex, cluster = the
+    * component's minimum vertex id.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 25)
+      : DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    var e = pairs
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric view: m(u) = min(N(u) ∪ {u}),
+      // emit (m, v) for neighbors v > u (canonical: m < u < v)
+      val sym = e.select($"a".as("u"), $"b".as("v"))
+        .unionByName(e.select($"b".as("u"), $"a".as("v")))
+      val mL = sym.groupBy($"u")
+        .agg(least(min($"v"), first($"u")).as("m"))
+      val large = sym.join(mL, "u").filter($"v" > $"u")
+        .select(least($"m", $"v").as("a"), greatest($"m", $"v").as("b"))
+        .filter($"a" =!= $"b").distinct()
+      // small-star on canonical (a < b) edges grouped by the larger
+      // endpoint b: m = min smaller-neighbor; emit (m, other smaller
+      // neighbors) and (m, b)
+      val mS = large.groupBy($"b").agg(min($"a").as("m"))
+      val small = large.join(mS, "b")
+        .select($"m".as("a"), $"a".as("b"))
+        .unionByName(mS.select($"m".as("a"), $"b"))
+        .filter($"a" =!= $"b").distinct()
+        .localCheckpoint(true)
+      // exact fixpoint probe on the shrunken sets (≤1 row collected)
+      converged =
+        small.except(e).limit(1).isEmpty && e.except(small).limit(1).isEmpty
+      e = small
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds " +
+          "— raise maxRounds (rounds grow O(log^2 n))")
+    // at fixpoint every edge is (root, member)
+    e.select($"b".as("vertex"), $"a".as("cluster"))
+      .unionByName(
+        e.select($"a").distinct().select($"a".as("vertex"), $"a".as("cluster")))
+  }
+
   def f1(model: DataFrame, validation: DataFrame): DataFrame = {
     val row = f1Counts(model, validation).first()
     val (nm, nv, tp) = (row.getLong(0).toDouble, row.getLong(1).toDouble,

@@ -390,6 +390,31 @@ object GraphQueries {
           .over(Window.orderBy($"pagerank".desc, $"vertex")).cast("long"))
         .select($"rank", $"vertex", $"pagerank")
         .orderBy($"rank")
+    }),
+
+    // G12 (extra): connected components by large-star/small-star
+    // contraction (Kiveris et al. SoCC 2014) — the O(log n)-round CC
+    // for high-diameter graphs, vs the O(diameter) label propagation
+    // Dedup.clusters runs on shallow near-dup graphs. Input: a
+    // deterministic 1-in-20 hash sample of the canonical pair list
+    // (keeps the oracle's transitive closure quadratic-in-component,
+    // components stay small by subcritical branching). Output: one row
+    // per component (root = min vertex, size). At 100 TB each round is
+    // two groupBy-min shuffles over a shrinking edge set; no vertex
+    // state, no driver data.
+    "g12_concomp" -> ((s, d) => {
+      import s.implicits._
+      val canon = pairs2(s, d)
+        .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+        .filter($"a" =!= $"b").distinct()
+      val samp = canon.filter(
+        pmod(graft.llm.TextOps.sharedHash(
+          concat($"a".cast("string"), lit(":"), $"b".cast("string"))),
+          lit(20L)) === 0)
+      GraphOps.connectedComponentsStar(
+          samp.select($"a".as("src"), $"b".as("dst")))
+        .groupBy($"cluster").agg(count(lit(1)).as("size"))
+        .orderBy($"cluster")
     })
   )
 
@@ -571,6 +596,21 @@ object GraphQueries {
         |      AS BIGINT) AS rank, vertex, pagerank
         |  FROM pr2)
         |SELECT rank, vertex, pagerank FROM ranked
-        |WHERE rank <= 100 ORDER BY rank""".stripMargin)
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin),
+    "g12_concomp" -> (CTE.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, canon AS (SELECT DISTINCT least(src, dst) AS a,
+        |                   greatest(src, dst) AS b
+        |            FROM pairs2 WHERE src <> dst),
+        |samp AS (SELECT a, b FROM canon
+        |         WHERE ('0x'||substr(md5(a || ':' || b),1,15))::BIGINT
+        |               % 20 = 0),
+        |e AS (SELECT a AS u, b AS v FROM samp
+        |      UNION ALL SELECT b, a FROM samp),
+        |reach AS (SELECT u AS v, v AS w FROM e
+        |          UNION
+        |          SELECT r.v, e.v FROM reach r JOIN e ON r.w = e.u),
+        |lab AS (SELECT v, least(v, min(w)) AS cluster FROM reach GROUP BY v)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS size
+        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin)
   )
 }

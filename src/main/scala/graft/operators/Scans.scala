@@ -169,6 +169,29 @@ object Scans {
           sum(round($"value" * 100).cast("long")).as("cents"),
           sum(length($"props")).cast("long").as("props_len"))
         .orderBy($"event_type")
+    }),
+
+    // S14 (extra): ORC columnar source — the other columnar format a
+    // warehouse migration reads (Spark's built-in ORC reader, same
+    // pushdown/pruning surface as parquet). Staged once; the aggregate
+    // proves exact double and key round-trips. The oracle runs on the
+    // parquet original: DuckDB has no ORC reader, so equality here IS
+    // the format-fidelity check.
+    "s14_orc_source" -> ((s, d) => {
+      import s.implicits._
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val dir = RepoPaths.target(s"graft_fmt/orc_orders_$slug")
+      val marker = s"$dir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s14 v1 $d")) {
+        Tables.orders(s, d).write.mode("overwrite").orc(dir)
+        graft.sources.kv.GraftFs.writeString(marker, s"s14 v1 $d")
+      }
+      s.read.schema(Tables.orders(s, d).schema).orc(dir)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+          sum($"o_custkey").as("custsum"))
+        .orderBy($"o_orderstatus")
     })
   )
 
@@ -213,6 +236,13 @@ object Scans {
         |         AS cents,
         |       CAST(sum(len(props)) AS BIGINT) AS props_len
         |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    "s14_orc_source" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents,
+        |       CAST(sum(o_custkey) AS BIGINT) AS custsum
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }
