@@ -408,6 +408,41 @@ object WriteQueries {
         .orderBy($"key")
     }),
 
+    // M19 (extra): SECONDARY INDEX over a KV table (write/KVIndex) —
+    // the HBase/Phoenix global-index pattern the reference's
+    // key-only access model leaves to the user. The index is itself a
+    // KV table (value-hash → base keys), maintained by dual append on
+    // put; a value lookup is a bucket-pruned point read of the index +
+    // a broadcast multi-get of the base, with READ-REPAIR dropping the
+    // stale pointers updates leave behind. The script moves customers
+    // INTO and OUT OF the looked-up segment at ts=2, so the result is
+    // wrong unless both the new index entries land and the stale ones
+    // are repaired. At 100 TB: O(matching rows), never a table scan.
+    "m19_secondary_index" -> ((s, d) => {
+      import s.implicits._
+      val t = setupOnce(s, "m19", d, version = 1) { t =>
+        val cust = Tables.customer(s, d)
+        def segCells(rows: org.apache.spark.sql.DataFrame, ts: Long) =
+          rows.select($"c_custkey".as("key"), lit("F").as("family"),
+            lit("seg").as("qualifier"), $"seg".as("value"), lit(ts).as("ts"))
+        // ts=1: every customer's segment (indexed) + balance (plain)
+        KVIndex.put(t, "F", "seg",
+          segCells(cust.withColumn("seg", $"c_mktsegment"), 1L))
+        t.put(customerCents(s, d, ts = 1L))
+        // ts=2: %7 move OUT to BUILDING, %10 (not %7) move IN
+        KVIndex.put(t, "F", "seg", segCells(
+          cust.filter($"c_custkey" % 7 === 0 || $"c_custkey" % 10 === 0)
+            .withColumn("seg", when($"c_custkey" % 7 === 0, "BUILDING")
+              .otherwise("MACHINERY")), 2L))
+        t.compact()
+        KVIndex.indexTable(t, "F", "seg").compact()
+      }
+      KVIndex.lookup(t, "F", "seg", lit("MACHINERY"))
+        .join(t.resolved().filter($"qualifier" === "bal")
+          .select($"key", $"value".cast("long").as("bal")), "key")
+        .select($"key", $"bal").orderBy($"key")
+    }),
+
     // M16 (extra): incremental materialized-view maintenance over the
     // CDC feed — the reason changesBetween exists. A derived per-group
     // SUM is seeded from the base state, then three mutation rounds
@@ -1209,6 +1244,16 @@ object WriteQueries {
         |         + CASE WHEN c_custkey % 97 = 0 THEN 57 ELSE 50 END
         |         AS BIGINT) AS cents
         |FROM customer ORDER BY key""".stripMargin,
+    "m19_secondary_index" ->
+      """WITH seg AS (
+        |  SELECT c_custkey AS key,
+        |         CASE WHEN c_custkey % 7 = 0 THEN 'BUILDING'
+        |              WHEN c_custkey % 10 = 0 THEN 'MACHINERY'
+        |              ELSE c_mktsegment END AS seg,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer)
+        |SELECT key, bal FROM seg WHERE seg = 'MACHINERY'
+        |ORDER BY key""".stripMargin,
     "m16_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,
