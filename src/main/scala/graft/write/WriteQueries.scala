@@ -931,6 +931,58 @@ object WriteQueries {
         .orderBy($"grp")
     }),
 
+    // §2.10 (extra): STREAMING heavy hitters — the mergeable-sketch
+    // story run over a stream: each micro-batch reduces to a partial
+    // count-min sketch (≤ d×w cells no matter the batch size) landed
+    // in an idempotent batch=<id> partition, and the standing answer
+    // is the per-cell SUM across batches — the associative merge that
+    // makes the sketch replay-safe (a re-run batch OVERWRITES its own
+    // partition) and exactly equal to the one-shot batch sketch, which
+    // is what the oracle computes. State per batch is sketch-sized;
+    // nothing driver-side; at 100 TB/day the feed ships 2048 cells per
+    // trigger. Candidates are the exact top-20 (an_heavy_hitters's
+    // oracle-portability discipline).
+    "st14_stream_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.TextOps.sharedHash
+      val out = RepoPaths.target("graft_stream/st14_out")
+      KVTable.deleteRecursively(out)
+      val ev = Tables.events(s, d).select($"user_id")
+      val stage = stageOnce(s, "st14", d, version = 1) { dir =>
+        ev.repartition(4).write.mode("overwrite").parquet(dir)
+      }
+      val W = 512L
+      val D = 4
+      def cell(j: Int, c: org.apache.spark.sql.Column) =
+        pmod(sharedHash(concat(lit(s"cm$j:"), c.cast("string"))), lit(W))
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      withStreamPartitions(s) {
+        val q = src.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val partial = batch.select(posexplode(array(
+                (0 until D).map(j => cell(j, col("user_id"))): _*))
+                .as(Seq("j", "cell")))
+              .groupBy(col("j"), col("cell"))
+              .agg(count(lit(1)).as("cnt"))
+            graft.streaming.IdempotentSink.parquet(out)(partial, batchId)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val sketch = graft.streaming.IdempotentSink.read(s, out)
+        .groupBy($"j", $"cell").agg(sum($"cnt").as("cnt"))
+      val top = ev.groupBy($"user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy($"n_exact".desc, $"user_id".asc).limit(20)
+      top.select($"user_id", $"n_exact",
+          posexplode(array((0 until D).map(j => cell(j, $"user_id")): _*))
+            .as(Seq("j", "cell")))
+        .join(broadcast(sketch), Seq("j", "cell"))
+        .groupBy($"user_id", $"n_exact")
+        .agg(min($"cnt").as("est"))
+        .orderBy($"n_exact".desc, $"user_id".asc)
+    }),
+
     // §2.10: windowed aggregation with watermark (beyond the reference's
     // surface, built-in Structured Streaming). APPEND mode: a window
     // emits exactly once, when the watermark passes its end — so state
@@ -1423,6 +1475,28 @@ object WriteQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+    // batch recompute of the merged stream sketch — per-cell SUM over
+    // partial sketches is exact, so the streaming answer must equal
+    // the one-shot an_heavy_hitters computation
+    "st14_stream_heavy_hitters" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |cm AS (SELECT g.j,
+        |         ('0x' || substr(md5('cm' || g.j || ':' || user_id::VARCHAR),
+        |            1, 15))::BIGINT % 512 AS cell
+        |       FROM ev, generate_series(0, 3) AS g(j)),
+        |cells AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM cm GROUP BY 1, 2),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |        FROM ev GROUP BY 1
+        |        ORDER BY n_exact DESC, user_id LIMIT 20),
+        |tc AS (SELECT t.user_id, t.n_exact, g.j,
+        |         ('0x' || substr(md5('cm' || g.j || ':' || t.user_id::VARCHAR),
+        |            1, 15))::BIGINT % 512 AS cell
+        |       FROM top t, generate_series(0, 3) AS g(j))
+        |SELECT user_id, n_exact, min(cnt) AS est
+        |FROM tc JOIN cells USING (j, cell)
+        |GROUP BY 1, 2
+        |ORDER BY n_exact DESC, user_id""".stripMargin,
     "st6_stream_stats" ->
       """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |              sum(value) AS s1, sum(value*value) AS s2

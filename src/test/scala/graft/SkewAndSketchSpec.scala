@@ -188,6 +188,18 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     assert(rel < 0.05, s"approx ${row._2} vs exact ${row._1} (rel $rel)")
   }
 
+  test("streaming CM sketch merge equals the one-shot batch sketch") {
+    // st14 reduces each micro-batch to a partial count-min sketch and
+    // merges by per-cell SUM; associativity makes the standing answer
+    // EQUAL the batch operator's — the mergeable-sketch contract that
+    // lets a stream and a backfill share one definition.
+    val streamed = SparkEntry.queries("st14_stream_heavy_hitters")(
+      spark, "/root/testdata/sf0.001").collect().toSeq
+    val batch = SparkEntry.queries("an_heavy_hitters")(
+      spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("quantile sketch: estimate within one bin width of exact") {
     // The estimate is hash-checked against DuckDB by the
     // an_quantile_sketch oracle; this spec pins the ACCURACY contract
