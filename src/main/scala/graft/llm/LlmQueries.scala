@@ -353,6 +353,18 @@ object LlmQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup = k-means cells +
+    // within-cell cosine pruning, keep the id-minimal representative.
+    // All-pairs work only inside cells (Σ cluster²); assignment and
+    // refinement reuse the IVF k-means machinery. Oracle replicates
+    // the full two-round Lloyd loop in SQL (KMEANS_CTE).
+    "llm_semdedup" -> ((s, d) => {
+      import s.implicits._
+      Similarity.semDedup(Tables.embeddings(s, d),
+          stride = 40, iters = 2, threshold = 0.30)
+        .orderBy($"vec_id")
+    }),
+
     // Language-ID by stopword scoring (alphabetical-first argmax).
     "llm_lang_id" -> ((s, d) => {
       import s.implicits._
@@ -874,6 +886,44 @@ object LlmQueries {
 
   private def h(x: String) = SHARED_HASH_SQL.format(x)
 
+  /** Two Lloyd rounds of spherical k-means + full-corpus assignment,
+    * replicated in DuckDB SQL (the llm_ann_ivf_kmeans discipline):
+    * `e` = corpus, `c2` = refined centroids, `ab` = (vec_id, cent_id).
+    * Shared by the IVF-kmeans ANN oracle and the SemDeDup oracle. */
+  private val KMEANS_CTE =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |c0 AS (SELECT vec_id AS cent_id, e AS ec FROM e WHERE vec_id % 40 = 0),
+      |a1 AS (SELECT vec_id, cent_id FROM (
+      |  SELECT v.vec_id, c.cent_id,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+      |                    c.cent_id) AS r
+      |  FROM e v CROSS JOIN c0 c) WHERE r <= 1),
+      |m1 AS (SELECT a1.cent_id, j, avg(v.e[j+1]) AS m
+      |       FROM a1 JOIN e v USING (vec_id), range(64) rj(j)
+      |       GROUP BY a1.cent_id, j),
+      |c1 AS (SELECT c0.cent_id, coalesce(n.ec, c0.ec) AS ec
+      |       FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
+      |                          FROM m1 GROUP BY cent_id) n USING (cent_id)),
+      |a2 AS (SELECT vec_id, cent_id FROM (
+      |  SELECT v.vec_id, c.cent_id,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+      |                    c.cent_id) AS r
+      |  FROM e v CROSS JOIN c1 c) WHERE r <= 1),
+      |m2 AS (SELECT a2.cent_id, j, avg(v.e[j+1]) AS m
+      |       FROM a2 JOIN e v USING (vec_id), range(64) rj(j)
+      |       GROUP BY a2.cent_id, j),
+      |c2 AS (SELECT c1.cent_id, coalesce(n.ec, c1.ec) AS ec
+      |       FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
+      |                          FROM m2 GROUP BY cent_id) n USING (cent_id)),
+      |ab AS (SELECT vec_id, cent_id FROM (
+      |  SELECT v.vec_id, c.cent_id,
+      |         row_number() OVER (PARTITION BY v.vec_id
+      |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+      |                    c.cent_id) AS r
+      |  FROM e v CROSS JOIN c2 c) WHERE r <= 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_weighted_sample" ->
       s"""WITH docs AS (
@@ -1345,40 +1395,8 @@ object LlmQueries {
     // two Lloyd rounds replayed in SQL: assign (round-6dp cosine,
     // cent_id tie-break) → per-dimension mean → empty clusters keep
     // their previous centroid; then the llm_ann_ivf probe shape
-    "llm_ann_ivf_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |c0 AS (SELECT vec_id AS cent_id, e AS ec FROM e WHERE vec_id % 40 = 0),
-        |a1 AS (SELECT vec_id, cent_id FROM (
-        |  SELECT v.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY v.vec_id
-        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-        |                    c.cent_id) AS r
-        |  FROM e v CROSS JOIN c0 c) WHERE r <= 1),
-        |m1 AS (SELECT a1.cent_id, j, avg(v.e[j+1]) AS m
-        |       FROM a1 JOIN e v USING (vec_id), range(64) rj(j)
-        |       GROUP BY a1.cent_id, j),
-        |c1 AS (SELECT c0.cent_id, coalesce(n.ec, c0.ec) AS ec
-        |       FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
-        |                          FROM m1 GROUP BY cent_id) n USING (cent_id)),
-        |a2 AS (SELECT vec_id, cent_id FROM (
-        |  SELECT v.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY v.vec_id
-        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-        |                    c.cent_id) AS r
-        |  FROM e v CROSS JOIN c1 c) WHERE r <= 1),
-        |m2 AS (SELECT a2.cent_id, j, avg(v.e[j+1]) AS m
-        |       FROM a2 JOIN e v USING (vec_id), range(64) rj(j)
-        |       GROUP BY a2.cent_id, j),
-        |c2 AS (SELECT c1.cent_id, coalesce(n.ec, c1.ec) AS ec
-        |       FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
-        |                          FROM m2 GROUP BY cent_id) n USING (cent_id)),
-        |ab AS (SELECT vec_id, cent_id FROM (
-        |  SELECT v.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY v.vec_id
-        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-        |                    c.cent_id) AS r
-        |  FROM e v CROSS JOIN c2 c) WHERE r <= 1),
-        |aq AS (SELECT vec_id, cent_id FROM (
+    "llm_ann_ivf_kmeans" -> (KMEANS_CTE +
+      """, aq AS (SELECT vec_id, cent_id FROM (
         |  SELECT v.vec_id, c.cent_id,
         |         row_number() OVER (PARTITION BY v.vec_id
         |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
@@ -1395,7 +1413,21 @@ object LlmQueries {
         |         CAST(row_number() OVER (PARTITION BY query_id
         |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
         |  FROM scored)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    // SemDeDup tail over the same two-round k-means assignment:
+    // within-cluster pairs over threshold drop the larger id
+    "llm_semdedup" -> (KMEANS_CTE +
+      """, pr AS (SELECT DISTINCT y.vec_id AS vb
+        |       FROM ab x JOIN ab y ON x.cent_id = y.cent_id
+        |                          AND x.vec_id < y.vec_id
+        |       JOIN e ea ON ea.vec_id = x.vec_id
+        |       JOIN e eb ON eb.vec_id = y.vec_id
+        |       WHERE round(list_cosine_similarity(ea.e, eb.e), 6) >= 0.30)
+        |SELECT ab.vec_id, ab.cent_id AS cluster,
+        |       CAST(CASE WHEN pr.vb IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS keep
+        |FROM ab LEFT JOIN pr ON ab.vec_id = pr.vb
+        |ORDER BY ab.vec_id""".stripMargin),
     "llm_lang_id" ->
       """WITH sc AS (SELECT doc_id, string_split(trim(text), ' ') AS w
         |            FROM documents),

@@ -368,4 +368,38 @@ object Similarity {
       .agg(round(first(col("cos")), 6).as("cos"))
       .select(col("va"), col("vb"), col("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication — k-means-cluster the embedding space, then prune
+    * within-cluster near-duplicates above a cosine threshold, keeping
+    * the id-minimal representative of every over-threshold pair (the
+    * deterministic keeper policy; the paper's low-centroid-similarity
+    * variant plugs in at the same spot). Differs from
+    * [[lshCosinePairs]]-based near-dup removal in WHAT it removes:
+    * semantic redundancy (same meaning, different words), not
+    * near-identical text.
+    *
+    * Scale shape: the only all-pairs work is INSIDE k-means cells —
+    * candidates are Σ cluster², tuned by `stride` exactly like LSH
+    * bucket size; assignment/refinement reuse the IVF machinery
+    * (broadcast centroids, (cluster, dim)-keyed means). Returns
+    * (vec_id, cluster, keep). */
+  def semDedup(emb: DataFrame, stride: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(emb, stride, iters)
+    val idx = ivfIndex(emb, cents) // (nb_id, eb, nb, cent_id)
+    val a = idx.select(col("cent_id"), col("nb_id").as("va"),
+      col("eb").as("ea"), col("nb").as("na"))
+    val b = idx.select(col("cent_id"), col("nb_id").as("vb"),
+      col("eb"), col("nb"))
+    val dropped = a.join(b, "cent_id").filter(col("va") < col("vb"))
+      .withColumn("cos",
+        round(dotExpr("ea", "eb") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    idx.select(col("nb_id").as("vec_id"), col("cent_id").as("cluster"))
+      .join(dropped.withColumn("drop", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("drop").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
 }

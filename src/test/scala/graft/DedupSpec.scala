@@ -449,4 +449,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .as[Double].collect().head
     assert(math.abs(one - 1.0) < 1e-12)
   }
+
+  test("semDedup: keep/drop is exactly the pairwise id-minimal policy") {
+    // a dropped vector has SOME lower-id cluster-mate over threshold;
+    // a kept vector has NONE — asserted against an independent exact
+    // recomputation of within-cluster cosines from the labels.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val res = Similarity.semDedup(emb, stride = 40, iters = 2,
+      threshold = 0.30)
+    val labels = res.select($"vec_id", $"cluster").withColumnRenamed(
+      "vec_id", "id")
+    val e = emb.select($"vec_id".as("id"),
+      transform($"embedding", _.cast("double")).as("e"))
+      .join(labels, "id")
+    val over = e.as("x").join(e.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .filter(round(Similarity.cosine(col("x.e"), col("y.e")), 6) >= 0.30)
+      .select(col("y.id").as("vec_id")).distinct()
+      .as[Long].collect().toSet
+    val byKeep = res.as[(Long, Long, Long)].collect()
+      .groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byKeep.getOrElse(0L, Set.empty) === over)
+    assert(byKeep(1L).intersect(over).isEmpty)
+    assert(over.nonEmpty) // threshold discriminates on this corpus
+  }
 }
