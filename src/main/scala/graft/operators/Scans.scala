@@ -192,6 +192,43 @@ object Scans {
           sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
           sum($"o_custkey").as("custsum"))
         .orderBy($"o_orderstatus")
+    }),
+
+    // S15 (extra): Hive-partitioned layout + DYNAMIC partition pruning
+    // — the partition-elimination path a 100-TB date/status-partitioned
+    // lake lives on. The fact table is staged partitionBy(status); the
+    // probe dimension is decided at RUNTIME (statuses holding ≤ a third
+    // of rows — an aggregate comparison, not a static predicate), so
+    // Catalyst can only prune via DPP: the dim subquery's result
+    // becomes a partition filter on the fact scan and non-matching
+    // partitions are never read (PlanSpec pins dynamicpruning in the
+    // scan and counts the partitions actually read).
+    "s15_partitioned_scan" -> ((s, d) => {
+      import s.implicits._
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val dir = RepoPaths.target(s"graft_fmt/part_orders_$slug")
+      val marker = s"$dir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s15 v1 $d")) {
+        Tables.orders(s, d).write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(dir)
+        graft.sources.kv.GraftFs.writeString(marker, s"s15 v1 $d")
+      }
+      // the total is ONE scalar (bounded collect) — it must reach the
+      // dim as a literal Filter, not a join condition, for Catalyst's
+      // PartitionPruning rule to see a selective predicate
+      val tot = Tables.orders(s, d).count()
+      val dim = Tables.orders(s, d).groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" * 3 <= lit(tot))
+        .select($"o_orderstatus")
+      // dim is the broadcast side BY HINT: at test scale the planner
+      // would otherwise broadcast the (tiny) fact itself, and DPP only
+      // prunes the probe side; at 100 TB this is the only shape anyway
+      s.read.parquet(dir).join(broadcast(dim), "o_orderstatus")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+        .orderBy($"o_orderstatus")
     })
   )
 
@@ -243,6 +280,15 @@ object Scans {
         |         AS cents,
         |       CAST(sum(o_custkey) AS BIGINT) AS custsum
         |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+    "s15_partitioned_scan" ->
+      """WITH tot AS (SELECT count(*) AS t FROM orders),
+        |dim AS (SELECT o_orderstatus FROM orders CROSS JOIN tot
+        |        GROUP BY o_orderstatus, t HAVING count(*) * 3 <= t)
+        |SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders o JOIN dim USING (o_orderstatus)
+        |GROUP BY o.o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

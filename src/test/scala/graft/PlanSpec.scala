@@ -386,6 +386,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(scans.length === 1, s"expected 1 orders scan, got ${scans.length}")
   }
 
+  test("s15: dynamic partition pruning reaches the partitioned fact scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("s15_partitioned_scan")(spark, sf)
+    val qe = df.queryExecution
+    // the fact scan must carry a runtime (subquery-driven) partition
+    // filter — a static plan cannot know which statuses qualify
+    val factScans = qe.sparkPlan.collect {
+      case s: FileSourceScanExec
+          if s.partitionFilters.exists(
+            _.toString.toLowerCase.contains("dynamicpruning")) => s
+    }
+    assert(factScans.nonEmpty,
+      "no scan carries a dynamicpruning partition filter:\n" +
+        qe.sparkPlan.toString.take(3000))
+    // and after execution the pruned scan reads FEWER partitions than
+    // exist (3 statuses on disk, 2 qualify) — unwrap AQE wrappers to
+    // reach the executed scan instance holding the runtime metrics
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec if s.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")) => Seq(s)
+    }.flatten
+    val executedScan = scans(qe.executedPlan)
+    assert(executedScan.nonEmpty, qe.executedPlan.toString.take(3000))
+    val read = executedScan.head.metrics.get("numPartitions")
+      .map(_.value).getOrElse(-1L)
+    assert(read === 2, s"expected 2 partitions read, got $read")
+  }
+
   test("an_seq_match: one user shuffle; patterns ride a broadcast, not a shuffle") {
     val plan = SparkEntry.queries("an_seq_match")(spark, sf)
       .queryExecution.executedPlan.toString
