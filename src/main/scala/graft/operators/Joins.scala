@@ -260,8 +260,68 @@ object Joins {
         .select($"user_id", ($"ts" + 1).as("ts"), $"event_id",
           $"feat_cents")
         .orderBy($"user_id", $"ts", $"event_id")
+    }),
+
+    // J15 (extra): RUNTIME BLOOM-FILTER join — the shuffle reducer for
+    // big-big joins where neither side broadcasts: Catalyst builds a
+    // bloom filter from the SELECTIVE side's join keys at runtime and
+    // pushes might_contain() into the fact scan, so non-matching fact
+    // rows are dropped BEFORE the sort-merge shuffle (at 100 TB that
+    // is the difference between shuffling the table and shuffling the
+    // matches). The dim filter (p_size = 1) is selective but the MERGE
+    // hint forces the big-big plan shape; the application-side size
+    // threshold is lowered for the run because the 10 GB default is
+    // calibrated for production scans (the knob exists precisely to
+    // encode "fact is huge"), and restored after. PlanSpec pins
+    // might_contain in the executed fact scan.
+    "j15_bloom_join" -> ((s, d) => {
+      import s.implicits._
+      val out = graft.RepoPaths.target("graft_join/j15_out")
+      withBloomThreshold(s) {
+        // executes UNDER the lowered threshold (plans are lazy — a
+        // try/finally around a returned DataFrame would restore the
+        // conf before optimization ran)
+        bloomJoin(s, d).write.mode("overwrite").parquet(out)
+      }
+      s.read.parquet(out).orderBy($"l_suppkey")
     })
   )
+
+  /** J15's join, conf-free: big-big SMJ whose fact side Catalyst
+    * prunes with a runtime bloom filter built from the selective dim.
+    * PlanSpec executes this under [[withBloomThreshold]] and pins
+    * might_contain in the fact scan. */
+  private[graft] def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.part(s, d).filter($"p_size" === 1)
+      .select($"p_partkey")
+    val fact = Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+    fact.join(dim.hint("merge"), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** Scope the confs that make the test-scale join LOOK like the
+    * 100-TB case the bloom filter exists for: the 10 GB
+    * application-side gate encodes "only bother for huge scans", and
+    * InjectRuntimeFilter skips any join it predicts will broadcast
+    * (canBroadcastBySize) — at production scale neither side
+    * broadcasts, so both knobs model that, scoped and restored. */
+  private[graft] def withBloomThreshold[T](s: SparkSession)(body: => T): T = {
+    val ks = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = ks.map { case (k, _) => k -> s.conf.getOption(k) }
+    ks.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 
   /** The persisted SCD2 feature dimension j14 trains against: one KV
     * cell per (entity, change instant) — key = user, qualifier = the
@@ -399,6 +459,13 @@ object Joins {
         |SELECT win_id, CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 4) AS sum_value
         |FROM w JOIN e ON e.ts >= w.w_start AND e.ts < w.w_end
-        |GROUP BY win_id ORDER BY win_id""".stripMargin
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
+    "j15_bloom_join" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
   )
 }

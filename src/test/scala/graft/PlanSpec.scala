@@ -419,6 +419,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(read === 2, s"expected 2 partitions read, got $read")
   }
 
+  test("j15: runtime bloom filter prunes the fact before the SMJ shuffle") {
+    import graft.operators.Joins
+    Joins.withBloomThreshold(spark) {
+      val df = Joins.bloomJoin(spark, sf)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the fact scan carries might_contain(bloom, xxhash64(l_partkey))
+      // — rows are dropped at the scan, before the merge-join shuffle
+      assert(fin.contains("might_contain"), fin.take(3000))
+      assert(fin.contains("SortMergeJoin"), fin.take(3000))
+    }
+  }
+
   test("an_seq_match: one user shuffle; patterns ride a broadcast, not a shuffle") {
     val plan = SparkEntry.queries("an_seq_match")(spark, sf)
       .queryExecution.executedPlan.toString
