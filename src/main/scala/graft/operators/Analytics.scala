@@ -1037,6 +1037,51 @@ object Analytics {
     // Data-quality report (the Deequ/great-expectations staple): the
     // whole constraint suite — completeness, validity, uniqueness,
     // range — computed in ONE aggregation pass over the table, then
+    // Poisson bootstrap confidence interval (Efron 1979; the
+    // Poisson(1)-weight formulation is THE distributed bootstrap —
+    // Chamandy et al., "Estimating Uncertainty for Massive Data
+    // Streams", Google 2012): every row draws its per-resample
+    // multiplicity independently, so resampling is a PER-ROW map (no
+    // sampling-with-replacement coordination across a cluster) and
+    // each of the B=32 resample means partial-aggregates like any
+    // other sum. The draw is a DETERMINISTIC function of (row, b) via
+    // the shared md5 coin against fixed CDF literals (k capped at 4,
+    // P(k>4) ≈ 0.37% — identical truncation on both engines), so the
+    // CI is replay-stable and hash-checkable. Output: per-group exact
+    // mean + the 2nd/31st ranked resample means (a ~94% percentile
+    // interval at B=32).
+    "an_bootstrap" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("c"),
+        ($"l_orderkey" * 10 + $"l_linenumber").as("rid"))
+      val B = 32
+      val u = graft.llm.TextOps.hashFrac(
+        concat(lit("bt"), $"b".cast("string"), lit(":"), $"rid".cast("string")))
+      val rs = li.select($"l_returnflag", $"c", $"rid",
+          explode(array((0 until B).map(b => lit(b.toLong)): _*)).as("b"))
+        .withColumn("k",
+          when(u < 0.3678794412, 0L).when(u < 0.7357588823, 1L)
+            .when(u < 0.9196986029, 2L).when(u < 0.9810118431, 3L)
+            .otherwise(4L))
+      val means = rs.groupBy($"l_returnflag", $"b")
+        .agg(sum($"k" * $"c").as("sc"), sum($"k").as("n"))
+        .withColumn("mean_b", round($"sc" * 1.0 / $"n", 4))
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"mean_b", $"b")
+      val ci = means.withColumn("rn", row_number().over(w))
+        .groupBy($"l_returnflag")
+        .agg(max(when($"rn" === 2, $"mean_b")).as("lo"),
+          max(when($"rn" === B - 1, $"mean_b")).as("hi"))
+      val exact = li.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"c").as("sc"))
+        .select($"l_returnflag", $"n",
+          round($"sc" * 1.0 / $"n", 4).as("mean"))
+      exact.join(ci, "l_returnflag")
+        .select($"l_returnflag", $"n", $"mean", $"lo", $"hi")
+        .orderBy($"l_returnflag")
+    }),
+
     // Mergeable equi-width-histogram quantile sketch — the fourth
     // mergeable sketch next to KMV/HLL/CMS, completing the family
     // (distinct, frequency, quantiles). Where `an_percentiles` runs
@@ -1851,6 +1896,36 @@ object Analytics {
         |  UNION ALL SELECT '06_unique_orderkey', distinct_key::DOUBLE,
         |         CAST(distinct_key = row_count AS BIGINT) FROM m)
         |ORDER BY chk""".stripMargin,
+    "an_bootstrap" ->
+      s"""WITH li AS (SELECT l_returnflag,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |              l_orderkey * 10 + l_linenumber AS rid
+        |            FROM lineitem),
+        |rs AS (SELECT l_returnflag, c, rid, g.b,
+        |         ${graft.llm.TextOps.hashFracSql("'bt' || g.b || ':' || rid")}
+        |           AS u
+        |       FROM li, generate_series(0, 31) AS g(b)),
+        |rk AS (SELECT l_returnflag, b,
+        |         CASE WHEN u < 0.3678794412 THEN 0
+        |              WHEN u < 0.7357588823 THEN 1
+        |              WHEN u < 0.9196986029 THEN 2
+        |              WHEN u < 0.9810118431 THEN 3 ELSE 4 END AS k, c
+        |       FROM rs),
+        |means AS (SELECT l_returnflag, b,
+        |            round(sum(k * c) * 1.0 / sum(k), 4) AS mean_b
+        |          FROM rk GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |             ORDER BY mean_b, b) AS rn FROM means),
+        |ci AS (SELECT l_returnflag,
+        |         max(CASE WHEN rn = 2 THEN mean_b END) AS lo,
+        |         max(CASE WHEN rn = 31 THEN mean_b END) AS hi
+        |       FROM ranked GROUP BY 1),
+        |exact AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |            round(sum(c) * 1.0 / count(*), 4) AS mean
+        |          FROM li GROUP BY 1)
+        |SELECT l_returnflag, n, mean, lo, hi
+        |FROM exact JOIN ci USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "an_quantile_sketch" ->
       """WITH li AS (SELECT l_returnflag,
         |              CAST(round(l_extendedprice * 100) AS BIGINT) AS c

@@ -200,6 +200,26 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("Poisson bootstrap: CI brackets the exact mean, width ~ theory") {
+    // CLT check: the half-width of the ~94% percentile interval should
+    // be within a loose factor of 1.88*sd/sqrt(n); and lo < mean < hi.
+    val rows = SparkEntry.queries("an_bootstrap")(
+        spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length === 3)
+    val sds = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .groupBy($"l_returnflag")
+      .agg(stddev(round($"l_extendedprice" * 100)).as("sd"))
+      .as[(String, Double)].collect().toMap
+    rows.foreach { case (rf, n, mean, lo, hi) =>
+      assert(lo < mean && mean < hi, s"$rf: [$lo, $hi] !∋ $mean")
+      val half = (hi - lo) / 2
+      val theory = 1.88 * sds(rf) / math.sqrt(n.toDouble)
+      assert(half > theory / 3 && half < theory * 3,
+        s"$rf: half-width $half vs theory $theory")
+    }
+  }
+
   test("quantile sketch: estimate within one bin width of exact") {
     // The estimate is hash-checked against DuckDB by the
     // an_quantile_sketch oracle; this spec pins the ACCURACY contract
