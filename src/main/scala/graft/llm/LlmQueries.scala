@@ -353,6 +353,48 @@ object LlmQueries {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Gopher quality rules (Rae et al. 2021, §A1.1): the published
+    // rule-based document filter — word-count bounds, mean-word-length
+    // band, alpha-word ratio, minimum stopword hits, symbol-to-word
+    // ratio — reported per rule (so a pipeline can audit WHY a doc
+    // fell) plus the conjunction. Pure per-row codegen'd expressions:
+    // zero shuffle, scan-speed at any corpus size. Where
+    // llm_text_quality SCORES, this one GATES with the paper's
+    // thresholds (word count scaled to this corpus's 50-word median).
+    // The clean synthetic corpus passes most gates, so the filter runs
+    // over documents ∪ a CORRUPTED copy (symbol-spammed, de-cased) —
+    // every rule rejects real rows, not vacuously.
+    "llm_gopher_rules" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val corrupted = Tables.documents(s, d).select(
+        ($"doc_id" + 100000L).as("doc_id"),
+        concat(lit("# # # # # # # # # # # # "), upper($"text")).as("text"))
+      val corpus = docs.unionByName(corrupted)
+      val w = words($"text")
+      val nw = size(w).cast("long")
+      val meanLen = aggregate(transform(w, x => length(x).cast("long")),
+        lit(0L), _ + _) * 1.0 / nw
+      val alphaWords = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+      val stopHits = size(filter(w,
+        x => array_contains(array(EN_STOP.map(lit): _*), x))).cast("long")
+      val symbols = size(filter(w,
+        x => x.isin("#", "...") || x.startsWith("#"))).cast("long")
+      def flag(c: org.apache.spark.sql.Column) =
+        when(c, 1L).otherwise(0L)
+      corpus.select(
+          $"doc_id",
+          flag(nw >= 10 && nw <= 1000).as("r_wordcount"),
+          flag(meanLen >= 3.0 && meanLen <= 10.0).as("r_meanlen"),
+          flag(alphaWords * 10L >= nw * 8L).as("r_alpha"),
+          flag(stopHits >= 2L).as("r_stopwords"),
+          flag(symbols * 10L <= nw).as("r_symbols"))
+        .withColumn("pass",
+          flag($"r_wordcount" + $"r_meanlen" + $"r_alpha"
+            + $"r_stopwords" + $"r_symbols" === 5L))
+        .orderBy($"doc_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup = k-means cells +
     // within-cell cosine pruning, keep the id-minimal representative.
     // All-pairs work only inside cells (Σ cluster²); assignment and
@@ -1479,6 +1521,37 @@ object LlmQueries {
         |        AND s_fr >= s_zh THEN 'fr'
         |       ELSE 'zh' END AS predicted
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    "llm_gopher_rules" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         '# # # # # # # # # # # # ' || upper(text)
+        |  FROM documents),
+        |wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |       FROM corpus),
+        |st AS (SELECT doc_id, len(w) AS nw,
+        |         list_sum(list_transform(w, x -> length(x))) AS slen,
+        |         len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |           AS alpha,
+        |         len(list_filter(w, x -> list_contains(
+        |           ['the','a','of','and','in','to','is'], x))) AS stop,
+        |         len(list_filter(w,
+        |           x -> x = '...' OR starts_with(x, '#'))) AS sym
+        |       FROM wt),
+        |r AS (SELECT doc_id,
+        |        CAST(nw >= 10 AND nw <= 1000 AS BIGINT) AS r_wordcount,
+        |        CAST(slen * 1.0 / nw >= 3.0
+        |             AND slen * 1.0 / nw <= 10.0 AS BIGINT) AS r_meanlen,
+        |        CAST(alpha * 10 >= nw * 8 AS BIGINT) AS r_alpha,
+        |        CAST(stop >= 2 AS BIGINT) AS r_stopwords,
+        |        CAST(sym * 10 <= nw AS BIGINT) AS r_symbols
+        |      FROM st)
+        |SELECT doc_id, r_wordcount, r_meanlen, r_alpha, r_stopwords,
+        |       r_symbols,
+        |       CAST(r_wordcount + r_meanlen + r_alpha + r_stopwords
+        |            + r_symbols = 5 AS BIGINT) AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
     "llm_text_quality" ->
       """WITH q AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w
         |           FROM documents),

@@ -1037,6 +1037,44 @@ object Analytics {
     // Data-quality report (the Deequ/great-expectations staple): the
     // whole constraint suite — completeness, validity, uniqueness,
     // range — computed in ONE aggregation pass over the table, then
+    // Two-sample Kolmogorov–Smirnov test, distributed: D is the max
+    // ECDF gap over the DISTINCT value grid, so the state is one
+    // (value → cnt1, cnt2) aggregation + one window over distinct
+    // values (like the quantile sketch's exact verifier — sorted
+    // distinct values, not rows). The gap is kept as the INTEGER
+    // cross-product |cum1·n2 − cum2·n1| until the very end (one exact
+    // max, one division), so D hash-checks bit-for-bit; the asymptotic
+    // p-value is the standard two-term-free approximation
+    // 2·exp(−2λ²). The A-vs-R returnflag split is a null-true case —
+    // the spec pins that D stays below the 1% critical value.
+    "an_ks_test" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .filter($"l_returnflag".isin("A", "R"))
+        .select($"l_returnflag".as("g"),
+          round($"l_extendedprice" * 100).cast("long").as("c"))
+      val vc = li.groupBy($"c").agg(
+        sum(when($"g" === "A", 1L).otherwise(0L)).as("c1"),
+        sum(when($"g" === "R", 1L).otherwise(0L)).as("c2"))
+      val w = Window.orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vc.select($"c",
+        sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"))
+      val ns = li.agg(
+        sum(when($"g" === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when($"g" === "R", 1L).otherwise(0L)).as("n2"))
+      cum.crossJoin(broadcast(ns))
+        .select($"n1", $"n2",
+          abs($"f1" * $"n2" - $"f2" * $"n1").as("gap"))
+        .groupBy($"n1", $"n2").agg(max($"gap").as("gap"))
+        .select($"n1", $"n2",
+          round($"gap" * 1.0 / ($"n1" * $"n2"), 6).as("d"))
+        .withColumn("lambda", round(
+          $"d" * sqrt($"n1" * 1.0 * $"n2" / ($"n1" + $"n2")), 6))
+        .withColumn("p_approx", round(
+          lit(2.0) * exp(lit(-2.0) * $"lambda" * $"lambda"), 6))
+    }),
+
     // Poisson bootstrap confidence interval (Efron 1979; the
     // Poisson(1)-weight formulation is THE distributed bootstrap —
     // Chamandy et al., "Estimating Uncertainty for Massive Data
@@ -1896,6 +1934,37 @@ object Analytics {
         |  UNION ALL SELECT '06_unique_orderkey', distinct_key::DOUBLE,
         |         CAST(distinct_key = row_count AS BIGINT) FROM m)
         |ORDER BY chk""".stripMargin,
+    "an_ks_test" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |            FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |vc AS (SELECT c,
+        |         CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c1,
+        |         CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c2
+        |       FROM li GROUP BY c),
+        |cum AS (SELECT c,
+        |          CAST(sum(c1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS f1,
+        |          CAST(sum(c2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS f2
+        |        FROM vc),
+        |ns AS (SELECT CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS n1,
+        |              CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END)
+        |                AS BIGINT) AS n2
+        |       FROM li),
+        |gap AS (SELECT n1, n2,
+        |          CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS gap
+        |        FROM cum CROSS JOIN ns GROUP BY n1, n2),
+        |dd AS (SELECT n1, n2, round(gap * 1.0 / (n1 * n2), 6) AS d
+        |       FROM gap),
+        |lam AS (SELECT *, round(d * sqrt(n1 * 1.0 * n2 / (n1 + n2)), 6)
+        |          AS lambda FROM dd)
+        |SELECT n1, n2, d, lambda,
+        |       round(2.0 * exp(-2.0 * lambda * lambda), 6) AS p_approx
+        |FROM lam""".stripMargin,
     "an_bootstrap" ->
       s"""WITH li AS (SELECT l_returnflag,
         |              CAST(round(l_extendedprice * 100) AS BIGINT) AS c,

@@ -200,6 +200,18 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("KS test: null-true split stays under the 1% critical value") {
+    // A-vs-R returnflag is an arbitrary split of the same price
+    // distribution — D must sit below c(0.01)·sqrt((n1+n2)/(n1·n2))
+    // with c(0.01) = 1.628, and the p approximation must not reject.
+    val (n1, n2, d, _, p) = SparkEntry.queries("an_ks_test")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    val crit = 1.628 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2))
+    assert(d < crit, s"D=$d >= 1% critical $crit on a null-true split")
+    assert(p > 0.01, s"p=$p rejects a null-true split")
+  }
+
   test("Poisson bootstrap: CI brackets the exact mean, width ~ theory") {
     // CLT check: the half-width of the ~94% percentile interval should
     // be within a loose factor of 1.88*sd/sqrt(n); and lo < mean < hi.

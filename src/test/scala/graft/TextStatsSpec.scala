@@ -79,4 +79,20 @@ class TextStatsSpec extends AnyFunSuite with SparkSpec {
       (1L, 2L, "a", 0.0),
       (2L, 1L, "a", 0.0)))
   }
+
+  test("gopher rules: the corrupted copy fails the gates its mutation trips") {
+    // corpus = documents ∪ symbol-spammed upper-cased copies (+100000):
+    // every corrupted doc must fail alpha + stopwords + symbols and the
+    // conjunction; originals must all pass alpha and symbols.
+    val rows = SparkEntry.queries("llm_gopher_rules")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val (orig, corr) = rows.partition(_._1 < 100000L)
+    assert(orig.nonEmpty && corr.length === orig.length)
+    corr.foreach { case (id, _, _, alpha, stop, sym, pass) =>
+      assert(alpha === 0L && stop === 0L && sym === 0L && pass === 0L,
+        s"corrupted $id slipped a gate")
+    }
+    assert(orig.forall(r => r._4 === 1L && r._6 === 1L)) // alpha, symbols
+    assert(orig.exists(_._7 === 1L)) // and some originals pass everything
+  }
 }
