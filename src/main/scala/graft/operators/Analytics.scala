@@ -1056,10 +1056,28 @@ object Analytics {
       val vc = li.groupBy($"c").agg(
         sum(when($"g" === "A", 1L).otherwise(0L)).as("c1"),
         sum(when($"g" === "R", 1L).otherwise(0L)).as("c2"))
-      val w = Window.orderBy($"c")
+      // the global ECDF cum-sum runs PARTITIONED: 128 range bins, with
+      // bin offsets from a bounded (≤128-row) driver collect — the
+      // an_ntile two-pass shape; a bare Window.orderBy(c) would put
+      // every distinct value in one task
+      val stats = vc.agg(min($"c"), max($"c")).first()
+      val (lo, span) = (stats.getLong(0), stats.getLong(1) - stats.getLong(0) + 1)
+      val binned = vc.withColumn("bin", expr(s"((c - $lo) * 128) DIV $span"))
+      val binTotals = binned.groupBy($"bin")
+        .agg(sum($"c1").as("b1"), sum($"c2").as("b2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      var (a1, a2) = (0L, 0L)
+      val offDf = binTotals.toSeq.map { case (b, s1v, s2v) =>
+        val row = (b, a1, a2); a1 += s1v; a2 += s2v; row
+      }.toDF("bin", "o1", "o2")
+      val wBin = Window.partitionBy($"bin").orderBy($"c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = vc.select($"c",
-        sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"))
+      val cum = binned
+        .withColumn("l1", sum($"c1").over(wBin))
+        .withColumn("l2", sum($"c2").over(wBin))
+        .join(broadcast(offDf), "bin")
+        .select(($"l1" + $"o1").as("f1"), ($"l2" + $"o2").as("f2"))
       val ns = li.agg(
         sum(when($"g" === "A", 1L).otherwise(0L)).as("n1"),
         sum(when($"g" === "R", 1L).otherwise(0L)).as("n2"))
