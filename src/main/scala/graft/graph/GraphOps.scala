@@ -436,9 +436,10 @@ object GraphOps {
         .unionByName(mS.select($"m".as("a"), $"b"))
         .filter($"a" =!= $"b").distinct()
         .localCheckpoint(true)
-      // exact fixpoint probe on the shrunken sets (≤1 row collected)
-      converged =
-        small.except(e).limit(1).isEmpty && e.except(small).limit(1).isEmpty
+      // exact fixpoint probe on the shrunken sets (≤1 row collected;
+      // both directions of the symmetric difference in ONE job)
+      converged = small.except(e).unionByName(e.except(small))
+        .limit(1).isEmpty
       e = small
       round += 1
     }

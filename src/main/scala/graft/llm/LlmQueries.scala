@@ -629,6 +629,42 @@ object LlmQueries {
       Retrieval.bigramNll(Tables.documents(s, d)).orderBy($"doc_id")
     }),
 
+    // CCNet perplexity bucketing (Wenzek et al. 2019): split the
+    // corpus into head/middle/tail TERCILES by LM quality — the
+    // published pre-training recipe (train preferentially on the
+    // head). Score = the llm_quality_lm bigram NLL; the tercile
+    // assignment avoids a global rank window via the an_ntile two-pass
+    // shape: 256 integer micro-NLL range bins, bin offsets from a
+    // bounded ≤256-row collect, within-bin PARTITIONED rank. Ties
+    // break on doc_id, so the split is total and engine-portable.
+    "llm_ccnet_buckets" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scored = Retrieval.bigramNll(Tables.documents(s, d))
+        .select($"doc_id", $"nll",
+          (round($"nll" * 1e6)).cast("long").as("m"))
+      val stats = scored.agg(min($"m"), max($"m"), count(lit(1))).first()
+      val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      val span = hi - lo + 1
+      val binned = scored.withColumn("bin",
+        expr(s"((m - $lo) * 256) DIV $span"))
+      val hist = binned.groupBy($"bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offDf = hist.toSeq.map { case (b, c) =>
+        val row = (b, acc); acc += c; row
+      }.toDF("bin", "off")
+      val wBin = Window.partitionBy($"bin").orderBy($"m", $"doc_id")
+      binned.withColumn("rn", row_number().over(wBin).cast("long"))
+        .join(broadcast(offDf), "bin")
+        .withColumn("r", $"rn" + $"off")
+        .withColumn("t", expr(s"((r - 1) * 3) DIV $n"))
+        .select($"doc_id", $"nll",
+          when($"t" === 0L, "head").when($"t" === 1L, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy($"doc_id")
+    }),
+
     // PMI co-occurrence: pointwise mutual information of token pairs
     // within a ±2 window — the association statistic behind
     // word-vector prep, collocation mining and phrase detection.
@@ -1764,6 +1800,30 @@ object LlmQueries {
         |       round(avg(-ln(p.p)), 6) AS nll
         |FROM bg b JOIN probs p USING (w1, w2)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "llm_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |             FROM documents),
+        |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+        |              unnest(w[2:len(w)]) AS w2
+        |       FROM tok WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg
+        |        GROUP BY w1, w2),
+        |probs AS (SELECT c.w1, c.w2, c.n12 * 1.0 / t.n1 AS p
+        |          FROM c12 c JOIN (SELECT w1, CAST(sum(n12) AS BIGINT)
+        |                             AS n1 FROM c12 GROUP BY w1) t
+        |          USING (w1)),
+        |scored AS (SELECT b.doc_id, round(avg(-ln(p.p)), 6) AS nll
+        |           FROM bg b JOIN probs p USING (w1, w2)
+        |           GROUP BY b.doc_id),
+        |n AS (SELECT count(*) AS n FROM scored),
+        |ranked AS (SELECT doc_id, nll,
+        |             row_number() OVER (ORDER BY round(nll * 1e6), doc_id)
+        |               AS r
+        |           FROM scored)
+        |SELECT doc_id, nll,
+        |       CASE ((r - 1) * 3) // n.n WHEN 0 THEN 'head'
+        |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM ranked CROSS JOIN n ORDER BY doc_id""".stripMargin,
     "llm_pmi_cooccur" ->
       """WITH tok AS (SELECT string_split(trim(text), ' ') AS w
         |             FROM documents),

@@ -80,6 +80,20 @@ class TextStatsSpec extends AnyFunSuite with SparkSpec {
       (2L, 1L, "a", 0.0)))
   }
 
+  test("ccnet buckets: balanced terciles, ordered by LM quality") {
+    val rows = SparkEntry.queries("llm_ccnet_buckets")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, Double, String)].collect()
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // terciles balanced within 1
+    val sizes = byBucket.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: $byBucket")
+    // head = lowest perplexity proxy: max(head) <= min(middle) etc.
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
+
   test("gopher rules: the corrupted copy fails the gates its mutation trips") {
     // corpus = documents ∪ symbol-spammed upper-cased copies (+100000):
     // every corrupted doc must fail alpha + stopwords + symbols and the
