@@ -1037,6 +1037,37 @@ object Analytics {
     // Data-quality report (the Deequ/great-expectations staple): the
     // whole constraint suite — completeness, validity, uniqueness,
     // range — computed in ONE aggregation pass over the table, then
+    // One-pass OLS linear regression per group (closed form): slope,
+    // intercept and R² from five EXACT power sums — n, Σx, Σy, Σxy,
+    // Σx², Σy² (cents; products in decimal(38) ↔ DuckDB HUGEINT, the
+    // an_corr_matrix discipline) — so a 1000-executor partial agg is
+    // bit-identical to the oracle, and the only float math runs once
+    // on the agreed sums. Shuffle carries 3 group rows. The regression
+    // the reference's driver-side stats could never do distributed.
+    "an_ols" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_returnflag",
+        round($"l_quantity" * 100).cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      def big(c: String) = col(c).cast("decimal(38,0)")
+      val agg = li.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum(big("x") * big("y")).as("sxy"),
+        sum(big("x") * big("x")).as("sxx"),
+        sum(big("y") * big("y")).as("syy"))
+      // Σx·Σy overflows a long (≈1.8e22 at sf0.1) — ANSI mode would
+      // throw; keep every cross-product in decimal(38)
+      val num = ($"n" * $"sxy" - big("sx") * big("sy")).cast("double")
+      val dx = ($"n" * $"sxx" - big("sx") * big("sx")).cast("double")
+      val dy = ($"n" * $"syy" - big("sy") * big("sy")).cast("double")
+      agg.select($"l_returnflag", $"n",
+          round(num / dx, 6).as("slope"),
+          round((num / dx) * lit(-1.0) * ($"sx".cast("double") / $"n")
+            + $"sy".cast("double") / $"n", 4).as("intercept"),
+          round(num * num / (dx * dy), 6).as("r2"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Two-sample Kolmogorov–Smirnov test, distributed: D is the max
     // ECDF gap over the DISTINCT value grid, so the state is one
     // (value → cnt1, cnt2) aggregation + one window over distinct
@@ -1952,6 +1983,27 @@ object Analytics {
         |  UNION ALL SELECT '06_unique_orderkey', distinct_key::DOUBLE,
         |         CAST(distinct_key = row_count AS BIGINT) FROM m)
         |ORDER BY chk""".stripMargin,
+    "an_ols" ->
+      """WITH li AS (SELECT l_returnflag,
+        |              CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |            FROM lineitem),
+        |s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx,
+        |        sum(y::HUGEINT * y) AS syy
+        |      FROM li GROUP BY 1),
+        |f AS (SELECT l_returnflag, n,
+        |        (n * sxy - sx::HUGEINT * sy)::DOUBLE AS num,
+        |        (n * sxx - sx::HUGEINT * sx)::DOUBLE AS dx,
+        |        (n * syy - sy::HUGEINT * sy)::DOUBLE AS dy,
+        |        sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+        |      FROM s)
+        |SELECT l_returnflag, n, round(num / dx, 6) AS slope,
+        |       round((num / dx) * -1.0 * (sxd / n) + syd / n, 4)
+        |         AS intercept,
+        |       round(num * num / (dx * dy), 6) AS r2
+        |FROM f ORDER BY l_returnflag""".stripMargin,
     "an_ks_test" ->
       """WITH li AS (SELECT l_returnflag AS g,
         |              CAST(round(l_extendedprice * 100) AS BIGINT) AS c

@@ -200,6 +200,26 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("OLS power sums agree with Spark's regr_slope/regr_intercept/corr") {
+    val got = SparkEntry.queries("an_ols")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Double, Double, Double)].collect()
+    val want = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select($"l_returnflag",
+        round($"l_quantity" * 100).cast("double").as("x"),
+        round($"l_extendedprice" * 100).cast("double").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(y, x)").as("sl"),
+        expr("regr_intercept(y, x)").as("ic"), corr($"y", $"x").as("r"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    got.foreach { case (rf, _, slope, intercept, r2) =>
+      val (sl, ic, r) = want(rf)
+      assert(math.abs(slope - sl) < 1e-3, s"$rf slope $slope vs $sl")
+      assert(math.abs(intercept - ic) < 1.0, s"$rf intercept")
+      assert(math.abs(r2 - r * r) < 1e-6, s"$rf r2 $r2 vs ${r * r}")
+    }
+  }
+
   test("KS test: null-true split stays under the 1% critical value") {
     // A-vs-R returnflag is an arbitrary split of the same price
     // distribution — D must sit below c(0.01)·sqrt((n1+n2)/(n1·n2))
