@@ -1037,6 +1037,36 @@ object Analytics {
     // Data-quality report (the Deequ/great-expectations staple): the
     // whole constraint suite — completeness, validity, uniqueness,
     // range — computed in ONE aggregation pass over the table, then
+    // Market-basket affinity (support / confidence / lift — Agrawal &
+    // Srikant's association-rule statistics, pair depth): co-purchase
+    // pairs explode ORDER-LOCALLY (the g10 wedge discipline — fan-out
+    // bounded by basket size², never corpus²), pair supports
+    // partial-agg; item supports and the basket count broadcast back.
+    // Lift is a ratio of exact longs rounded once; top-20 by lift is
+    // TakeOrderedAndProject. The min-support floor (co-count ≥ 3)
+    // is what keeps the tail from dominating — the standard a-priori
+    // pruning knob.
+    "an_basket_lift" -> ((s, d) => {
+      import s.implicits._
+      val items = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("oid"), $"l_partkey".as("item")).distinct()
+      val nOrders = items.select($"oid").distinct().count()
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.oid") === col("y.oid") && col("x.item") < col("y.item"))
+        .select(col("x.item").as("a"), col("y.item").as("b"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= 3)
+      val supp = items.groupBy($"item").agg(count(lit(1)).as("c"))
+      pairs
+        .join(supp.select($"item".as("a"), $"c".as("c_a")), "a")
+        .join(supp.select($"item".as("b"), $"c".as("c_b")), "b")
+        .select($"a", $"b", $"c_ab", $"c_a", $"c_b",
+          round(lit(nOrders) * $"c_ab" * 1.0 / ($"c_a" * $"c_b"), 6)
+            .as("lift"),
+          round($"c_ab" * 1.0 / $"c_a", 6).as("conf"))
+        .orderBy($"lift".desc, $"a", $"b").limit(20)
+    }),
+
     // One-pass OLS linear regression per group (closed form): slope,
     // intercept and R² from five EXACT power sums — n, Σx, Σy, Σxy,
     // Σx², Σy² (cents; products in decimal(38) ↔ DuckDB HUGEINT, the
@@ -1983,6 +2013,24 @@ object Analytics {
         |  UNION ALL SELECT '06_unique_orderkey', distinct_key::DOUBLE,
         |         CAST(distinct_key = row_count AS BIGINT) FROM m)
         |ORDER BY chk""".stripMargin,
+    "an_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+        |               FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n FROM items),
+        |pairs AS (SELECT x.item AS a, y.item AS b,
+        |                 CAST(count(*) AS BIGINT) AS c_ab
+        |          FROM items x JOIN items y
+        |            ON x.oid = y.oid AND x.item < y.item
+        |          GROUP BY 1, 2 HAVING count(*) >= 3),
+        |supp AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM items
+        |         GROUP BY 1)
+        |SELECT a, b, c_ab, sa.c AS c_a, sb.c AS c_b,
+        |       round(n.n * c_ab * 1.0 / (sa.c * sb.c), 6) AS lift,
+        |       round(c_ab * 1.0 / sa.c, 6) AS conf
+        |FROM pairs JOIN supp sa ON a = sa.item
+        |           JOIN supp sb ON b = sb.item
+        |           CROSS JOIN n
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
     "an_ols" ->
       """WITH li AS (SELECT l_returnflag,
         |              CAST(round(l_quantity * 100) AS BIGINT) AS x,

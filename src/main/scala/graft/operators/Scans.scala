@@ -229,6 +229,38 @@ object Scans {
         .agg(count(lit(1)).as("n"),
           sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
         .orderBy($"o_orderstatus")
+    }),
+
+    // S16 (extra): SCHEMA EVOLUTION on a landing zone — a long-lived
+    // 100-TB table's files NEVER share one schema: early batches
+    // predate later columns. Staged as two generations (gen1 without
+    // o_orderstatus, gen2 with it), read back with mergeSchema; the
+    // pre-evolution rows surface the added column as NULL and the
+    // aggregate proves both generations' rows and the evolved column
+    // survive. (mergeSchema costs a footer pass per file — at scale
+    // pin the merged schema in a catalog and pass it explicitly; the
+    // read semantics are identical.)
+    "s16_schema_evolution" -> ((s, d) => {
+      import s.implicits._
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val dir = RepoPaths.target(s"graft_fmt/evo_orders_$slug")
+      val marker = s"$dir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s16 v1 $d")) {
+        val o = Tables.orders(s, d)
+        o.filter($"o_orderkey" % 2 === 0)
+          .select($"o_orderkey", $"o_totalprice")
+          .write.mode("overwrite").parquet(s"$dir/data/gen=1")
+        o.filter($"o_orderkey" % 2 =!= 0)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          .write.mode("overwrite").parquet(s"$dir/data/gen=2")
+        graft.sources.kv.GraftFs.writeString(marker, s"s16 v1 $d")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$dir/data")
+        .groupBy(coalesce($"o_orderstatus", lit("__pre_evolution__"))
+          .as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+        .orderBy($"status")
     })
   )
 
@@ -289,6 +321,13 @@ object Scans {
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |         AS cents
         |FROM orders o JOIN dim USING (o_orderstatus)
-        |GROUP BY o.o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o.o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "s16_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '__pre_evolution__'
+        |            ELSE o_orderstatus END AS status,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
   )
 }

@@ -200,6 +200,20 @@ class SkewAndSketchSpec extends AnyFunSuite with SparkSpec {
     assert(streamed === batch)
   }
 
+  test("basket lift: invariants (lift floor via min-support, conf <= 1)") {
+    val rows = SparkEntry.queries("an_basket_lift")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (a, b, cab, ca, cb, lift, conf) =>
+      assert(a < b && cab >= 3 && cab <= math.min(ca, cb))
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(lift > 0.0)
+    }
+    // ranked descending by lift
+    assert(rows.map(_._6).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("OLS power sums agree with Spark's regr_slope/regr_intercept/corr") {
     val got = SparkEntry.queries("an_ols")(spark, "/root/testdata/sf0.01")
       .as[(String, Long, Double, Double, Double)].collect()
