@@ -931,6 +931,66 @@ object WriteQueries {
         .orderBy($"grp")
     }),
 
+    // §2.10 (extra): stream-stream LEFT OUTER interval join — st5's
+    // inner match plus the UNMATCHED clicks, which a streaming join
+    // can only emit once the watermark proves no in-interval purchase
+    // can still arrive (state eviction = null-extension time). Two
+    // far-future sentinel PAIRS (one per side, mtime-ordered after the
+    // real data) advance both sides' watermarks and then trigger the
+    // cleanup batch in which the null-extended rows land — the st2
+    // flush discipline applied to join state. At 100 TB/day the join
+    // state is still watermark-horizon-bounded per side; the outer
+    // rows add no state, only deferred emission.
+    "st15_stream_left_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val stage = stageOnce(s, "st15", d, version = 1) { dir =>
+        val maxNs = ev.agg(max($"ts")).as[Long].head()
+        def sentinel(tpe: String, hours: Long): Unit = ev.limit(1)
+          .withColumn("ts", lit(maxNs + hours * 3600L * 1000000000L))
+          .withColumn("event_type", lit(tpe))
+          .withColumn("user_id", lit(-1L))
+          .coalesce(1).write.mode("append").parquet(dir)
+        graft.streaming.Staging.ordered(dir)(
+          () => ev.coalesce(1).write.mode("overwrite").parquet(dir),
+          () => sentinel("click", 240L),
+          () => sentinel("purchase", 240L),
+          () => sentinel("click", 241L),
+          () => sentinel("purchase", 241L))
+      }
+      val schema = ev.schema
+      def side(tpe: String, prefix: String) =
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .filter($"event_type" === tpe)
+          .select($"user_id".as(s"${prefix}_user"),
+            $"event_id".as(s"${prefix}_id"),
+            expr("CAST(ts DIV 1000000000 AS TIMESTAMP)").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        $"c_user" === $"p_user" &&
+          $"p_ts" >= $"c_ts" &&
+          $"p_ts" < $"c_ts" + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      val out = RepoPaths.target("graft_stream/st15_out")
+      KVTable.deleteRecursively(out)
+      withStreamPartitions(s) {
+        val q = joined.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.IdempotentSink.parquet(out)(
+              batch.filter(col("c_user") >= 0)
+                .select(col("c_user").as("user_id"),
+                  col("c_id").as("click_id"), col("p_id").as("purchase_id"),
+                  (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+                    .as("gap_sec")), batchId)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      graft.streaming.IdempotentSink.read(s, out)
+        .orderBy($"user_id", $"click_id", $"purchase_id")
+    }),
+
     // §2.10 (extra): STREAMING heavy hitters — the mergeable-sketch
     // story run over a stream: each micro-batch reduces to a partial
     // count-min sketch (≤ d×w cells no matter the batch size) landed
@@ -1475,6 +1535,18 @@ object WriteQueries {
     "st4_stream_dedup" ->
       """SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS cents
         |FROM events ORDER BY event_id""".stripMargin,
+    "st15_stream_left_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |             epoch_ns(ts) // 1000000000 AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |        epoch_ns(ts) // 1000000000 AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |       p.pts - c.cts AS gap_sec
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.cts AND p.pts < c.cts + 1800
+        |ORDER BY c.user_id, c.click_id, p.purchase_id NULLS FIRST""".stripMargin,
     // batch recompute of the merged stream sketch — per-cell SUM over
     // partial sketches is exact, so the streaming answer must equal
     // the one-shot an_heavy_hitters computation

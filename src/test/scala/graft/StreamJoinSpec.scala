@@ -83,4 +83,29 @@ class StreamJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected,
       s"multi-batch interval join diverged: missing=${expected -- got}, extra=${got -- expected}")
   }
+
+  test("left-outer stream join: every click survives, unmatched null-extended") {
+    // The watermark-eviction contract: once the sentinels push the
+    // watermark past every real click's interval, the unmatched clicks
+    // MUST have been emitted null-extended — no click is lost, no
+    // click duplicated, and matched rows carry an in-interval gap.
+    val rows = SparkEntry.queries("st15_stream_left_join")(
+        spark, sf).collect()
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    val matched = rows.filter(!_.isNullAt(2))
+    val unmatched = rows.filter(_.isNullAt(2))
+    assert(matched.nonEmpty && unmatched.nonEmpty, "degenerate fixture")
+    // per-click row count: 1 if unmatched, else #matches — distinct
+    // click ids must cover every click exactly
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length === clicks)
+    assert(unmatched.map(_.getLong(1)).toSet
+      .intersect(matched.map(_.getLong(1)).toSet).isEmpty,
+      "a click is both matched and null-extended")
+    matched.foreach { r =>
+      val gap = r.getLong(3)
+      assert(gap >= 0 && gap < 1800, s"out-of-interval match gap=$gap")
+    }
+  }
 }
