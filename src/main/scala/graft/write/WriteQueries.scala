@@ -944,19 +944,27 @@ object WriteQueries {
     "st15_stream_left_join" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
-      val stage = stageOnce(s, "st15", d, version = 1) { dir =>
+      val stage = stageOnce(s, "st15", d, version = 3) { dir =>
         val maxNs = ev.agg(max($"ts")).as[Long].head()
-        def sentinel(tpe: String, hours: Long): Unit = ev.limit(1)
-          .withColumn("ts", lit(maxNs + hours * 3600L * 1000000000L))
-          .withColumn("event_type", lit(tpe))
-          .withColumn("user_id", lit(-1L))
-          .coalesce(1).write.mode("append").parquet(dir)
+        // both sides' sentinels share ONE file per flush step: each
+        // micro-batch costs a full state-store commit cycle across
+        // every partition of all four join state stores, so batch
+        // count — not row count — dominates at test scale; 3 batches
+        // total (data, watermark-advance, eviction). In production,
+        // event-time-ordered ingestion drains outer state continuously
+        // — the per-trigger commit cost amortizes over the interval.
+        def sentinelPair(hours: Long): Unit = {
+          val base = ev.limit(1)
+            .withColumn("ts", lit(maxNs + hours * 3600L * 1000000000L))
+            .withColumn("user_id", lit(-1L))
+          base.withColumn("event_type", lit("click"))
+            .unionByName(base.withColumn("event_type", lit("purchase")))
+            .coalesce(1).write.mode("append").parquet(dir)
+        }
         graft.streaming.Staging.ordered(dir)(
           () => ev.coalesce(1).write.mode("overwrite").parquet(dir),
-          () => sentinel("click", 240L),
-          () => sentinel("purchase", 240L),
-          () => sentinel("click", 241L),
-          () => sentinel("purchase", 241L))
+          () => sentinelPair(240L),
+          () => sentinelPair(241L))
       }
       val schema = ev.schema
       def side(tpe: String, prefix: String) =
