@@ -395,6 +395,32 @@ object LlmQueries {
         .orderBy($"doc_id")
     }),
 
+    // Johnson–Lindenstrauss random projection (64 → 16 dims) with the
+    // ±1 (Achlioptas 2003) scheme over the engine's deterministic
+    // plane weights — the dimensionality-reduction front-end for any
+    // downstream ANN/cluster pass (4× smaller vectors, distances
+    // preserved within JL bounds — spec-pinned). Coordinates are
+    // computed over INTEGER micro-unit inputs, so every projected
+    // value is an exact 64-bit sum — associative, engine-portable,
+    // hash-checkable. Pure per-row array math: zero shuffle, scan
+    // speed at any corpus size.
+    "llm_jl_project" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))")
+            .as("m"))
+        .select($"vec_id", explode(sequence(lit(0L), lit(15L))).as("p"), $"m")
+        .select($"vec_id", $"p", expr(
+          """aggregate(
+            |  transform(m, (x, j) ->
+            |    CASE WHEN (shiftright(p * 2654435761 + CAST(j AS BIGINT)
+            |                            * 40503, 7) & 1) = 1
+            |         THEN x ELSE -x END),
+            |  0L, (a, b) -> a + b)""".stripMargin).as("coord"))
+        .orderBy($"vec_id", $"p")
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup = k-means cells +
     // within-cell cosine pruning, keep the id-minimal representative.
     // All-pairs work only inside cells (Σ cluster²); assignment and
@@ -1492,6 +1518,16 @@ object LlmQueries {
         |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+    "llm_jl_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT vec_id, j, CAST(round(e[j+1] * 1e6) AS BIGINT) AS m
+        |      FROM e, range(64) rj(j))
+        |SELECT vec_id, p,
+        |       CAST(sum(CASE WHEN ((p * 2654435761 + j * 40503) >> 7) & 1 = 1
+        |                     THEN m ELSE -m END) AS BIGINT) AS coord
+        |FROM m, range(16) rp(p)
+        |GROUP BY vec_id, p
+        |ORDER BY vec_id, p""".stripMargin,
     // SemDeDup tail over the same two-round k-means assignment:
     // within-cluster pairs over threshold drop the larger id
     "llm_semdedup" -> (KMEANS_CTE +

@@ -450,6 +450,34 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(one - 1.0) < 1e-12)
   }
 
+  test("JL projection preserves pairwise distances within JL bounds") {
+    // ±1 projection to k=16: E[||Pa−Pb||²] = k·||a−b||², per-pair std
+    // ≈ sqrt(2/k) ≈ 35% — assert every sampled pair inside a loose 5σ
+    // band and the median ratio tight around 1.
+    val proj = SparkEntry.queries("llm_jl_project")(
+        spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toDouble / 1e6))
+      .toMap
+    val orig = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val ids = orig.keys.toSeq.sorted
+    val pairs = ids.indices.take(60).map(i =>
+      (ids(i), ids((i * 37 + 11) % ids.length))).filter(p => p._1 != p._2)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = pairs.map { case (a, b) =>
+      (d2(proj(a).toSeq, proj(b).toSeq) / 16.0) / d2(orig(a), orig(b))
+    }.sorted
+    // hard band ~ the χ²_16/16 tails (an extreme pair at k=16 can
+    // land near 0.13 — observed 0.147 on this corpus)
+    assert(ratios.forall(r => r > 0.1 && r < 5.0),
+      s"JL bound violated: min ${ratios.head}, max ${ratios.last}")
+    val median = ratios(ratios.length / 2)
+    assert(median > 0.7 && median < 1.4, s"median ratio $median")
+  }
+
   test("semDedup: keep/drop is exactly the pairwise id-minimal policy") {
     // a dropped vector has SOME lower-id cluster-mate over threshold;
     // a kept vector has NONE — asserted against an independent exact
