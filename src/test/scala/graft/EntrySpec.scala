@@ -15,4 +15,24 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
+
+  test("no orphan oracles, no duplicate registrations across modules") {
+    // an oracle whose query was renamed/removed silently weakens the
+    // gate (the driver only checks registered queries)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+    // the query map is a ++ of per-module maps — a name collision
+    // would silently shadow one module's operator with another's
+    val modules = Seq(
+      operators.Scans.queries, operators.Filters.queries,
+      operators.Joins.queries, operators.Aggs.queries,
+      operators.Windows.queries, operators.SetOps.queries,
+      operators.Analytics.queries, graph.GraphQueries.queries,
+      write.WriteQueries.queries, functions.CodecQueries.queries,
+      llm.LlmQueries.queries)
+    val all = modules.flatMap(_.keys)
+    val dups = all.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"query names registered twice: $dups")
+    assert(all.length === SparkEntry.queries.size)
+  }
 }
