@@ -81,13 +81,19 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
-    // Exact dedup: corpus = documents ∪ an uppercased copy (ids+100000);
-    // normalization (lower/trim) + one hash-groupBy finds every pair.
+    // Exact dedup: corpus = documents ∪ an uppercased copy whose ids
+    // shift by max(doc_id)+1 — derived from the corpus itself, so the
+    // synthetic namespace stays disjoint at ANY corpus size (a fixed
+    // +offset would silently collide past it) while kept_id = min
+    // still picks the ORIGINAL of each pair. The offset is a scalar
+    // agg collect (one number to the driver), same class as the BPE
+    // winner pick.
     "llm_dedup_exact" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val off = docs.agg(max($"doc_id")).head.getLong(0) + 1L
       val corpus = docs.unionByName(
-        docs.select(($"doc_id" + 100000L).as("doc_id"), upper($"text").as("text")))
+        docs.select(($"doc_id" + off).as("doc_id"), upper($"text").as("text")))
       Dedup.exact(corpus).orderBy($"doc_id")
     }),
 
@@ -366,9 +372,12 @@ object LlmQueries {
     // every rule rejects real rows, not vacuously.
     "llm_gopher_rules" -> ((s, d) => {
       import s.implicits._
+      // corrupted ids live in the NEGATIVE namespace (-id-1), disjoint
+      // from real doc_ids by construction at any corpus size — a fixed
+      // +offset would silently collide once the corpus outgrew it
       val docs = Tables.documents(s, d).select($"doc_id", $"text")
       val corrupted = Tables.documents(s, d).select(
-        ($"doc_id" + 100000L).as("doc_id"),
+        (-$"doc_id" - 1L).as("doc_id"),
         concat(lit("# # # # # # # # # # # # "), upper($"text")).as("text"))
       val corpus = docs.unionByName(corrupted)
       val w = words($"text")
@@ -1046,7 +1055,9 @@ object LlmQueries {
         |            FROM documents),
         |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM wt),
         |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f
-        |       FROM wt, range(1, 600) r(i) WHERE i + 1 <= len(w)),
+        |       FROM (SELECT doc_id, lang, w,
+        |               unnest(generate_series(1, len(w) - 1)) AS i
+        |             FROM wt)),
         |fb AS (SELECT doc_id, lang, ${h("f")} % 64 AS b
         |       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bg)),
         |pb AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
@@ -1074,7 +1085,10 @@ object LlmQueries {
     "llm_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, upper(text) FROM documents),
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |         upper(text)
+        |  FROM documents),
         |h AS (SELECT doc_id, md5(lower(trim(text))) AS nh FROM corpus),
         |g AS (SELECT nh, min(doc_id) AS kept_id,
         |             CAST(count(*) AS BIGINT) AS group_size
@@ -1597,7 +1611,7 @@ object LlmQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT -doc_id - 1,
         |         '# # # # # # # # # # # # ' || upper(text)
         |  FROM documents),
         |wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w

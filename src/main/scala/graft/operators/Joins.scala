@@ -276,7 +276,10 @@ object Joins {
     // might_contain in the executed fact scan.
     "j15_bloom_join" -> ((s, d) => {
       import s.implicits._
-      val out = graft.RepoPaths.target("graft_join/j15_out")
+      // slugged per dataset like the Scans staging dirs, so runs
+      // against different SFs never clobber each other's artifact
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val out = graft.RepoPaths.target(s"graft_join/j15_out_$slug")
       withBloomThreshold(s) {
         // executes UNDER the lowered threshold (plans are lazy — a
         // try/finally around a returned DataFrame would restore the

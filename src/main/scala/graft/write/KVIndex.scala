@@ -60,16 +60,28 @@ object KVIndex {
 
   /** All base keys whose CURRENT (family, qualifier) value equals
     * `value`, with the verified value column: index point-read →
-    * broadcast key set → base multi-get → read-repair filter. */
+    * key set → base multi-get → read-repair filter.
+    *
+    * The candidate key set broadcasts only while it provably fits: a
+    * `limit(maxBroadcastKeys+1)` probe (the repo's bounded-probe
+    * idiom) counts at most one row past the cap, and a HOT value
+    * matching more keys than that falls back to a plain shuffle join —
+    * O(matching rows) either way, never a blown broadcast. The probe
+    * re-runs the index point-read once, but that read is a
+    * bucket-pruned point scan (≤ one bucket's files), so the probe
+    * costs a point read, not a table scan. */
   def lookup(base: KVTable, family: String, qualifier: String,
-      value: Column): DataFrame = {
+      value: Column, maxBroadcastKeys: Int = 100000): DataFrame = {
     val idx = indexTable(base, family, qualifier)
     val candidates = idx.resolved()
       .filter(col("key") === graft.llm.TextOps.sharedHash(value))
       .select(col("qualifier").cast("long").as("key")).distinct()
+    val fitsBroadcast =
+      candidates.limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
+    val keys = if (fitsBroadcast) broadcast(candidates) else candidates
     base.resolved()
       .filter(col("family") === family && col("qualifier") === qualifier)
-      .join(broadcast(candidates), "key")
+      .join(keys, "key")
       .filter(col("value") === value) // read-repair: drop stale pointers
       .select(col("key"), col("value"))
   }

@@ -47,6 +47,20 @@ class KVIndexSpec extends AnyFunSuite with SparkSpec {
       .select($"key").as[Long].collect().toSet === Set(2L))
   }
 
+  test("hot-value lookup past the broadcast cap falls back to a shuffle join") {
+    // a value matching more keys than maxBroadcastKeys must take the
+    // non-broadcast path and still return the identical verified set
+    val t = freshTable("idx3")
+    KVIndex.put(t, "F", "color",
+      cells((1L to 8L).map(_ -> "red") :+ (9L -> "blue"), 1L))
+    val viaShuffle = KVIndex.lookup(t, "F", "color", lit("red"),
+      maxBroadcastKeys = 1).select($"key").as[Long].collect().toSet
+    val viaBroadcast = KVIndex.lookup(t, "F", "color", lit("red"))
+      .select($"key").as[Long].collect().toSet
+    assert(viaShuffle === (1L to 8L).toSet)
+    assert(viaShuffle === viaBroadcast)
+  }
+
   test("index entries carry the value for collision re-verification") {
     val idx = KVIndex.indexCells(cells(Seq(7L -> "red"), 1L), "F", "color")
       .as[(Long, String, String, String, Long)].collect()

@@ -95,12 +95,13 @@ class TextStatsSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("gopher rules: the corrupted copy fails the gates its mutation trips") {
-    // corpus = documents ∪ symbol-spammed upper-cased copies (+100000):
-    // every corrupted doc must fail alpha + stopwords + symbols and the
+    // corpus = documents ∪ symbol-spammed upper-cased copies (negative
+    // ids -id-1, disjoint from real ids at any corpus size): every
+    // corrupted doc must fail alpha + stopwords + symbols and the
     // conjunction; originals must all pass alpha and symbols.
     val rows = SparkEntry.queries("llm_gopher_rules")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
-    val (orig, corr) = rows.partition(_._1 < 100000L)
+    val (orig, corr) = rows.partition(_._1 >= 0L)
     assert(orig.nonEmpty && corr.length === orig.length)
     corr.foreach { case (id, _, _, alpha, stop, sym, pass) =>
       assert(alpha === 0L && stop === 0L && sym === 0L && pass === 0L,
