@@ -1398,6 +1398,72 @@ object Analytics {
       scd2Changes(s, d).withColumn("vt", lead($"vf", 1).over(w))
         .select($"user_id", $"vf", $"vt", $"cents")
         .orderBy($"user_id", $"vf")
+    }),
+
+    // Time-decayed (half-life) engagement score per user — the
+    // recency-weighted aggregate every feature store keeps next to the
+    // raw counters. Determinism across engines is by construction:
+    // the decay is INTEGER halvings — weight_ppm = 1e6 >> (age DIV
+    // half-life) — so there is no pow()/exp() double to disagree on;
+    // the weighted sum stays in BIGINT (association-order-free).
+    // Scale shape: the global max-ts is a broadcast scalar; then ONE
+    // partial-agg'd groupBy over the events — per-row weights, no
+    // window, no second shuffle.
+    "an_decay_agg" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id",
+        expr("ts DIV 1000000000").as("sec"),
+        round($"value" * 100).cast("long").as("cents"))
+      val tmax = ev.agg(max($"sec").as("tmax"))
+      ev.crossJoin(broadcast(tmax))
+        .withColumn("h", least(expr("(tmax - sec) DIV 604800"), lit(62L)))
+        .withColumn("w_ppm",
+          expr("shiftright(CAST(1000000 AS BIGINT), CAST(h AS INT))"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"cents" * $"w_ppm").as("decayed_score"))
+        .orderBy($"user_id")
+    }),
+
+    // First-order Markov transition matrix over the event stream:
+    // P(next_type | prev_type) from per-user ordered event pairs —
+    // the session-model / anomaly-baseline building block. Scale
+    // shape: ONE shuffle by user_id serves the lead() window; the
+    // transition counts partial-aggregate map-side to |types|² rows,
+    // and the row-normalizing window runs over that tiny matrix.
+    "an_markov" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("prev_type"), $"next_type")
+        .agg(count(lit(1)).as("n"))
+      tr.withColumn("p",
+          round($"n" / sum($"n").over(Window.partitionBy($"prev_type")), 6))
+        .orderBy($"prev_type", $"next_type")
+    }),
+
+    // Shannon entropy of the event-type mix per user cohort — the
+    // diversity/drift monitor (a collapsed cohort suddenly emitting
+    // one event type drops to zero entropy). Each (cohort, type)
+    // term rounds to integer micro-nats BEFORE the sum, so the total
+    // is association-order-free and engine-exact; p itself is one
+    // int64/int64 double division (correctly rounded everywhere).
+    // Scale shape: one partial-agg'd count, a window over the tiny
+    // (cohort × type) grid, one rollup — no per-row state.
+    "an_entropy" -> ((s, d) => {
+      import s.implicits._
+      val ct = Tables.events(s, d)
+        .select(pmod($"user_id", lit(10L)).as("cohort"), $"event_type")
+        .groupBy($"cohort", $"event_type").agg(count(lit(1)).as("nt"))
+      ct.withColumn("p", $"nt" / sum($"nt").over(Window.partitionBy($"cohort")))
+        .withColumn("term_micro", round(-$"p" * log($"p") * 1e6).cast("long"))
+        .groupBy($"cohort")
+        .agg(sum($"nt").as("n_events"), count(lit(1)).as("n_types"),
+          sum($"term_micro").as("entropy_micronats"))
+        .orderBy($"cohort")
     })
   )
 
@@ -2229,6 +2295,39 @@ object Analytics {
         |SELECT user_id, vf,
         |       lead(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt,
         |       cents
-        |FROM ch ORDER BY user_id, vf""".stripMargin
+        |FROM ch ORDER BY user_id, vf""".stripMargin,
+    "an_decay_agg" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+        |              CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |t AS (SELECT max(sec) AS tmax FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(cents * (CAST(1000000 AS BIGINT)
+        |              >> least((tmax - sec) // 604800, 62)))
+        |            AS BIGINT) AS decayed_score
+        |FROM ev CROSS JOIN t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "an_markov" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (SELECT event_type AS prev_type, next_type,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM tr ORDER BY prev_type, next_type""".stripMargin,
+    "an_entropy" ->
+      """WITH ct AS (SELECT user_id % 10 AS cohort, event_type,
+        |              CAST(count(*) AS BIGINT) AS nt
+        |            FROM events GROUP BY 1, 2),
+        |pt AS (SELECT cohort, nt,
+        |              nt * 1.0 / sum(nt) OVER (PARTITION BY cohort) AS p
+        |       FROM ct)
+        |SELECT cohort, CAST(sum(nt) AS BIGINT) AS n_events,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CAST(round(-p * ln(p) * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS entropy_micronats
+        |FROM pt GROUP BY cohort ORDER BY cohort""".stripMargin
   )
 }

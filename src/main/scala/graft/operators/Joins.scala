@@ -287,6 +287,35 @@ object Joins {
         bloomJoin(s, d).write.mode("overwrite").parquet(out)
       }
       s.read.parquet(out).orderBy($"l_suppkey")
+    }),
+
+    // J16 (extra): numeric BAND join — |s_bal − c_bal| ≤ ε — as a
+    // bucketized equi-join. A naive theta-join on abs() is a
+    // nested-loop cross product (Catalyst has no range-join operator);
+    // here each side buckets its value at ε granularity, the SMALLER
+    // side explodes to its 3 adjacent buckets (≤3× fanout on the
+    // cheap side only), the join runs on bucket EQUALITY — one hash
+    // shuffle — and the exact band predicate filters residual
+    // near-misses inside the bucket pair. Each matching pair meets in
+    // exactly one bucket (a row has one bucket; the probe's 3 are
+    // distinct), so no dedup pass is needed. At 100 TB: shuffle keyed
+    // by value-bucket, per-key load bounded by value density × ε —
+    // the band width is the skew knob.
+    "j16_band_join" -> ((s, d) => {
+      import s.implicits._
+      val eps = 50L // band half-width, cents
+      val cst = Tables.customer(s, d).select($"c_custkey",
+          round($"c_acctbal" * 100).cast("long").as("c_cents"))
+        .withColumn("bucket", floor($"c_cents" / eps.toDouble).cast("long"))
+      val probe = Tables.supplier(s, d).select($"s_suppkey",
+          round($"s_acctbal" * 100).cast("long").as("s_cents"))
+        .withColumn("b0", floor($"s_cents" / eps.toDouble).cast("long"))
+        .withColumn("bucket", explode(array($"b0" - 1, $"b0", $"b0" + 1)))
+      probe.join(cst, "bucket")
+        .filter(abs($"s_cents" - $"c_cents") <= eps)
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_near"), sum($"c_cents").as("sum_cents"))
+        .orderBy($"s_suppkey")
     })
   )
 
@@ -469,6 +498,16 @@ object Joins {
         |            AS BIGINT) AS cents
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size = 1
-        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "j16_band_join" ->
+      """WITH sup AS (SELECT s_suppkey,
+        |               CAST(round(s_acctbal * 100) AS BIGINT) AS s_cents
+        |             FROM supplier),
+        |cst AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents
+        |        FROM customer)
+        |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_near,
+        |       CAST(sum(c_cents) AS BIGINT) AS sum_cents
+        |FROM sup JOIN cst ON abs(s_cents - c_cents) <= 50
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
   )
 }

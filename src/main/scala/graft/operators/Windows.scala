@@ -65,6 +65,29 @@ object Windows {
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
         .limit(100)
         .select($"o_orderkey", $"o_totalprice")
+    }),
+
+    // W7 (extra): distribution-rank windows — rank / percent_rank /
+    // cume_dist per partition, the "where does this row sit in its
+    // group" surface (absent in the reference). The tiebreaking
+    // ORDER BY is unique (acctbal, custkey) so every rank function is
+    // deterministic; percent_rank/cume_dist are exact int/int double
+    // divisions. Partitioned windows only — but note the partition key
+    // here (nation) is LOW-cardinality: at 100 TB each nation is one
+    // task's sort, so a production run over few huge groups would use
+    // the an_ntile two-pass shape (bin count + bounded offsets)
+    // instead; this query is the per-group-rank semantics contract.
+    "w7_rank_stats" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey")
+        .orderBy($"c_acctbal", $"c_custkey")
+      Tables.customer(s, d)
+        .filter($"c_nationkey" < 5)
+        .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+          rank().over(w).cast("long").as("rnk"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"c_nationkey", $"c_custkey")
     })
   )
 
@@ -87,6 +110,15 @@ object Windows {
         |  FROM orders) WHERE rn <= 3 ORDER BY bucket, rn""".stripMargin,
     "w6_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "w7_rank_stats" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin
   )
 }
