@@ -352,6 +352,72 @@ object GraphOps {
     (result, () => { p.unpersist(false); deg.unpersist(false): Unit })
   }
 
+  /** G13: synchronous label propagation (Raghavan et al. 2007) made
+    * deterministic — every round each vertex adopts its neighbors'
+    * MODAL label, ties broken by smallest label; seed label = vertex
+    * id. The reference's BSP surface (AGraph.scala:84-106) propagates
+    * max-label; this is the community-detection sibling with the
+    * frequency vote. Scale shape per round: the edge list is
+    * partitioned by the join key (dst) ONCE and cached (the pageRank
+    * discipline); labels (vertex-sized) shuffle to it; the
+    * (vertex, label) counts partial-aggregate map-side; the per-vertex
+    * argmax is a PARTITIONED row_number — no global sort, no driver
+    * state; rounds are checkpointed so lineage stays flat. */
+  def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.select(col("src"), col("dst"))
+      .repartition(col("dst")).sortWithinPartitions(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = p.select(col("src").as("vertex")).distinct()
+        .withColumn("label", col("vertex"))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to iters) {
+        val counts = p
+          .join(labels.withColumnRenamed("vertex", "dst"), "dst")
+          .groupBy(col("src").as("vertex"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("vertex"))
+          .orderBy(col("c").desc, col("label").asc)
+        labels = counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("vertex"), col("label"))
+          .localCheckpoint(eager = true)
+      }
+      labels
+    } finally { p.unpersist(false): Unit }
+  }
+
+  /** G14: multi-source BFS distance labeling to `maxHops`, by
+    * delta-frontier expansion — the unweighted shortest-path front end
+    * (nearest seed / blast-radius queries). Each round joins ONLY the
+    * new frontier against the edge list, anti-joins out the visited
+    * set, and distinct-collapses multi-parent arrivals, so per-round
+    * cost is O(frontier out-edges), never O(visited): the same
+    * delta-frontier discipline as the g4 BSP iterate. Visited state is
+    * vertex-sized and checkpointed per round. */
+  def bfsDistances(pairs: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val p = pairs.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var visited = sources.select(col("vertex"), lit(0L).as("dist"))
+        .localCheckpoint(eager = true)
+      var frontier = visited.select(col("vertex"))
+      for (hop <- 1 to maxHops) {
+        val next = p.join(frontier.withColumnRenamed("vertex", "src"), "src")
+          .select(col("dst").as("vertex")).distinct()
+          .join(visited.select(col("vertex")), Seq("vertex"), "left_anti")
+          .withColumn("dist", lit(hop.toLong))
+          .localCheckpoint(eager = true)
+        visited = visited.unionByName(next).localCheckpoint(eager = true)
+        frontier = next.select(col("vertex"))
+      }
+      visited
+    } finally { p.unpersist(false): Unit }
+  }
+
   /** A10 `f1` (AGraph.scala:307-326), distributed: TP/FP/FN from the two
     * edge sets restricted to keys present in both networks, then one
     * global reduce → precision/recall/F1. */

@@ -415,6 +415,29 @@ object GraphQueries {
           samp.select($"a".as("src"), $"b".as("dst")))
         .groupBy($"cluster").agg(count(lit(1)).as("size"))
         .orderBy($"cluster")
+    }),
+
+    // G13 (extra): community detection by synchronous label
+    // propagation — 3 deterministic rounds (modal neighbor label,
+    // min-label tie-break) over the standing edge layout. Fixed round
+    // count keeps engine and oracle in lockstep (LPA has no canonical
+    // fixpoint); the oracle replays the identical 3 rounds in SQL.
+    "g13_label_prop" -> ((s, d) => {
+      import s.implicits._
+      GraphOps.labelPropagation(pairs2(s, d), iters = 3)
+        .orderBy($"vertex")
+    }),
+
+    // G14 (extra): multi-source BFS distances within 3 hops from the
+    // deterministic seed set (vertex % 1000 = 0) — nearest-seed
+    // labeling by delta-frontier expansion; unreached vertices are
+    // absent (never visited, never carried).
+    "g14_bfs" -> ((s, d) => {
+      import s.implicits._
+      val sources = pairs2(s, d).select($"src".as("vertex")).distinct()
+        .filter(pmod($"vertex", lit(1000L)) === 0)
+      GraphOps.bfsDistances(pairs2(s, d), sources, maxHops = 3)
+        .orderBy($"vertex")
     })
   )
 
@@ -611,6 +634,26 @@ object GraphQueries {
         |          SELECT r.v, e.v FROM reach r JOIN e ON r.w = e.u),
         |lab AS (SELECT v, least(v, min(w)) AS cluster FROM reach GROUP BY v)
         |SELECT cluster, CAST(count(*) AS BIGINT) AS size
-        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin)
+        |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin),
+    "g13_label_prop" -> (CTE + Seq(0, 1, 2).map { r =>
+      s""", n${r + 1} AS (SELECT p.src AS vertex, l.label, count(*) AS c
+         |  FROM pairs2 p JOIN lp$r l ON p.dst = l.vertex GROUP BY 1, 2),
+         |lp${r + 1} AS (SELECT vertex, label FROM (
+         |  SELECT vertex, label, row_number() OVER (PARTITION BY vertex
+         |           ORDER BY c DESC, label) AS rn FROM n${r + 1})
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(
+      ", lp0 AS (SELECT vertex, vertex AS label FROM deg)", "", "") +
+      "\nSELECT vertex, label FROM lp3 ORDER BY vertex"),
+    "g14_bfs" -> (CTE + Seq(0, 1, 2).map { r =>
+      s""", f${r + 1} AS (SELECT DISTINCT p.dst AS vertex
+         |  FROM pairs2 p JOIN d$r ON p.src = d$r.vertex),
+         |d${r + 1} AS (SELECT * FROM d$r UNION ALL
+         |  SELECT vertex, CAST(${r + 1} AS BIGINT) FROM f${r + 1}
+         |  WHERE vertex NOT IN (SELECT vertex FROM d$r))""".stripMargin
+    }.mkString(
+      """, d0 AS (SELECT vertex, CAST(0 AS BIGINT) AS dist FROM deg
+        |         WHERE vertex % 1000 = 0)""".stripMargin, "", "") +
+      "\nSELECT vertex, dist FROM d3 ORDER BY vertex")
   )
 }

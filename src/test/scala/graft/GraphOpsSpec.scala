@@ -114,6 +114,45 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(keptPairs.size === chain.size * 2)
   }
 
+  test("labelPropagation: modal label wins, min-label tie-break, " +
+    "fixed rounds") {
+    // triangle {1,2,3} + pendant 4 on 3; K2 {10,11}
+    val pairs = GraphOps.reverse(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst"))
+    val r1 = GraphOps.labelPropagation(pairs, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // round 1: every vertex takes its smallest neighbor's label (all
+    // neighbor labels distinct ⇒ tie-break = min): 1←2, 2←1, 3←1, 4←3,
+    // 10←11, 11←10
+    assert(r1 === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      10L -> 11L, 11L -> 10L))
+    val r2 = GraphOps.labelPropagation(pairs, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 2: 3's neighbors now carry {1:label1, 2:label... } —
+    // vertex 3 sees labels {2 (from 1), 1 (from 2), 3 (from 4)} ⇒ min 1;
+    // vertex 1 sees {1 (from 2), 1 (from 3)} ⇒ modal 1
+    assert(r2(1L) === 1L && r2(3L) === 1L)
+    assert(r2(10L) === 10L && r2(11L) === 11L) // K2 oscillates, by design
+  }
+
+  test("bfsDistances: hop labels, multi-source min, unreached absent") {
+    // path 0-1-2-3-4-5 plus source 100 isolated-pair 100-101
+    val pairs = GraphOps.reverse(Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+      .toDF("src", "dst"))
+    val sources = Seq(0L, 100L).toDF("vertex")
+    val got = GraphOps.bfsDistances(pairs, sources, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      100L -> 0L, 101L -> 1L)) // 4,5 beyond 3 hops ⇒ absent
+    // two sources racing to the same vertex keep the earlier hop
+    val both = GraphOps.bfsDistances(pairs,
+      Seq(0L, 2L).toDF("vertex"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(both(1L) === 1L && both(3L) === 1L && both(5L) === 3L)
+  }
+
   test("heavyVertices: distributed fallback (histCap exceeded) agrees " +
     "with the driver-collect path") {
     // degrees 1..40 → 40 distinct-degree rows; histCap=10 forces the
