@@ -649,6 +649,75 @@ object LlmQueries {
         k = 8).orderBy($"doc_id")
     }),
 
+    // Line-level exact dedup (the RefinedWeb/CCNet line-filtering
+    // shape): the corpus re-cuts into fixed 16-word blocks (the
+    // synthetic text has no newlines — a block is the line proxy);
+    // every block that repeats ANYWHERE in the corpus survives only at
+    // its FIRST occurrence (min (doc_id, pos), packed into one BIGINT
+    // since pos < 1e6 at any plausible doc length), and each document
+    // reports how much of it survived. Scale shape: blocks flow
+    // through ONE content-keyed hash aggregation whose min/count
+    // partial-aggregate map-side — a million-fold repeated boilerplate
+    // block collapses per-partition BEFORE the shuffle (the skew-safe
+    // form of keep-first; a row_number over the block key would
+    // single-task hot blocks) — then one join back and a per-doc
+    // rollup. Complements llm_dup_spans (sliding 8-gram coverage
+    // SCORING): this one decides, per block, what a cleaned corpus
+    // keeps.
+    "llm_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      val B = 16
+      val blocks = Tables.documents(s, d)
+        .select($"doc_id", words($"text").as("w"))
+        .withColumn("n", size($"w"))
+        .withColumn("start",
+          explode(sequence(lit(1), greatest($"n", lit(1)), lit(B))))
+        .select($"doc_id",
+          (($"start" - 1) / B).cast("long").as("pos"),
+          sharedHash(concat_ws(" ", slice($"w", $"start", lit(B))))
+            .as("bh"),
+          least($"n" - $"start" + 1, lit(B)).cast("long").as("btok"))
+        .withColumn("okey", $"doc_id" * 1000000L + $"pos")
+      val first = blocks.groupBy($"bh").agg(min($"okey").as("fkey"))
+      blocks.join(first, "bh")
+        .withColumn("dropped", when($"okey" === $"fkey", 0L).otherwise(1L))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum($"dropped").as("n_dropped"),
+          sum($"btok" * (lit(1L) - $"dropped")).as("kept_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // Cluster-balanced sampling (the DCLM/SemDeDup-era curation
+    // recipe): refine centroids with two Lloyd rounds, assign the
+    // corpus once (the persisted IVF index), then draw a fixed
+    // per-cluster quota by deterministic hash coin — topic-balanced
+    // where a uniform sample would follow the corpus's cluster skew.
+    // The per-cluster pick is the salted two-phase top-k (the
+    // llm_stratified_sample shape), so a giant cluster never
+    // single-tasks its selection.
+    "llm_cluster_sample" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, stride = 40, iters = 2)
+      val assigned = Similarity.ivfIndex(emb, cents)
+        .select($"nb_id".as("vec_id"), $"cent_id".as("cluster"))
+        .withColumn("coin",
+          sharedHash(concat(lit("cs:"), $"vec_id".cast("string"))))
+        .withColumn("salt", pmod(hash($"vec_id"), lit(32)))
+      val w1 = Window.partitionBy($"cluster", $"salt")
+        .orderBy($"coin", $"vec_id")
+      val local = assigned.withColumn("rn", row_number().over(w1))
+        .filter($"rn" <= k).drop("rn", "salt")
+      val w2 = Window.partitionBy($"cluster").orderBy($"coin", $"vec_id")
+      local.withColumn("rank", row_number().over(w2).cast("long"))
+        .filter($"rank" <= k)
+        .select($"cluster", $"rank", $"vec_id")
+        .orderBy($"cluster", $"rank")
+    }),
+
     // Perplexity-proxy quality score: per-document mean negative
     // log-likelihood under the corpus's own bigram LM (the CCNet-style
     // LM quality filter — repetitive/templated docs score LOW nll,
@@ -1834,6 +1903,39 @@ object LlmQueries {
         |FROM tt LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
         |WHERE tt.doc_id % 5 = 0
         |ORDER BY tt.doc_id""".stripMargin,
+    "llm_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(array_to_string(
+        |            w[start:least(start + 15, len(w))], ' ')), 1, 15))
+        |          ::BIGINT AS bh,
+        |        CAST(least(len(w) - start + 1, 16) AS BIGINT) AS btok
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, greatest(len(w), 1), 16))
+        |                AS start
+        |            FROM t)),
+        |f AS (SELECT bh, min(doc_id * 1000000 + pos) AS fkey
+        |      FROM b GROUP BY bh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(sum(CASE WHEN doc_id * 1000000 + pos = fkey
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN doc_id * 1000000 + pos = fkey
+        |                     THEN btok ELSE 0 END) AS BIGINT)
+        |         AS kept_tokens
+        |FROM b JOIN f USING (bh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_cluster_sample" -> (KMEANS_CTE +
+      """, kk AS (SELECT vec_id, cent_id AS cluster,
+        |           ('0x' || substr(md5('cs:' || vec_id), 1, 15))::BIGINT
+        |             AS coin
+        |         FROM ab),
+        |r AS (SELECT cluster, vec_id,
+        |        CAST(row_number() OVER (PARTITION BY cluster
+        |               ORDER BY coin, vec_id) AS BIGINT) AS rank
+        |      FROM kk)
+        |SELECT cluster, rank, vec_id FROM r WHERE rank <= 5
+        |ORDER BY cluster, rank""".stripMargin),
     "llm_quality_lm" ->
       """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w
         |             FROM documents),

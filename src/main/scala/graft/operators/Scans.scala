@@ -261,6 +261,42 @@ object Scans {
         .agg(count(lit(1)).as("n"),
           sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
         .orderBy($"status")
+    }),
+
+    // S17 (extra): whole-file BINARY source (format "binaryFile") —
+    // the ingestion front door for multimodal blobs: images/audio land
+    // as files, not rows, and this source turns a directory of them
+    // into (path, length, content) rows that feed llm/Multimodal's
+    // decode surface. Stages the first 5 documents as .bin fixtures
+    // once per dataset (driver-side, bounded by the literal doc_id<5
+    // predicate) and proves the byte-exact round-trip via length + md5.
+    // At scale binaryFile parallelizes per file and prunes via
+    // pathGlobFilter before any read — which also keeps the staging
+    // marker out of the scan here.
+    "s17_binary_source" -> ((s, d) => {
+      import s.implicits._
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val dir = RepoPaths.target(s"graft_fmt/bin_docs_$slug")
+      val marker = s"$dir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s17 v1 $d")) {
+        val rows = Tables.documents(s, d).filter($"doc_id" < 5)
+          .select($"doc_id", $"text").collect()
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        rows.foreach { r =>
+          java.nio.file.Files.write(p.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          : Unit
+        }
+        graft.sources.kv.GraftFs.writeString(marker, s"s17 v1 $d")
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+        .select(
+          regexp_extract($"path", "doc_(\\d+)\\.bin", 1).cast("long")
+            .as("doc_id"),
+          $"length".as("n_bytes"),
+          md5($"content").as("content_md5"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -286,6 +322,11 @@ object Scans {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s5_snapshot_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "s17_binary_source" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+        |         AS n_bytes,
+        |       md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 5 ORDER BY doc_id""".stripMargin,
     "s6_export_lines" ->
       """SELECT r_regionkey || ',' || r_name AS line FROM region
         |ORDER BY line""".stripMargin,
