@@ -438,6 +438,33 @@ object GraphQueries {
         .filter(pmod($"vertex", lit(1000L)) === 0)
       GraphOps.bfsDistances(pairs2(s, d), sources, maxHops = 3)
         .orderBy($"vertex")
+    }),
+
+    // G15 (extra): k-core peeling (k=3, 3 fixed rounds) — repeatedly
+    // drop vertices with degree < k; the degeneracy-ordering building
+    // block behind community cores and spam-farm pruning. Fixed round
+    // count keeps engine and oracle in lockstep (full peeling is a
+    // data-dependent fixpoint; 3 rounds is the contract here). Per
+    // round: one partial-agg'd degree count + two semi-joins
+    // restricting the SHRINKING edge list — each round touches only
+    // surviving edges; vertex state never exceeds the degree table.
+    "g15_kcore" -> ((s, d) => {
+      import s.implicits._
+      var edges = pairs2(s, d).select($"src", $"dst")
+      for (_ <- 1 to 3) {
+        val keep = edges.groupBy($"src".as("vertex"))
+          .agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= 3).select($"vertex")
+        edges = edges
+          .join(keep.withColumnRenamed("vertex", "src"),
+            Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("vertex", "dst"),
+            Seq("dst"), "left_semi")
+          .select($"src", $"dst")
+          .localCheckpoint(eager = true)
+      }
+      edges.groupBy($"src".as("vertex")).agg(count(lit(1)).as("deg"))
+        .orderBy($"vertex")
     })
   )
 
@@ -654,6 +681,16 @@ object GraphQueries {
     }.mkString(
       """, d0 AS (SELECT vertex, CAST(0 AS BIGINT) AS dist FROM deg
         |         WHERE vertex % 1000 = 0)""".stripMargin, "", "") +
-      "\nSELECT vertex, dist FROM d3 ORDER BY vertex")
+      "\nSELECT vertex, dist FROM d3 ORDER BY vertex"),
+    "g15_kcore" -> (CTE + Seq(0, 1, 2).map { r =>
+      s""", k${r + 1} AS (SELECT src AS vertex FROM e$r
+         |  GROUP BY src HAVING count(*) >= 3),
+         |e${r + 1} AS (SELECT src, dst FROM e$r
+         |  WHERE src IN (SELECT vertex FROM k${r + 1})
+         |    AND dst IN (SELECT vertex FROM k${r + 1}))""".stripMargin
+    }.mkString(", e0 AS (SELECT src, dst FROM pairs2)", "", "") +
+      """
+        |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
+        |FROM e3 GROUP BY src ORDER BY vertex""".stripMargin)
   )
 }

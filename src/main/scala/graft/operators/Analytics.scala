@@ -1445,6 +1445,40 @@ object Analytics {
         .orderBy($"prev_type", $"next_type")
     }),
 
+    // Windowed funnel (the ClickHouse windowFunnel shape): deepest
+    // view → click → purchase chain per user where every later step
+    // lands within 1h of the FIRST step. EXISTS semantics — ANY
+    // qualifying chain counts, not just the earliest-start greedy one
+    // (which under-counts when the first view has no follow-up but a
+    // later one does) — via per-user interval joins: each join is
+    // equi-keyed on user_id (one hash shuffle), the window predicate
+    // filters inside the join, and per-user fanout is bounded by
+    // events-per-hour density, not total history. Complements
+    // an_funnel (lifetime ordered funnel) and an_seq_match (regex
+    // sequences) with the time-boxed variant.
+    "an_window_funnel" -> ((s, d) => {
+      import s.implicits._
+      val W = 3600L * 1000000000L // 1h in epoch-nanos
+      val ev = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts".as("t1"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("t2"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("t3"))
+      val vc = v.join(c, Seq("user_id"))
+        .filter($"t2" >= $"t1" && $"t2" <= $"t1" + W)
+      val d1 = v.select($"user_id").distinct().withColumn("depth", lit(1L))
+      val d2 = vc.select($"user_id").distinct().withColumn("depth", lit(2L))
+      val d3 = vc.join(p, Seq("user_id"))
+        .filter($"t3" >= $"t2" && $"t3" <= $"t1" + W)
+        .select($"user_id").distinct().withColumn("depth", lit(3L))
+      d1.unionByName(d2).unionByName(d3)
+        .groupBy($"user_id").agg(max($"depth").as("depth"))
+        .groupBy($"depth").agg(count(lit(1)).as("n_users"))
+        .orderBy($"depth")
+    }),
+
     // Shannon entropy of the event-type mix per user cohort — the
     // diversity/drift monitor (a collapsed cohort suddenly emitting
     // one event type drops to zero entropy). Each (cohort, type)
@@ -2328,6 +2362,27 @@ object Analytics {
         |       CAST(count(*) AS BIGINT) AS n_types,
         |       CAST(sum(CAST(round(-p * ln(p) * 1e6) AS BIGINT)) AS BIGINT)
         |         AS entropy_micronats
-        |FROM pt GROUP BY cohort ORDER BY cohort""".stripMargin
+        |FROM pt GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "an_window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+        |            FROM events),
+        |v AS (SELECT user_id, t AS t1 FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, t AS t2 FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t AS t3 FROM ev
+        |      WHERE event_type = 'purchase'),
+        |vc AS (SELECT v.user_id, t1, t2 FROM v
+        |       JOIN c ON v.user_id = c.user_id
+        |             AND t2 >= t1 AND t2 <= t1 + 3600000000000),
+        |d1 AS (SELECT DISTINCT user_id, 1 AS depth FROM v),
+        |d2 AS (SELECT DISTINCT user_id, 2 AS depth FROM vc),
+        |d3 AS (SELECT DISTINCT vc.user_id, 3 AS depth FROM vc
+        |       JOIN p ON vc.user_id = p.user_id
+        |             AND t3 >= t2 AND t3 <= t1 + 3600000000000),
+        |u AS (SELECT user_id, max(depth) AS depth FROM (
+        |        SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |        UNION ALL SELECT * FROM d3) GROUP BY user_id)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY depth ORDER BY depth""".stripMargin
   )
 }

@@ -443,6 +443,47 @@ object WriteQueries {
         .select($"key", $"bal").orderBy($"key")
     }),
 
+    // M20 (extra): expectation-gated ingest — the write path ROUTES
+    // each row by declared data-quality rules (the lakehouse
+    // "expectations with quarantine" contract, vs an_quality_report's
+    // read-side assertions): valid rows land in the main table,
+    // violations land in a quarantine table tagged with the FIRST
+    // failing rule (deterministic priority order), and the report
+    // reads BOTH back from storage — proving the split writes, not
+    // just the classification. Scale shape: one per-row codegen'd
+    // classification, two append writes partitioned like any other
+    // put, one read-back rollup; no row is dropped silently.
+    "m20_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m20"), wipe = true)
+      val q = KVTable(s, base("m20q"), wipe = true)
+      val classified = Tables.events(s, d)
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          round($"value" * 100).cast("long").as("cents"))
+        .withColumn("disposition",
+          when($"value" > 100.0, "q_value_cap")
+            .when($"event_type" === "error", "q_not_error")
+            .when($"user_id" % 97 === 0, "q_user_blocked")
+            .otherwise("landed"))
+      t.put(classified.filter($"disposition" === "landed")
+        .select($"event_id".as("key"), lit("F").as("family"),
+          lit("cents").as("qualifier"), $"cents".cast("string").as("value"),
+          lit(1L).as("ts")))
+      q.put(classified.filter($"disposition" =!= "landed")
+        .select($"event_id".as("key"), lit("Q").as("family"),
+          $"disposition".as("qualifier"), $"cents".cast("string").as("value"),
+          lit(1L).as("ts")))
+      t.resolved()
+        .select(lit("landed").as("disposition"),
+          $"value".cast("long").as("cents"))
+        .unionByName(q.resolved()
+          .select($"qualifier".as("disposition"),
+            $"value".cast("long").as("cents")))
+        .groupBy($"disposition")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"disposition")
+    }),
+
     // M16 (extra): incremental materialized-view maintenance over the
     // CDC feed — the reason changesBetween exists. A derived per-group
     // SUM is seeded from the base state, then three mutation rounds
@@ -1374,6 +1415,17 @@ object WriteQueries {
         |  FROM customer)
         |SELECT key, bal FROM seg WHERE seg = 'MACHINERY'
         |ORDER BY key""".stripMargin,
+    "m20_quarantine" ->
+      """WITH cls AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN value > 100.0 THEN 'q_value_cap'
+        |              WHEN event_type = 'error' THEN 'q_not_error'
+        |              WHEN user_id % 97 = 0 THEN 'q_user_blocked'
+        |              ELSE 'landed' END AS disposition
+        |  FROM events)
+        |SELECT disposition, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM cls GROUP BY disposition ORDER BY disposition""".stripMargin,
     "m16_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,
