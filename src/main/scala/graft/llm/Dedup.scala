@@ -190,6 +190,32 @@ object Dedup {
     * at corpus scale hot shingles dominate join fan-out quadratically
     * while contributing almost nothing to high-Jaccard pairs. 0 = off
     * (exact semantics, the oracle-checked default). */
+  /** Near-SUBSET duplicate pairs by n-gram CONTAINMENT,
+    * C(a → b) = |sh(a) ∩ sh(b)| / |sh(a)| — the quote/benchmark-leak
+    * detector where Jaccard goes blind: a 50-word passage copied into
+    * a 5000-word page has Jaccard ≈ 1% but containment ≈ 100%.
+    * Asymmetric by construction, so the output is the DIRECTED pair
+    * (contained da, container db). Same inverted-shingle-join scale
+    * shape as [[ngramJaccard]]: candidates = Σ shingle-df², never n²,
+    * and the same hot-shingle cap applies when a corpus needs it. */
+  def containment(docs: DataFrame, threshold: Double,
+                  k: Int = 3): DataFrame = {
+    val arr = spread(docs)
+      .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
+      .cache()
+    val sh = arr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cnt = arr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .withColumn("cont", col("common") / col("na"))
+      .filter(col("cont") >= threshold)
+      .select(col("da"), col("db"), round(col("cont"), 6).as("cont"))
+    barrier(pairs, arr)
+  }
+
   def ngramJaccard(docs: DataFrame, threshold: Double, k: Int = 3,
                    maxShingleDocFreq: Long = 0L): DataFrame = {
     val arr = spread(docs)

@@ -19,11 +19,17 @@ object LlmQueries {
 
   private val SHARED_HASH_SQL = "('0x'||substr(md5(%s),1,15))::BIGINT"
 
+  // shingle positions derive from each document's own word count (no
+  // fixed positional cap that a longer corpus could silently outgrow —
+  // the llm_dsir_sample advice applied corpus-wide)
   private val DOC_CTE =
     """WITH wt AS (SELECT doc_id, string_split(trim(text), ' ') AS w
       |            FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |       FROM wt, range(1, 200) r(i) WHERE i + 2 <= len(w)),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM (SELECT doc_id, w,
+      |               unnest(generate_series(1, len(w) - 2)) AS i
+      |             FROM wt)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
       |""".stripMargin
 
@@ -101,6 +107,14 @@ object LlmQueries {
     "llm_dedup_ngram" -> ((s, d) => {
       import s.implicits._
       Dedup.ngramJaccard(Tables.documents(s, d), 0.8).orderBy($"da", $"db")
+    }),
+
+    // Directed n-gram CONTAINMENT pairs ≥ 0.8 — near-subset detection
+    // (quotes, benchmark leakage into long pages) where symmetric
+    // Jaccard goes blind; see Dedup.containment.
+    "llm_containment" -> ((s, d) => {
+      import s.implicits._
+      Dedup.containment(Tables.documents(s, d), 0.8).orderBy($"da", $"db")
     }),
 
     // MinHash(16) + LSH(4 bands × 4 rows) candidates, exact-Jaccard
@@ -1199,6 +1213,15 @@ object LlmQueries {
         |FROM common JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
         |WHERE common*1.0/(ca.n+cb.n-common) >= 0.8
         |ORDER BY da, db""".stripMargin),
+    "llm_containment" -> (DOC_CTE +
+      """, common AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, round(common * 1.0 / ca.n, 6) AS cont
+        |FROM common JOIN cnt ca ON da = ca.doc_id
+        |WHERE common * 1.0 / ca.n >= 0.8
+        |ORDER BY da, db""".stripMargin),
     "llm_dedup_minhash" -> (DOC_CTE +
       s""", sh0 AS (SELECT doc_id, s, ${h("s")} % 1000000007 AS h0 FROM sh),
         |mh AS (SELECT doc_id, i,
@@ -1862,8 +1885,9 @@ object LlmQueries {
         |g AS (SELECT doc_id, n, i AS pos,
         |        ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
         |          ::BIGINT AS gh
-        |      FROM tt, generate_series(1, 65536) AS gs(i)
-        |      WHERE i <= n - 7),
+        |      FROM (SELECT doc_id, n, w,
+        |              unnest(generate_series(1, n - 7)) AS i
+        |            FROM tt)),
         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
         |ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered
@@ -1885,8 +1909,9 @@ object LlmQueries {
         |g AS (SELECT doc_id, n, i AS pos,
         |        ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15))
         |          ::BIGINT AS gh
-        |      FROM tt, generate_series(1, 65536) AS gs(i)
-        |      WHERE i <= n - 7),
+        |      FROM (SELECT doc_id, n, w,
+        |              unnest(generate_series(1, n - 7)) AS i
+        |            FROM tt)),
         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
         |ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)
         |       WHERE doc_id % 5 = 0),
