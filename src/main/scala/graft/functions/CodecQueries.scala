@@ -167,6 +167,28 @@ object CodecQueries {
           expr("CAST(graft_crc16(graft_long_be(o_orderkey)) AS BIGINT) >= 0")
             .as("salt_nonneg"))
         .orderBy($"o_orderkey")
+    }),
+
+    // F10: zigzag varint codec — the delta/key compression of every
+    // log-structured store (protobuf wire format, public spec).
+    // Signed deltas around the key median exercise both signs; the
+    // observable is the byte-LENGTH histogram plus the exact
+    // round-trip count per length bucket — the oracle recomputes the
+    // length arithmetically (1 byte per 7 bits of the zigzag value),
+    // which is precisely what the encoder must produce.
+    "f10_varint_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      withFns(s)
+      Tables.orders(s, d)
+        .select(($"o_orderkey" - 3000L).as("x"))
+        .withColumn("b", expr("graft_varint(x)"))
+        .select($"x", length($"b").cast("long").as("n_bytes"),
+          expr("graft_unvarint(b)").as("back"))
+        .groupBy($"n_bytes")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"back" === $"x", 1L).otherwise(0L)).as("n_roundtrip_ok"),
+          sum($"x").as("sum_x"))
+        .orderBy($"n_bytes")
     })
   )
 
@@ -210,6 +232,23 @@ object CodecQueries {
     "f9_keyspace_codecs" ->
       """SELECT o_orderkey, o_orderkey AS back_dec, o_orderkey AS back_hex,
         |       true AS salt_nonneg
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f10_varint_roundtrip" ->
+      """WITH v AS (SELECT o_orderkey - 3000 AS x FROM orders),
+        |z AS (SELECT x, CASE WHEN x >= 0 THEN 2 * x
+        |                     ELSE -2 * x - 1 END AS zz FROM v),
+        |b AS (SELECT x,
+        |        CASE WHEN zz < 128 THEN 1
+        |             WHEN zz < 16384 THEN 2
+        |             WHEN zz < 2097152 THEN 3
+        |             WHEN zz < 268435456 THEN 4
+        |             WHEN zz < 34359738368 THEN 5
+        |             ELSE 6 END AS n_bytes
+        |      FROM z)
+        |SELECT CAST(n_bytes AS BIGINT) AS n_bytes,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+        |       CAST(sum(x) AS BIGINT) AS sum_x
+        |FROM b GROUP BY n_bytes ORDER BY n_bytes""".stripMargin
   )
 }

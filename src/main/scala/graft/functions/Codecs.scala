@@ -128,4 +128,41 @@ object ByteCodec {
   def epVersion(packed: Int): Int = (packed >>> 24) & 0xff
   def epProbability(packed: Int): Double = ((packed >>> 16) & 0xff) / 255.0
   def epVendor(packed: Int): Int = packed & 0xffff
+
+  /** F10: protobuf-style zigzag varint (public wire-format spec):
+    * zigzag folds the sign into the LSB — zz = (v<<1)^(v>>63) — so
+    * small magnitudes of EITHER sign encode short; then 7 data bits
+    * per byte, MSB = continuation. 1–10 bytes per long; the staple
+    * delta/key compression for log-structured storage. */
+  def zigzagVarint(v: Long): Array[Byte] = {
+    var zz = (v << 1) ^ (v >> 63)
+    val out = new Array[Byte](10)
+    var i = 0
+    while ((zz & ~0x7fL) != 0L) {
+      out(i) = ((zz & 0x7f) | 0x80).toByte
+      zz >>>= 7
+      i += 1
+    }
+    out(i) = (zz & 0x7f).toByte
+    java.util.Arrays.copyOf(out, i + 1)
+  }
+
+  /** Inverse of [[zigzagVarint]]; throws on truncated input (no
+    * terminating byte) rather than returning garbage. */
+  def varintZigzag(b: Array[Byte]): Long = {
+    var zz = 0L
+    var shift = 0
+    var i = 0
+    var cont = true
+    while (cont) {
+      if (i >= b.length)
+        throw new IllegalArgumentException("truncated varint")
+      val x = b(i)
+      zz |= (x & 0x7fL) << shift
+      shift += 7
+      i += 1
+      cont = (x & 0x80) != 0
+    }
+    (zz >>> 1) ^ -(zz & 1L)
+  }
 }

@@ -66,6 +66,22 @@ object GraftExpressions {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  case class VarintEncode(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.zigzagVarint(v.asInstanceOf[Long])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class VarintDecode(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      ByteCodec.varintZigzag(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   case class Crc16(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = IntegerType
@@ -339,6 +355,8 @@ object GraftExpressions {
     "graft_uuid_bytes" -> (e => UuidToBytes(e.head)),
     "graft_bytes_uuid" -> (e => BytesToUuid(e.head)),
     "graft_crc16"      -> (e => Crc16(e.head)),
+    "graft_varint"     -> (e => VarintEncode(e.head)),
+    "graft_unvarint"   -> (e => VarintDecode(e.head)),
     "graft_encode_key" -> (e => EncodeKey(e(0), e(1))),
     "graft_key_space"  -> (e => KeySpaceOf(e.head)),
     "graft_key_value"  -> (e => KeyValueOf(e.head)),

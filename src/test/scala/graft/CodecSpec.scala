@@ -67,6 +67,28 @@ class CodecSpec extends AnyFunSuite {
     assert(ByteCodec.epProbability(ByteCodec.packEp(1, 0.0, 0)) === 0.0)
   }
 
+  test("zigzag varint: protobuf golden vectors, lengths, round trip") {
+    def enc(v: Long) = ByteCodec.zigzagVarint(v).map(_ & 0xff).toSeq
+    // the protobuf wire-format spec's published zigzag examples
+    assert(enc(0L) === Seq(0x00))
+    assert(enc(-1L) === Seq(0x01))
+    assert(enc(1L) === Seq(0x02))
+    assert(enc(-2L) === Seq(0x03))
+    assert(enc(63L) === Seq(0x7e))
+    assert(enc(-64L) === Seq(0x7f))
+    assert(enc(64L) === Seq(0x80, 0x01)) // first 2-byte value
+    assert(enc(300L) === Seq(0xd8, 0x04))
+    assert(ByteCodec.zigzagVarint(Long.MaxValue).length === 10)
+    assert(ByteCodec.zigzagVarint(Long.MinValue).length === 10)
+    for (v <- Seq(0L, 1L, -1L, 63L, 64L, -65L, 300L, 1234567890123L,
+        -987654321098L, Long.MaxValue, Long.MinValue))
+      assert(ByteCodec.varintZigzag(ByteCodec.zigzagVarint(v)) === v)
+    // truncated input fails fast rather than decoding garbage
+    intercept[IllegalArgumentException] {
+      ByteCodec.varintZigzag(Array(0x80.toByte))
+    }
+  }
+
   test("unsigned lexicographic byte order == numeric order for non-negatives") {
     val rnd = new scala.util.Random(42)
     val vals = Seq.fill(1000)(rnd.nextLong().abs)
