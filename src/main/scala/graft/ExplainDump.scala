@@ -74,7 +74,17 @@ object ExplainDump {
     "an_ks_test", "an_bootstrap", "llm_gopher_rules",
     // round 11c: order-local pair explosion + TakeOrdered lift,
     // one-pass OLS power sums, CCNet two-pass tercile rank
-    "an_basket_lift", "an_ols", "llm_ccnet_buckets")
+    "an_basket_lift", "an_ols", "llm_ccnet_buckets",
+    // round 12: the bucketized band join (broadcast 3-bucket fanout,
+    // band predicate inside the join), line-level keep-first dedup
+    // (min/count partial-agg'd by block content — the skew-safe
+    // keep-first), integer-halving decay aggregate, directed
+    // containment over the shingle join, user-keyed interval-join
+    // funnel; g13/g14/g15 checkpoint per round so their returned
+    // plans are final-state reads — their shapes live in GraphOps
+    // scaladoc + GraphOpsSpec
+    "j16_band_join", "llm_line_dedup", "an_decay_agg",
+    "llm_containment", "an_window_funnel", "f10_varint_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
