@@ -361,8 +361,13 @@ object GraphOps {
     * partitioned by the join key (dst) ONCE and cached (the pageRank
     * discipline); labels (vertex-sized) shuffle to it; the
     * (vertex, label) counts partial-aggregate map-side; the per-vertex
-    * argmax is a PARTITIONED row_number — no global sort, no driver
-    * state; rounds are checkpointed so lineage stays flat. */
+    * argmax is itself a HASH AGGREGATION — max(struct(c, -label))
+    * orders lexicographically by (count desc via max, then min label
+    * via the negation), so it partial-aggregates map-side too. No
+    * window, no sort anywhere: a hot vertex with millions of distinct
+    * neighbor labels combines per-partition instead of single-tasking
+    * a row_number partition. Rounds are checkpointed so lineage stays
+    * flat. */
   def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val p = pairs.select(col("src"), col("dst"))
@@ -373,14 +378,13 @@ object GraphOps {
         .withColumn("label", col("vertex"))
         .localCheckpoint(eager = true)
       for (_ <- 1 to iters) {
-        val counts = p
+        labels = p
           .join(labels.withColumnRenamed("vertex", "dst"), "dst")
           .groupBy(col("src").as("vertex"), col("label"))
           .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("vertex"))
-          .orderBy(col("c").desc, col("label").asc)
-        labels = counts.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select(col("vertex"), col("label"))
+          .groupBy(col("vertex"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("vertex"), (-col("m.nl")).as("label"))
           .localCheckpoint(eager = true)
       }
       labels
