@@ -1445,6 +1445,44 @@ object Analytics {
         .orderBy($"prev_type", $"next_type")
     }),
 
+    // RFM segmentation (recency / frequency / monetary quintiles) —
+    // the classic customer-value grid. Quintile BREAKS come from one
+    // exact-percentile reduce over the per-user aggregate table
+    // (user-sized, not event-sized; at extreme user counts swap in
+    // percentile_approx behind the same shape), broadcast back as a
+    // 1-row frame; scoring is then per-row arithmetic — no rank
+    // window anywhere. Breaks round to 4dp on both engines before the
+    // strict > comparisons (the an_percentiles portability recipe);
+    // recency scores INVERTED (most recent = 5), per the convention.
+    "an_rfm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"event_type" === "purchase")
+        .select($"user_id", expr("ts DIV 1000000000").as("sec"),
+          round($"value" * 100).cast("long").as("cents"))
+      val tmax = ev.agg(max($"sec").as("tmax"))
+      val agg = ev.groupBy($"user_id")
+        .agg(max($"sec").as("last_sec"), count(lit(1)).as("freq"),
+          sum($"cents").as("mon"))
+        .crossJoin(broadcast(tmax))
+        .select($"user_id", ($"tmax" - $"last_sec").as("rec"),
+          $"freq", $"mon")
+      val qs = typedLit(Seq(0.2, 0.4, 0.6, 0.8))
+      val breaks = agg.agg(
+        percentile($"rec", qs).as("rb"),
+        percentile($"freq", qs).as("fb"),
+        percentile($"mon", qs).as("mb"))
+      def above(v: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (1 to 4).map(i => when(v > round(element_at(b, i), 4), 1L)
+          .otherwise(0L)).reduce(_ + _)
+      agg.crossJoin(broadcast(breaks))
+        .select($"user_id",
+          (lit(5L) - above($"rec", $"rb")).as("r_score"),
+          (lit(1L) + above($"freq", $"fb")).as("f_score"),
+          (lit(1L) + above($"mon", $"mb")).as("m_score"))
+        .orderBy($"user_id")
+    }),
+
     // Windowed funnel (the ClickHouse windowFunnel shape): deepest
     // view → click → purchase chain per user where every later step
     // lands within 1h of the FIRST step. EXISTS semantics — ANY
@@ -2363,6 +2401,30 @@ object Analytics {
         |       CAST(sum(CAST(round(-p * ln(p) * 1e6) AS BIGINT)) AS BIGINT)
         |         AS entropy_micronats
         |FROM pt GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "an_rfm" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+        |              CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT max(sec) AS tmax FROM ev),
+        |a AS (SELECT user_id, tmax - max(sec) AS rec,
+        |             CAST(count(*) AS BIGINT) AS freq,
+        |             CAST(sum(cents) AS BIGINT) AS mon
+        |      FROM ev CROSS JOIN t GROUP BY user_id, tmax),
+        |b AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |             quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mb
+        |      FROM a)
+        |SELECT user_id,
+        |  5 - ((rec > round(rb[1],4))::BIGINT + (rec > round(rb[2],4))::BIGINT
+        |     + (rec > round(rb[3],4))::BIGINT + (rec > round(rb[4],4))::BIGINT)
+        |    AS r_score,
+        |  1 + ((freq > round(fb[1],4))::BIGINT + (freq > round(fb[2],4))::BIGINT
+        |     + (freq > round(fb[3],4))::BIGINT + (freq > round(fb[4],4))::BIGINT)
+        |    AS f_score,
+        |  1 + ((mon > round(mb[1],4))::BIGINT + (mon > round(mb[2],4))::BIGINT
+        |     + (mon > round(mb[3],4))::BIGINT + (mon > round(mb[4],4))::BIGINT)
+        |    AS m_score
+        |FROM a CROSS JOIN b ORDER BY user_id""".stripMargin,
     "an_window_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS t
         |            FROM events),

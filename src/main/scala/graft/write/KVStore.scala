@@ -341,6 +341,39 @@ class KVTable(val spark: SparkSession, val path: String) {
     writeCompacted(KVTable.resolve(cellsFrom(snapshot)), numBuckets, snapshot)
   }
 
+  /** M21: ZERO-COPY shallow clone (the lakehouse CLONE contract): the
+    * clone is a NEW table whose gen-0 files are hard links to this
+    * table's current generation plus links to the current log files
+    * ([[graft.sources.kv.GraftFs.linkOrCopy]] — the same carry-forward
+    * seam the group-filtered CoW uses; an object store degrades to
+    * copy behind it). O(#files) metadata work, zero data bytes moved
+    * on a POSIX/HDFS-like store. The two tables then evolve
+    * independently: appends land in each table's own log; each side's
+    * compaction writes its OWN next generation; and pruning the
+    * source's old generation cannot strand the clone, because the
+    * links keep the bytes alive for as long as the clone's pointer
+    * names them (KVCloneSpec pins divergence both ways across a
+    * source compaction that retires the linked generation). */
+  def cloneTo(destPath: String): KVTable = {
+    import graft.sources.kv.{GraftFs, KVPointer}
+    require(destPath != path, "clone destination must differ from source")
+    val dest = KVTable(spark, destPath, wipe = true)
+    currentGen.foreach { case (g, n) =>
+      val dstGenDir = s"$destPath/compacted/gen-0"
+      GraftFs.dataFiles(s"$path/compacted/gen-$g").foreach { f =>
+        GraftFs.linkOrCopy(f.path,
+          s"$dstGenDir/${f.path.substring(f.path.lastIndexOf('/') + 1)}")
+      }
+      KVPointer.writeGenMeta(destPath, 0, n)
+      KVPointer.publish(destPath, 0, n)
+    }
+    listLogFiles().foreach { f =>
+      GraftFs.linkOrCopy(f,
+        s"$destPath/log/${f.substring(f.lastIndexOf('/') + 1)}")
+    }
+    dest
+  }
+
   /** Compaction with a CDC RETENTION HORIZON: versions and tombstones
     * with `ts > retainSince` survive the rewrite VERBATIM; history at
     * or below the horizon collapses to the resolved winners as of

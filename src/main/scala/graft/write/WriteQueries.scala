@@ -443,6 +443,46 @@ object WriteQueries {
         .select($"key", $"bal").orderBy($"key")
     }),
 
+    // M21 (extra): ZERO-COPY shallow clone (KVTable.cloneTo — the
+    // lakehouse CLONE): snapshot the source (compacted generation +
+    // live log) as hard links, then DIVERGE the source with a new
+    // write AND a compaction that retires the linked generation. The
+    // clone must keep reading the snapshot state (links keep the bytes
+    // alive through the source's generation pruning); the source must
+    // show the post-clone write. Both sides are read back and reported
+    // side-by-side so the oracle fails if isolation leaks either way.
+    "m21_clone" -> ((s, d) => {
+      import s.implicits._
+      val src = KVTable(s, base("m21src"), wipe = true)
+      src.put(customerCents(s, d, ts = 1L))
+      src.compact()
+      // live log on top of the compacted state: %3 keys bump +7 at ts=2
+      src.put(Tables.customer(s, d).filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey".as("key"), lit("F").as("family"),
+          lit("bal").as("qualifier"),
+          (round($"c_acctbal" * 100).cast("long") + 7L).cast("string")
+            .as("value"),
+          lit(2L).as("ts")))
+      val clone = src.cloneTo(base("m21clone"))
+      // diverge the source: %5 keys +100 at ts=3, then compact — which
+      // retires the generation the clone's links point at
+      src.put(Tables.customer(s, d).filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey".as("key"), lit("F").as("family"),
+          lit("bal").as("qualifier"),
+          (round($"c_acctbal" * 100).cast("long")
+            + when($"c_custkey" % 3 === 0, 7L).otherwise(0L) + 100L)
+            .cast("string").as("value"),
+          lit(3L).as("ts")))
+      src.compact()
+      def side(t: KVTable, name: String) = t.resolved()
+        .select(lit(name).as("side"), ($"key" % 100).as("grp"),
+          $"value".cast("long").as("cents"))
+      side(clone, "clone").unionByName(side(src, "source"))
+        .groupBy($"side", $"grp")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+        .orderBy($"side", $"grp")
+    }),
+
     // M20 (extra): expectation-gated ingest — the write path ROUTES
     // each row by declared data-quality rules (the lakehouse
     // "expectations with quarantine" contract, vs an_quality_report's
@@ -1415,6 +1455,21 @@ object WriteQueries {
         |  FROM customer)
         |SELECT key, bal FROM seg WHERE seg = 'MACHINERY'
         |ORDER BY key""".stripMargin,
+    "m21_clone" ->
+      """WITH base AS (SELECT c_custkey AS key,
+        |                CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |              FROM customer),
+        |snap AS (SELECT key, cents + CASE WHEN key % 3 = 0
+        |                                  THEN 7 ELSE 0 END AS cents
+        |         FROM base),
+        |fin AS (SELECT key, cents + CASE WHEN key % 5 = 0
+        |                                 THEN 100 ELSE 0 END AS cents
+        |        FROM snap),
+        |u AS (SELECT 'clone' AS side, key, cents FROM snap
+        |      UNION ALL SELECT 'source', key, cents FROM fin)
+        |SELECT side, key % 100 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS total
+        |FROM u GROUP BY side, key % 100 ORDER BY side, grp""".stripMargin,
     "m20_quarantine" ->
       """WITH cls AS (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
