@@ -1445,6 +1445,33 @@ object Analytics {
         .orderBy($"prev_type", $"next_type")
     }),
 
+    // Benford first-digit screening (the fraud / fabricated-data
+    // staple): leading-digit distribution of purchase amounts vs
+    // Benford's log10(1 + 1/d) expectation, with a per-digit
+    // chi-square contribution. The first digit comes from the CENTS
+    // STRING — no float log in the row path, so both engines agree
+    // trivially; the expectation rounds to integer ppm before use and
+    // the chi term is arithmetic over exact ints. One partial-agg'd
+    // 9-row rollup + a broadcast total: scan-speed at any size.
+    "an_benford" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"event_type" === "purchase")
+        .select(round($"value" * 100).cast("long").as("cents"))
+        .filter($"cents" > 0)
+        .withColumn("digit",
+          substring($"cents".cast("string"), 1, 1).cast("long"))
+      val tot = ev.agg(count(lit(1)).as("ntot"))
+      ev.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("expected_ppm",
+          round(log10(lit(1.0) + lit(1.0) / $"digit") * 1e6).cast("long"))
+        .withColumn("exp_cnt", $"ntot" * $"expected_ppm" / 1e6)
+        .select($"digit", $"n_obs", $"expected_ppm",
+          round(pow($"n_obs" - $"exp_cnt", 2) / $"exp_cnt", 4)
+            .as("chi2_term"))
+        .orderBy($"digit")
+    }),
+
     // RFM segmentation (recency / frequency / monetary quintiles) —
     // the classic customer-value grid. Quintile BREAKS come from one
     // exact-percentile reduce over the per-user aggregate table
@@ -2401,6 +2428,24 @@ object Analytics {
         |       CAST(sum(CAST(round(-p * ln(p) * 1e6) AS BIGINT)) AS BIGINT)
         |         AS entropy_micronats
         |FROM pt GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "an_benford" ->
+      """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events
+        |            WHERE event_type = 'purchase'
+        |              AND CAST(round(value * 100) AS BIGINT) > 0),
+        |dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |           AS digit FROM ev),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM dg),
+        |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |      FROM dg GROUP BY digit)
+        |SELECT digit, n_obs,
+        |       CAST(round(log10(1.0 + 1.0 / digit) * 1e6) AS BIGINT)
+        |         AS expected_ppm,
+        |       round(pow(n_obs - ntot * CAST(round(log10(1.0 + 1.0 / digit)
+        |                 * 1e6) AS BIGINT) / 1e6, 2)
+        |             / (ntot * CAST(round(log10(1.0 + 1.0 / digit) * 1e6)
+        |                 AS BIGINT) / 1e6), 4) AS chi2_term
+        |FROM o CROSS JOIN t ORDER BY digit""".stripMargin,
     "an_rfm" ->
       """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
         |              CAST(round(value * 100) AS BIGINT) AS cents

@@ -1182,6 +1182,58 @@ object WriteQueries {
         .orderBy($"hour_start", $"event_type")
     }),
 
+    // §2.10 (extra): expectation-gated STREAMING ingest — m20's
+    // routing contract on the stream: every micro-batch classifies
+    // per-row and routes landed/quarantined rows through the
+    // batch-idempotent sink (deterministic batch=<id> dirs, replay
+    // overwrites), so a restarted query re-executing a committed batch
+    // cannot duplicate EITHER side of the split. The report reads both
+    // sinks back; the oracle is the same classification in SQL, so a
+    // row lost or double-routed anywhere in the stream fails the hash.
+    "st16_stream_quarantine" -> ((s, d) => {
+      import s.implicits._
+      val outL = RepoPaths.target("graft_stream/st16_landed")
+      val outQ = RepoPaths.target("graft_stream/st16_quar")
+      Seq(outL, outQ).foreach(KVTable.deleteRecursively)
+      val ev = Tables.events(s, d)
+      val stage = stageOnce(s, "st16", d, version = 1) { dir =>
+        ev.write.mode("overwrite").parquet(dir)
+      }
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "16").parquet(stage)
+      val classified = src.select($"event_id", $"user_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents"), $"value")
+        .withColumn("disposition",
+          when($"value" > 100.0, "q_value_cap")
+            .when($"event_type" === "error", "q_not_error")
+            .when($"user_id" % 97 === 0, "q_user_blocked")
+            .otherwise("landed"))
+      withStreamPartitions(s) {
+        val q = classified.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val b = batch.persist()
+            try {
+              graft.streaming.IdempotentSink.parquet(outL)(
+                b.filter(col("disposition") === "landed")
+                  .select(col("event_id"), col("cents")), batchId)
+              graft.streaming.IdempotentSink.parquet(outQ)(
+                b.filter(col("disposition") =!= "landed")
+                  .select(col("event_id"), col("disposition"),
+                    col("cents")), batchId)
+            } finally { b.unpersist(); () }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      graft.streaming.IdempotentSink.read(s, outL)
+        .select(lit("landed").as("disposition"), $"cents")
+        .unionByName(graft.streaming.IdempotentSink.read(s, outQ)
+          .select($"disposition", $"cents"))
+        .groupBy($"disposition")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("cents"))
+        .orderBy($"disposition")
+    }),
+
     // §2.10 (extra): dedup-at-ingest — at-least-once delivery (every
     // third event re-delivered) made exactly-once by event_id via
     // dropDuplicatesWithinWatermark; state is bounded by the watermark
@@ -1471,6 +1523,17 @@ object WriteQueries {
         |       CAST(sum(cents) AS BIGINT) AS total
         |FROM u GROUP BY side, key % 100 ORDER BY side, grp""".stripMargin,
     "m20_quarantine" ->
+      """WITH cls AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CASE WHEN value > 100.0 THEN 'q_value_cap'
+        |              WHEN event_type = 'error' THEN 'q_not_error'
+        |              WHEN user_id % 97 = 0 THEN 'q_user_blocked'
+        |              ELSE 'landed' END AS disposition
+        |  FROM events)
+        |SELECT disposition, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM cls GROUP BY disposition ORDER BY disposition""".stripMargin,
+    "st16_stream_quarantine" ->
       """WITH cls AS (
         |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
         |         CASE WHEN value > 100.0 THEN 'q_value_cap'
