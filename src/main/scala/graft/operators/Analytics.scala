@@ -1445,6 +1445,36 @@ object Analytics {
         .orderBy($"prev_type", $"next_type")
     }),
 
+    // Chi-square independence test: is event_type independent of the
+    // user cohort? The contingency table is one partial-agg'd
+    // (cohort × type) count; marginals roll up from it; the statistic
+    // sums per-cell integer-micro terms (each term rounds BEFORE the
+    // sum — association-order-free, the an_entropy discipline).
+    // Completes the inferential suite (t-test, KS, bootstrap, OLS,
+    // Benford) with the categorical-association test.
+    "an_chi2_indep" -> ((s, d) => {
+      import s.implicits._
+      val ct = Tables.events(s, d)
+        .select(pmod($"user_id", lit(5L)).as("cohort"), $"event_type")
+        .groupBy($"cohort", $"event_type").agg(count(lit(1)).as("n"))
+      val wc = Window.partitionBy($"cohort")
+      val wt = Window.partitionBy($"event_type")
+      val tot = ct.agg(sum($"n").as("ntot"))
+      val cells = ct
+        .withColumn("rown", sum($"n").over(wc))
+        .withColumn("coln", sum($"n").over(wt))
+        .crossJoin(broadcast(tot))
+        .withColumn("exp", $"rown" * $"coln" / $"ntot")
+        .withColumn("term_micro",
+          round(pow($"n" - $"exp", 2) / $"exp" * 1e6).cast("long"))
+      cells.agg(
+          count(lit(1)).as("n_cells"),
+          sum($"n").as("n_obs"),
+          sum($"term_micro").as("chi2_micro"))
+        .withColumn("dof", lit(4L * 4L)) // (5 cohorts-1) × (5 types-1)
+        .select($"n_cells", $"n_obs", $"chi2_micro", $"dof")
+    }),
+
     // Benford first-digit screening (the fraud / fabricated-data
     // staple): leading-digit distribution of purchase amounts vs
     // Benford's log10(1 + 1/d) expectation, with a per-digit
@@ -2428,6 +2458,25 @@ object Analytics {
         |       CAST(sum(CAST(round(-p * ln(p) * 1e6) AS BIGINT)) AS BIGINT)
         |         AS entropy_micronats
         |FROM pt GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "an_chi2_indep" ->
+      """WITH ct AS (SELECT user_id % 5 AS cohort, event_type,
+        |              CAST(count(*) AS BIGINT) AS n
+        |            FROM events GROUP BY 1, 2),
+        |m AS (SELECT cohort, event_type, n,
+        |             sum(n) OVER (PARTITION BY cohort) AS rown,
+        |             sum(n) OVER (PARTITION BY event_type) AS coln
+        |      FROM ct),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM ct),
+        |cells AS (SELECT n,
+        |            CAST(round(pow(n - rown * coln * 1.0 / ntot, 2)
+        |                 / (rown * coln * 1.0 / ntot) * 1e6) AS BIGINT)
+        |              AS term_micro
+        |          FROM m CROSS JOIN t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |       CAST(sum(n) AS BIGINT) AS n_obs,
+        |       CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+        |       CAST(16 AS BIGINT) AS dof
+        |FROM cells""".stripMargin,
     "an_benford" ->
       """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
         |            FROM events

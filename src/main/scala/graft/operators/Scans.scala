@@ -263,6 +263,32 @@ object Scans {
         .orderBy($"status")
     }),
 
+    // S18 (extra): raw TEXT-LINE source (format "text") — the
+    // unstructured-log front door: one row per line, schema = a single
+    // string, parsing is the reader's job (here a codegen'd split).
+    // Distinct from s12's CSV source, which delegates quoting/escaping
+    // to the format; raw logs have no such contract. Staged once per
+    // dataset; the parse round-trip is the oracle check.
+    "s18_text_source" -> ((s, d) => {
+      import s.implicits._
+      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+      val dir = RepoPaths.target(s"graft_fmt/txt_nation_$slug")
+      val marker = s"$dir/_graft_setup.txt"
+      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s18 v1 $d")) {
+        Tables.nation(s, d)
+          .select(concat_ws("|", $"n_nationkey", $"n_regionkey", $"n_name")
+            .as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+        graft.sources.kv.GraftFs.writeString(marker, s"s18 v1 $d")
+      }
+      s.read.text(dir)
+        .select(split($"value", "\\|").as("f"))
+        .select(element_at($"f", 1).cast("long").as("n_nationkey"),
+          element_at($"f", 2).cast("long").as("n_regionkey"),
+          element_at($"f", 3).as("n_name"))
+        .orderBy($"n_nationkey")
+    }),
+
     // S17 (extra): whole-file BINARY source (format "binaryFile") —
     // the ingestion front door for multimodal blobs: images/audio land
     // as files, not rows, and this source turns a directory of them
@@ -327,6 +353,9 @@ object Scans {
         |         AS n_bytes,
         |       md5(text) AS content_md5
         |FROM documents WHERE doc_id < 5 ORDER BY doc_id""".stripMargin,
+    "s18_text_source" ->
+      """SELECT n_nationkey, n_regionkey, n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
     "s6_export_lines" ->
       """SELECT r_regionkey || ',' || r_name AS line FROM region
         |ORDER BY line""".stripMargin,
