@@ -84,7 +84,12 @@ object ExplainDump {
     // plans are final-state reads — their shapes live in GraphOps
     // scaladoc + GraphOpsSpec
     "j16_band_join", "llm_line_dedup", "an_decay_agg",
-    "llm_containment", "an_window_funnel", "f10_varint_roundtrip")
+    "llm_containment", "an_window_funnel", "f10_varint_roundtrip",
+    // round 12b: percentile-break RFM (no rank window — breaks are a
+    // broadcast 1-row frame); m21/st16 execute their clone/stream
+    // eagerly, so their returned plans are result reads — the clone
+    // contract is pinned by KVCloneSpec at the files level
+    "an_rfm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
