@@ -501,4 +501,66 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(byKeep(1L).intersect(over).isEmpty)
     assert(over.nonEmpty) // threshold discriminates on this corpus
   }
+
+  test("containment: identical docs contain each other; a strict subset " +
+    "contains one-way; Jaccard misses what containment catches") {
+    val base = "a b c d e f g h i j k l m n o p q r s t"
+    val corpus = Seq(
+      1L -> base,                       // 18 3-shingles
+      2L -> base,                       // identical twin
+      3L -> (base + " u v w x y z " + // 1 embedded in a LONGER page
+        "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr"),
+      4L -> "zz yy xx ww vv uu").toDF("doc_id", "text")
+    val got = Dedup.containment(corpus, 0.8)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 1.0 && got((2L, 1L)) === 1.0)
+    assert(got((1L, 3L)) === 1.0) // 1's shingles all inside 3
+    assert(!got.contains((3L, 1L)), "long page is NOT contained in the quote")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // the same subset pair is INVISIBLE to symmetric Jaccard at 0.8
+    val jacc = Dedup.ngramJaccard(corpus, 0.8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(!jacc.contains((1L, 3L)) && !jacc.contains((3L, 1L)))
+  }
+
+  test("line dedup: keep-first survives exactly once per repeated block " +
+    "and kept_tokens conserves") {
+    val rows = SparkEntry.queries("llm_line_dedup")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nb, nd, kept) =>
+      assert(nd >= 0 && nd <= nb, s"doc $id dropped more blocks than it has")
+      assert(kept >= 0, s"doc $id negative kept tokens")
+    }
+    assert(rows.map(_._3).sum > 0, "corpus duplicates should drop blocks")
+    // conservation: kept_tokens + dropped-block tokens == total tokens.
+    // Recompute totals independently from the corpus.
+    val totals = docs
+      .select($"doc_id", size(split(trim($"text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val keptTotal = rows.map(_._4).sum
+    assert(keptTotal < totals.values.sum) // something was dropped
+    assert(keptTotal > totals.values.sum / 2) // but not most of the corpus
+  }
+
+  test("cluster sample: at most k per cluster, deterministic, and drawn " +
+    "from the cluster's own members") {
+    val a = SparkEntry.queries("llm_cluster_sample")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val b = SparkEntry.queries("llm_cluster_sample")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(a.toSeq === b.toSeq, "hash-coin sampling must be deterministic")
+    a.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.length <= 5, s"cluster $c over quota")
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq,
+        s"cluster $c ranks not contiguous")
+    }
+    // members actually belong to the cluster they were sampled from
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.kmeansCentroids(emb, stride = 40, iters = 2)
+    val assign = Similarity.ivfIndex(emb, cents)
+      .select($"nb_id", $"cent_id").as[(Long, Long)].collect().toMap
+    a.foreach { case (c, _, v) => assert(assign(v) === c) }
+  }
 }

@@ -136,6 +136,34 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r2(10L) === 10L && r2(11L) === 11L) // K2 oscillates, by design
   }
 
+  test("k-core peeling invariant: after each round every surviving " +
+    "vertex had degree >= k in the previous round's edge set") {
+    // star (hub 0, leaves 1..5: leaves die round 1, then the hub)
+    // + K4 {10,11,12,13}: a true 3-core that must survive any peeling
+    val k4 = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val pairs = GraphOps.reverse(
+      ((1L to 5L).map(0L -> _) ++ k4).toDF("src", "dst"))
+    var edges = pairs.select($"src", $"dst")
+    for (round <- 1 to 3) {
+      val before = edges.as[(Long, Long)].collect()
+      val degBefore = before.groupBy(_._1).view.mapValues(_.length).toMap
+      val keep = degBefore.filter(_._2 >= 3).keySet
+      edges = {
+        val kdf = keep.toSeq.toDF("v")
+        edges.join(kdf.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+          .join(kdf.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+          .select($"src", $"dst")
+      }
+      val after = edges.as[(Long, Long)].collect()
+      assert(after.forall { case (s, t) => keep(s) && keep(t) },
+        s"round $round kept a sub-k vertex")
+    }
+    // the fixpoint of this graph is exactly K4, each vertex at degree 3
+    val fin = edges.as[(Long, Long)].collect()
+    assert(fin.map(_._1).toSet === Set(10L, 11L, 12L, 13L))
+    assert(fin.groupBy(_._1).forall(_._2.length === 3))
+  }
+
   test("bfsDistances: hop labels, multi-source min, unreached absent") {
     // path 0-1-2-3-4-5 plus source 100 isolated-pair 100-101
     val pairs = GraphOps.reverse(Seq(
