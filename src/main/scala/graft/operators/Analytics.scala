@@ -1445,6 +1445,28 @@ object Analytics {
         .orderBy($"prev_type", $"next_type")
     }),
 
+    // Gini coefficient of account-balance concentration per nation —
+    // the inequality/concentration measure (wealth, spend, traffic
+    // share). Computed from the rank formula G = 2·Σi·xᵢ/(n·Σx) −
+    // (n+1)/n over values shifted non-negative (the balance floor is
+    // −1000.00); the rank window is PARTITIONED by nation with a
+    // unique tiebreak, and every sum is an exact BIGINT (< 2^53, so
+    // the two double divisions are identical in any engine).
+    "an_gini" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey", $"c_custkey",
+        (round($"c_acctbal" * 100).cast("long") + 100000L).as("x"))
+      val w = Window.partitionBy($"c_nationkey").orderBy($"x", $"c_custkey")
+      c.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"i" * $"x").as("six"))
+        .select($"c_nationkey", $"n",
+          round(lit(2.0) * $"six" / ($"n" * $"sx")
+            - ($"n" + lit(1.0)) / $"n", 6).as("gini"))
+        .orderBy($"c_nationkey")
+    }),
+
     // Chi-square independence test: is event_type independent of the
     // user cohort? The contingency table is one partial-agg'd
     // (cohort × type) count; marginals roll up from it; the statistic
@@ -2458,6 +2480,21 @@ object Analytics {
         |       CAST(sum(CAST(round(-p * ln(p) * 1e6) AS BIGINT)) AS BIGINT)
         |         AS entropy_micronats
         |FROM pt GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "an_gini" ->
+      """WITH c AS (SELECT c_nationkey, c_custkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS x
+        |           FROM customer),
+        |r AS (SELECT c_nationkey, x,
+        |        CAST(row_number() OVER (PARTITION BY c_nationkey
+        |               ORDER BY x, c_custkey) AS BIGINT) AS i
+        |      FROM c),
+        |a AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(i * x) AS BIGINT) AS six
+        |      FROM r GROUP BY c_nationkey)
+        |SELECT c_nationkey, n,
+        |       round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+        |FROM a ORDER BY c_nationkey""".stripMargin,
     "an_chi2_indep" ->
       """WITH ct AS (SELECT user_id % 5 AS cohort, event_type,
         |              CAST(count(*) AS BIGINT) AS n

@@ -341,6 +341,21 @@ class KVTable(val spark: SparkSession, val path: String) {
     writeCompacted(KVTable.resolve(cellsFrom(snapshot)), numBuckets, snapshot)
   }
 
+  /** M22: RESTORE — roll the live state back to the `VERSION AS OF v`
+    * view by compacting THAT view into a new generation (the lakehouse
+    * RESTORE/ROLLBACK command): versions and tombstones written after
+    * `v` vanish from the live state in one atomic pointer flip, and
+    * because the restore is itself just a new generation, a wrong
+    * restore is re-restorable while the previous generation survives.
+    * Subject to [[resolvedAsOf]]'s retention rule: a target older than
+    * the last compaction restores what the store still retains. */
+  def restoreAsOf(v: Long, numBuckets: Int = 8): Unit = {
+    val snapshot = listLogFiles()
+    writeCompacted(
+      KVTable.resolve(cellsFrom(snapshot).filter(col("ts") <= v)),
+      numBuckets, snapshot)
+  }
+
   /** M21: ZERO-COPY shallow clone (the lakehouse CLONE contract): the
     * clone is a NEW table whose gen-0 files are hard links to this
     * table's current generation plus links to the current log files

@@ -443,6 +443,42 @@ object WriteQueries {
         .select($"key", $"bal").orderBy($"key")
     }),
 
+    // M22 (extra): RESTORE / ROLLBACK (KVTable.restoreAsOf) — a bad
+    // bulk write (+999 on half the keys) and a bad delete land on top
+    // of the ts=1 base; restore to VERSION AS OF 1 rolls the live
+    // state back in one atomic generation flip, and a NORMAL write
+    // then continues on the restored base. The oracle is base + only
+    // the post-restore write: if the restore leaked either the
+    // corruption or the tombstones, the hash fails.
+    "m22_restore" -> ((s, d) => {
+      import s.implicits._
+      val t = KVTable(s, base("m22"), wipe = true)
+      t.put(customerCents(s, d, ts = 1L))
+      t.compact()
+      // the incident: corrupting bulk update + stray deletes
+      t.put(Tables.customer(s, d).filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("key"), lit("F").as("family"),
+          lit("bal").as("qualifier"),
+          (round($"c_acctbal" * 100).cast("long") + 999L).cast("string")
+            .as("value"), lit(2L).as("ts")))
+      t.delete(Tables.customer(s, d).filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey".as("key"),
+          lit(null).cast("string").as("family"),
+          lit(null).cast("string").as("qualifier")), ts = 3L)
+      t.restoreAsOf(1L)
+      // business as usual on the restored base: %5 keys +5 at ts=4
+      t.put(Tables.customer(s, d).filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey".as("key"), lit("F").as("family"),
+          lit("bal").as("qualifier"),
+          (round($"c_acctbal" * 100).cast("long") + 5L).cast("string")
+            .as("value"), lit(4L).as("ts")))
+      t.resolved()
+        .select(($"key" % 100).as("grp"), $"value".cast("long").as("cents"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("total"))
+        .orderBy($"grp")
+    }),
+
     // M21 (extra): ZERO-COPY shallow clone (KVTable.cloneTo — the
     // lakehouse CLONE): snapshot the source (compacted generation +
     // live log) as hard links, then DIVERGE the source with a new
@@ -1507,6 +1543,16 @@ object WriteQueries {
         |  FROM customer)
         |SELECT key, bal FROM seg WHERE seg = 'MACHINERY'
         |ORDER BY key""".stripMargin,
+    "m22_restore" ->
+      """WITH base AS (SELECT c_custkey AS key,
+        |                CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |              FROM customer),
+        |fin AS (SELECT key, cents + CASE WHEN key % 5 = 0
+        |                                 THEN 5 ELSE 0 END AS cents
+        |        FROM base)
+        |SELECT key % 100 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS total
+        |FROM fin GROUP BY key % 100 ORDER BY grp""".stripMargin,
     "m21_clone" ->
       """WITH base AS (SELECT c_custkey AS key,
         |                CAST(round(c_acctbal * 100) AS BIGINT) AS cents

@@ -52,6 +52,25 @@ class KVCloneSpec extends AnyFunSuite with SparkSpec {
     assert(state(src) === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("restoreAsOf rolls back later versions AND tombstones; a wrong " +
+    "restore is itself restorable") {
+    val t = fresh("restore1")
+    t.put(cells(Seq(1L -> 10L, 2L -> 20L, 3L -> 30L), 1L))
+    t.compact()
+    t.put(cells(Seq(1L -> 999L), 2L)) // corruption
+    t.delete(Seq(2L).toDF("key")
+      .select($"key", lit(null).cast("string").as("family"),
+        lit(null).cast("string").as("qualifier")), ts = 3L)
+    assert(state(t) === Map(1L -> 999L, 3L -> 30L))
+    t.restoreAsOf(1L)
+    assert(state(t) === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // life continues on the restored base, and a too-aggressive
+    // restore target still yields the retained as-of view
+    t.put(cells(Seq(4L -> 40L), 4L))
+    t.restoreAsOf(1L) // drops key 4 again
+    assert(state(t) === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+  }
+
   test("cloning an uncompacted (log-only) table links just the log") {
     val src = fresh("clone_src3")
     src.put(cells(Seq(5L -> 50L), 1L))
