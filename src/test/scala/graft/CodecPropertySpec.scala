@@ -34,6 +34,26 @@ class CodecPropertySpec extends AnyFunSuite with SparkSpec {
     assert(bad.isEmpty, s"codec roundtrip failed for: ${bad.mkString(", ")}")
   }
 
+  test("zigzag varint roundtrips on random and edge inputs, with the " +
+    "arithmetic byte-length law") {
+    val xs = (edgeLongs ++ randomLongs(99L, 300)).distinct
+    val bad = xs.toDF("x")
+      .selectExpr("x", "graft_unvarint(graft_varint(x)) AS back",
+        "CAST(length(graft_varint(x)) AS BIGINT) AS w")
+      .filter("back <> x OR w < 1 OR w > 10")
+      .collect()
+    assert(bad.isEmpty, s"varint roundtrip failed: ${bad.mkString(", ")}")
+    // the byte-length law the f10 oracle relies on — exactly
+    // ceil(bits(zigzag)/7), min 1 — checked with exact bit arithmetic
+    xs.foreach { x =>
+      val zz = (x << 1) ^ (x >> 63)
+      val expected =
+        math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(zz) + 6) / 7)
+      assert(graft.functions.ByteCodec.zigzagVarint(x).length === expected,
+        s"length law broken for $x")
+    }
+  }
+
   test("uuid codec roundtrips on random uuids") {
     val r = new scala.util.Random(7L)
     val uuids = Seq.fill(100)(

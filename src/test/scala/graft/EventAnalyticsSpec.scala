@@ -90,6 +90,36 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(obs === Tables.events(spark, sf).count())
   }
 
+  test("gated ingest parity: the streaming quarantine equals the batch " +
+    "quarantine row for row (same rules, different write paths)") {
+    val batch = SparkEntry.queries("m20_quarantine")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val stream = SparkEntry.queries("st16_stream_quarantine")(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(batch === stream)
+    assert(batch.map(_._1).contains("landed"))
+  }
+
+  test("an_gini: bounds, and concentration orders a flat vs skewed set") {
+    val rows = SparkEntry.queries("an_gini")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nat, n, g) =>
+      assert(g >= -1e-6 && g < 1.0, s"nation $nat gini $g out of range")
+      assert(n > 0)
+    }
+    // sanity on the formula itself: perfectly equal values → 0,
+    // one-owner-takes-all → (n-1)/n
+    def gini(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      val six = s.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      2.0 * six / (n.toLong * s.sum) - (n + 1.0) / n
+    }
+    assert(math.abs(gini(Seq.fill(10)(100L))) < 1e-9)
+    assert(math.abs(gini(Seq.fill(9)(0L) :+ 1000L) - 0.9) < 1e-9)
+  }
+
   test("an_window_funnel: depth histogram is a refinement chain — " +
     "every depth-k user is a depth-(k-1) user by definition") {
     val hist = SparkEntry.queries("an_window_funnel")(spark, sf)
