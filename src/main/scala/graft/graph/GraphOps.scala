@@ -468,9 +468,14 @@ object GraphOps {
     * aggregated — no vertex-indexed side structures), lineage is cut
     * per round with an eager localCheckpoint, and the fixpoint check
     * is an exact `except ... limit 1` probe (bounded ≤1-row collect),
-    * not a hashed signature that could falsely converge. Terminates in
-    * O(log² n) rounds worst-case; `maxRounds` is a runaway guard that
-    * FAILS FAST rather than returning unconverged labels.
+    * not a hashed signature that could falsely converge. The exact
+    * probe is gated behind a cheap pre-check — (edge count, sum of
+    * row hashes), one aggregation over the round's own output — so
+    * the two full anti-join jobs run only on candidate-converged
+    * rounds (typically once, the final round), never per round.
+    * Terminates in O(log² n) rounds worst-case; `maxRounds` is a
+    * runaway guard that FAILS FAST rather than returning unconverged
+    * labels.
     *
     * Input: (src, dst) pairs, any orientation/duplication. Output:
     * (vertex, cluster) for every non-isolated vertex, cluster = the
@@ -485,6 +490,17 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true)
+    // signature of the CURRENT edge set: (count, sum of 32-bit row
+    // hashes, summed as long — overflow-free under ANSI below 2^32
+    // edges). Equal signatures are necessary, not sufficient, for set
+    // equality: a mismatch skips the exact probe with zero false
+    // convergences, and a (vanishingly rare) collision only means the
+    // exact probe runs one extra time — it stays authoritative.
+    def sig(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), sum(hash($"a", $"b").cast("long"))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eSig = sig(e)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -506,11 +522,14 @@ object GraphOps {
         .unionByName(mS.select($"m".as("a"), $"b"))
         .filter($"a" =!= $"b").distinct()
         .localCheckpoint(true)
-      // exact fixpoint probe on the shrunken sets (≤1 row collected;
-      // both directions of the symmetric difference in ONE job)
-      converged = small.except(e).unionByName(e.except(small))
-        .limit(1).isEmpty
+      // cheap monotone pre-check first; exact fixpoint probe (≤1 row
+      // collected; both directions of the symmetric difference in ONE
+      // job) only when the signatures say convergence is possible
+      val smallSig = sig(small)
+      converged = smallSig == eSig &&
+        small.except(e).unionByName(e.except(small)).limit(1).isEmpty
       e = small
+      eSig = smallSig
       round += 1
     }
     if (!converged)

@@ -197,14 +197,34 @@ object Dedup {
     * Asymmetric by construction, so the output is the DIRECTED pair
     * (contained da, container db). Same inverted-shingle-join scale
     * shape as [[ngramJaccard]]: candidates = Σ shingle-df², never n²,
-    * and the same hot-shingle cap applies when a corpus needs it. */
+    * and the same hot-shingle cap applies when a corpus needs it.
+    *
+    * `maxShingleDocFreq`: shingles in more than this many documents
+    * ("stop-shingles" — boilerplate headers, license blurbs) are
+    * excluded from the candidate join, collapsing the df² fan-out; the
+    * denominator |sh(a)| is then the FILTERED shingle count, so a doc
+    * made entirely of boilerplate contributes no pairs rather than a
+    * divide-by-inflated-na. 0 = off (exact semantics, the
+    * oracle-checked default). */
   def containment(docs: DataFrame, threshold: Double,
-                  k: Int = 3): DataFrame = {
+                  k: Int = 3, maxShingleDocFreq: Long = 0L): DataFrame = {
     val arr = spread(docs)
       .select(col("doc_id"), shingles(words(col("text")), k).as("sh"))
       .cache()
-    val sh = arr.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cnt = arr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val all = arr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh =
+      if (maxShingleDocFreq <= 0) all
+      else {
+        val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq).select(col("s"))
+        all.join(hot, Seq("s"), "left_anti").cache()
+      }
+    // exact path: denominator = array size (no shuffle aggregate);
+    // hot-filtered path: must count the FILTERED shingles per doc
+    val cnt =
+      if (maxShingleDocFreq <= 0)
+        arr.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      else sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -213,7 +233,7 @@ object Dedup {
       .withColumn("cont", col("common") / col("na"))
       .filter(col("cont") >= threshold)
       .select(col("da"), col("db"), round(col("cont"), 6).as("cont"))
-    barrier(pairs, arr)
+    barrier(pairs, arr, sh)
   }
 
   def ngramJaccard(docs: DataFrame, threshold: Double, k: Int = 3,

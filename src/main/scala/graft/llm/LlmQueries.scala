@@ -691,10 +691,15 @@ object LlmQueries {
           sharedHash(concat_ws(" ", slice($"w", $"start", lit(B))))
             .as("bh"),
           least($"n" - $"start" + 1, lit(B)).cast("long").as("btok"))
-        .withColumn("okey", $"doc_id" * 1000000L + $"pos")
-      val first = blocks.groupBy($"bh").agg(min($"okey").as("fkey"))
+      // keep-first order key is a lexicographic (doc_id, pos) struct
+      // min — partial-agg'd, and immune to the packed-BIGINT overflow
+      // a doc_id*K+pos key has once pos reaches K
+      val first = blocks.groupBy($"bh")
+        .agg(min(struct($"doc_id", $"pos")).as("f"))
       blocks.join(first, "bh")
-        .withColumn("dropped", when($"okey" === $"fkey", 0L).otherwise(1L))
+        .withColumn("dropped",
+          when($"doc_id" === $"f.doc_id" && $"pos" === $"f.pos", 0L)
+            .otherwise(1L))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_blocks"),
           sum($"dropped").as("n_dropped"),
@@ -1940,12 +1945,14 @@ object LlmQueries {
         |              unnest(generate_series(1, greatest(len(w), 1), 16))
         |                AS start
         |            FROM t)),
-        |f AS (SELECT bh, min(doc_id * 1000000 + pos) AS fkey
+        |f AS (SELECT bh, min({'d': doc_id, 'p': pos}) AS fk
         |      FROM b GROUP BY bh)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
-        |       CAST(sum(CASE WHEN doc_id * 1000000 + pos = fkey
+        |       CAST(sum(CASE WHEN doc_id = struct_extract(fk, 'd')
+        |                      AND pos = struct_extract(fk, 'p')
         |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
-        |       CAST(sum(CASE WHEN doc_id * 1000000 + pos = fkey
+        |       CAST(sum(CASE WHEN doc_id = struct_extract(fk, 'd')
+        |                      AND pos = struct_extract(fk, 'p')
         |                     THEN btok ELSE 0 END) AS BIGINT)
         |         AS kept_tokens
         |FROM b JOIN f USING (bh)

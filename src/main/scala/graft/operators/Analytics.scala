@@ -1489,11 +1489,14 @@ object Analytics {
         .withColumn("exp", $"rown" * $"coln" / $"ntot")
         .withColumn("term_micro",
           round(pow($"n" - $"exp", 2) / $"exp" * 1e6).cast("long"))
+      // dof derived from the table's own marginals — cells is at most
+      // cohorts × types rows, so the countDistinct Expand is trivial
       cells.agg(
           count(lit(1)).as("n_cells"),
           sum($"n").as("n_obs"),
-          sum($"term_micro").as("chi2_micro"))
-        .withColumn("dof", lit(4L * 4L)) // (5 cohorts-1) × (5 types-1)
+          sum($"term_micro").as("chi2_micro"),
+          ((countDistinct($"cohort") - 1) *
+            (countDistinct($"event_type") - 1)).as("dof"))
         .select($"n_cells", $"n_obs", $"chi2_micro", $"dof")
     }),
 
@@ -2504,7 +2507,7 @@ object Analytics {
         |             sum(n) OVER (PARTITION BY event_type) AS coln
         |      FROM ct),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM ct),
-        |cells AS (SELECT n,
+        |cells AS (SELECT cohort, event_type, n,
         |            CAST(round(pow(n - rown * coln * 1.0 / ntot, 2)
         |                 / (rown * coln * 1.0 / ntot) * 1e6) AS BIGINT)
         |              AS term_micro
@@ -2512,7 +2515,8 @@ object Analytics {
         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
         |       CAST(sum(n) AS BIGINT) AS n_obs,
         |       CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
-        |       CAST(16 AS BIGINT) AS dof
+        |       CAST((count(DISTINCT cohort) - 1)
+        |            * (count(DISTINCT event_type) - 1) AS BIGINT) AS dof
         |FROM cells""".stripMargin,
     "an_benford" ->
       """WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents

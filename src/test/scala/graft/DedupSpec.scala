@@ -524,6 +524,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(!jacc.contains((1L, 3L)) && !jacc.contains((3L, 1L)))
   }
 
+  test("containment hot-shingle cap collapses a boilerplate corpus's " +
+    "candidate pairs and renormalizes the denominator") {
+    // every doc shares one boilerplate sentence (a stop-shingle corpus:
+    // its shingles appear in ALL docs); unique tails differ entirely
+    val boiler = "subscribe to our newsletter for updates today"
+    val corpus = (1L to 8L).map(i =>
+        i -> (boiler + s" tail$i word${i}a word${i}b word${i}c"))
+      .toDF("doc_id", "text")
+    // uncapped: boilerplate shingles make EVERY ordered pair a
+    // candidate, and each passes (shared boiler ≈ most of each doc)
+    val uncapped = Dedup.containment(corpus, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.length === 8 * 7,
+      "uncapped boilerplate corpus should produce all ordered pairs")
+    // capped at df<=4: the in-all-8-docs boiler shingles drop out of
+    // the candidate join, the denominator becomes the FILTERED count,
+    // and the unique tails share nothing ⇒ zero pairs
+    val capped = Dedup.containment(corpus, 0.5, maxShingleDocFreq = 4L)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.isEmpty,
+      s"capped run should collapse candidates, got ${capped.length}")
+    // cap above the corpus df is a no-op: exact semantics preserved
+    val loose = Dedup.containment(corpus, 0.5, maxShingleDocFreq = 100L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose === uncapped.toSet)
+  }
+
   test("line dedup: keep-first survives exactly once per repeated block " +
     "and kept_tokens conserves") {
     val rows = SparkEntry.queries("llm_line_dedup")(spark, sf)

@@ -39,9 +39,12 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
       .groupBy($"user_id")
       .agg(sum(round($"value" * 100).cast("long")).as("s"))
       .as[(Long, Long)].collect().toMap
+    // dec == 0 is legitimate: 1e6 >> h is exactly 0 for h >= 20, so a
+    // user whose events are all >= 20 half-lives older than the corpus
+    // max decays to zero — assert the bound, not strict positivity
     got.foreach { case (u, dec) =>
       assert(dec <= plain(u) * 1000000L, s"user $u decayed above weight 1")
-      assert(dec > 0, s"user $u decayed to zero")
+      assert(dec >= 0, s"user $u decayed negative")
     }
   }
 
