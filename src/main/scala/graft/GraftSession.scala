@@ -28,6 +28,10 @@ object GraftSession {
       // shuffle elimination (storage-partitioned joins / clustered aggs)
       .config("spark.sql.catalog.graft", "graft.sources.kv.GraftCatalog")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // static conf, default 100: a 245-query bench sweep would evict
+      // every generated class between a query's warmup and its timed
+      // samples — size it to hold the whole surface's codegen
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
