@@ -542,6 +542,118 @@ object GraphOps {
         e.select($"a").distinct().select($"a".as("vertex"), $"a".as("cluster")))
   }
 
+  /** Probability-product incremental BSP — the reference's
+    * `incrementalNetBSP` semantics (HGraphTable.scala:143-228,
+    * SURVEY-declared intent): a BATCH of new scored connections is
+    * admitted against a STANDING connection state, and accepted
+    * evidence propagates through the state with multiplicatively
+    * attenuating probability (`ehe.probability * she.probability`,
+    * HGraphTable.scala:193-197), each hop dominance-filtered — a
+    * message loses against any existing connection to the same peer
+    * with probability >= its own (HGraphTable.scala:168-170, the
+    * reference's `>=`-drop, so only STRICT improvements survive).
+    *
+    * Semantics preserved from the reference per superstep:
+    *  - inbox collapses per (vertex, peer) to the best message
+    *    (max prob, ties by ts then vendor — deterministic where the
+    *    reference's reduceByKey order was arbitrary);
+    *  - dominance filters against state AND the accumulated pending
+    *    suggestions (reference: hbase + pending checks);
+    *  - the surviving delta pairs with the vertex's PRE-MERGE
+    *    connections (state ∪ old pending — the reference reads
+    *    `existing = hbase ++ pending` before transferring the inbox)
+    *    and suggests both sides: peer s learns of peer i with
+    *    (vendor, ts) of the NEW edge; peer i learns of s with the new
+    *    edge's vendor but the EXISTING edge's ts (HGraphTable.scala:
+    *    190-197 carries exactly that asymmetry);
+    *  - the last superstep absorbs its inbox without propagating.
+    *
+    * Output = the pending set: suggested state changes per
+    * (vertex, peer), the reference's BSP_OUT update half — state
+    * itself is never mutated (the caller applies changes, exactly as
+    * the reference leaves the put to the caller).
+    *
+    * Spark-first shape: probabilities are integer MICRO-units
+    * (prob_ppm ∈ [0, 1e6]; hop product = a*b DIV 1e6 — exact and
+    * association-free in any engine), the frontier is delta-only
+    * (messages are generated from newly-accepted rows, never from
+    * standing state against itself), the standing state is partitioned
+    * by vertex once and cached, and every per-round result is an eager
+    * localCheckpoint (the bspIterateDelta lineage discipline).
+    * `minProbPpm` drops messages whose probability attenuated below
+    * the floor — the natural 100 TB fan-out bound: hop k carries
+    * p^(k+1), so the frontier starves geometrically instead of
+    * flooding the cluster with epsilon-probability suggestions.
+    *
+    * Input schemas (state and batch): (vertex, peer, vendor,
+    * prob_ppm, ts), symmetric (both directions present).
+    */
+  def probBspIncremental(state: DataFrame, batch: DataFrame,
+      supersteps: Int, minProbPpm: Long = 1L): DataFrame = {
+    val s = state.sparkSession
+    import s.implicits._
+    val cols = Seq("vertex", "peer", "vendor", "prob_ppm", "ts")
+    def canon(df: DataFrame): DataFrame = df.select(cols.map(col): _*)
+    // best message / suggestion per (vertex, peer): lexicographic
+    // (prob, ts, vendor) struct max — a pure hash aggregation
+    def best(df: DataFrame): DataFrame = df
+      .groupBy($"vertex", $"peer")
+      .agg(max(struct($"prob_ppm", $"ts", $"vendor")).as("m"))
+      .select($"vertex", $"peer", $"m.vendor".as("vendor"),
+        $"m.prob_ppm".as("prob_ppm"), $"m.ts".as("ts"))
+    val st = canon(state).repartition($"vertex").cache()
+    st.count() // materialize once; every superstep reuses the layout
+    // pending starts ABSENT, not as an empty relation: unioning a
+    // statically-empty LocalRelation trips Catalyst's union constraint
+    // rewrite (AttributeMap lookup on the pruned side), so the first
+    // superstep's delta BECOMES the pending set instead
+    var pending: Option[DataFrame] = None
+    var inbox = canon(batch)
+    var step = 1
+    var drained = false
+    while (step <= supersteps && !drained) {
+      val cand = best(inbox).filter($"prob_ppm" >= minProbPpm)
+      // dominance: strict improvement over state AND over pending
+      val vsState = cand.as("c")
+        .join(st.as("s"), $"c.vertex" === $"s.vertex" &&
+          $"c.peer" === $"s.peer", "left")
+        .filter($"s.prob_ppm".isNull || $"c.prob_ppm" > $"s.prob_ppm")
+        .select($"c.vertex", $"c.peer", $"c.vendor", $"c.prob_ppm", $"c.ts")
+      val delta = pending.fold(vsState) { p =>
+        vsState.as("c")
+          .join(p.as("p"), $"c.vertex" === $"p.vertex" &&
+            $"c.peer" === $"p.peer", "left")
+          .filter($"p.prob_ppm".isNull || $"c.prob_ppm" > $"p.prob_ppm")
+          .select($"c.vertex", $"c.peer", $"c.vendor", $"c.prob_ppm",
+            $"c.ts")
+      }.localCheckpoint(true)
+      drained = delta.isEmpty
+      // propagate the delta against the PRE-MERGE existing connections
+      if (step < supersteps && !drained) {
+        val existing = pending.fold(st)(st.unionByName(_))
+        val paired = delta.as("d")
+          .join(existing.as("e"), $"d.vertex" === $"e.vertex")
+          .filter($"e.peer" =!= $"d.peer")
+          .withColumn("pp", expr("d.prob_ppm * e.prob_ppm DIV 1000000"))
+          .localCheckpoint(true) // the join feeds BOTH message legs
+        inbox = paired.select($"e.peer".as("vertex"), $"d.peer".as("peer"),
+            $"d.vendor".as("vendor"), $"pp".as("prob_ppm"),
+            $"d.ts".as("ts"))
+          .unionByName(
+            paired.select($"d.peer".as("vertex"), $"e.peer".as("peer"),
+              $"d.vendor".as("vendor"), $"pp".as("prob_ppm"),
+              $"e.ts".as("ts")))
+      }
+      if (!drained)
+        pending = Some(pending.fold(delta)(p =>
+          best(p.unionByName(delta)).localCheckpoint(true)))
+      step += 1
+    }
+    st.unpersist(false)
+    pending.getOrElse(
+      Seq.empty[(Long, Long, Long, Long, Long)].toDF(cols: _*))
+  }
+
   def f1(model: DataFrame, validation: DataFrame): DataFrame = {
     val row = f1Counts(model, validation).first()
     val (nm, nv, tp) = (row.getLong(0).toDouble, row.getLong(1).toDouble,

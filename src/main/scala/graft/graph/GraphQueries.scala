@@ -465,6 +465,35 @@ object GraphQueries {
       }
       edges.groupBy($"src".as("vertex")).agg(count(lit(1)).as("deg"))
         .orderBy($"vertex")
+    }),
+
+    // G16 (the reference's one previously-unmapped semantic):
+    // probability-product incremental BSP (incrementalNetBSP,
+    // HGraphTable.scala:143-228). Standing state = the deduplicated
+    // discount-scored connections (both directions); batch = a 1-in-200
+    // hash sample of the tax-scored feed (a day-later evidence drop —
+    // the incremental ingest this operator exists for). Three
+    // supersteps; probabilities in exact integer ppm; 500-ppm floor
+    // starves the frontier geometrically (hop k carries p^(k+1): at
+    // p<=0.102 per edge, 3-hop products survive only for near-maximal
+    // chains). Output = the suggested state changes (the reference's
+    // BSP_OUT update half); state is never mutated.
+    "g16_prob_bsp" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.TextOps
+      def ppm(df: DataFrame): DataFrame = df.select(
+        $"src".as("vertex"), $"dst".as("peer"), $"vendor",
+        expr("pb * 1000000 DIV 255").as("prob_ppm"), $"ts")
+      def sym(df: DataFrame): DataFrame = df.unionByName(df.select(
+        $"peer".as("vertex"), $"vertex".as("peer"), $"vendor",
+        $"prob_ppm", $"ts"))
+      val state = sym(ppm(deduplicate(feedA(s, d))))
+      val batch = sym(ppm(feedB(s, d).filter(
+        TextOps.sharedHash(concat_ws(":", lit("g16"), $"src", $"dst"))
+          % 200 === 0)))
+      GraphOps.probBspIncremental(state, batch,
+          supersteps = 3, minProbPpm = 500L)
+        .orderBy($"vertex", $"peer")
     })
   )
 
@@ -691,6 +720,101 @@ object GraphQueries {
     }.mkString(", e0 AS (SELECT src, dst FROM pairs2)", "", "") +
       """
         |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
-        |FROM e3 GROUP BY src ORDER BY vertex""".stripMargin)
+        |FROM e3 GROUP BY src ORDER BY vertex""".stripMargin),
+    // Fixed-superstep replay of the probability-product BSP: the same
+    // integer-ppm arithmetic, struct-max message collapse, strict-
+    // dominance filters, and pre-merge existing sets, unrolled as CTEs.
+    "g16_prob_bsp" -> (CTE +
+      """, stp AS (SELECT src AS vertex, dst AS peer, vendor,
+        |            pb * 1000000 // 255 AS prob_ppm, ts FROM dedup),
+        |st AS (SELECT * FROM stp
+        |       UNION ALL
+        |       SELECT peer, vertex, vendor, prob_ppm, ts FROM stp),
+        |b0 AS (SELECT src AS vertex, dst AS peer, vendor,
+        |         pb * 1000000 // 255 AS prob_ppm, ts FROM feedB
+        |       WHERE ('0x' || substr(md5('g16:' || src || ':' || dst),
+        |              1, 15))::BIGINT % 200 = 0),
+        |bb AS (SELECT * FROM b0
+        |       UNION ALL
+        |       SELECT peer, vertex, vendor, prob_ppm, ts FROM b0),
+        |c1 AS (SELECT vertex, peer,
+        |         max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
+        |       FROM bb GROUP BY 1, 2),
+        |d1 AS (SELECT c.vertex, c.peer,
+        |         struct_extract(m, 'v') AS vendor,
+        |         struct_extract(m, 'p') AS prob_ppm,
+        |         struct_extract(m, 't') AS ts
+        |       FROM c1 c LEFT JOIN st s
+        |         ON c.vertex = s.vertex AND c.peer = s.peer
+        |       WHERE struct_extract(m, 'p') >= 500
+        |         AND (s.vertex IS NULL
+        |              OR struct_extract(m, 'p') > s.prob_ppm)),
+        |m2 AS (SELECT e.peer AS vertex, d.peer AS peer, d.vendor,
+        |         (d.prob_ppm * e.prob_ppm) // 1000000 AS prob_ppm, d.ts
+        |       FROM d1 d JOIN st e
+        |         ON d.vertex = e.vertex AND e.peer <> d.peer
+        |       UNION ALL
+        |       SELECT d.peer, e.peer, d.vendor,
+        |         (d.prob_ppm * e.prob_ppm) // 1000000, e.ts
+        |       FROM d1 d JOIN st e
+        |         ON d.vertex = e.vertex AND e.peer <> d.peer),
+        |c2 AS (SELECT vertex, peer,
+        |         max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
+        |       FROM m2 GROUP BY 1, 2),
+        |d2 AS (SELECT c.vertex, c.peer,
+        |         struct_extract(m, 'v') AS vendor,
+        |         struct_extract(m, 'p') AS prob_ppm,
+        |         struct_extract(m, 't') AS ts
+        |       FROM c2 c
+        |       LEFT JOIN st s ON c.vertex = s.vertex AND c.peer = s.peer
+        |       LEFT JOIN d1 p ON c.vertex = p.vertex AND c.peer = p.peer
+        |       WHERE struct_extract(m, 'p') >= 500
+        |         AND (s.vertex IS NULL
+        |              OR struct_extract(m, 'p') > s.prob_ppm)
+        |         AND (p.vertex IS NULL
+        |              OR struct_extract(m, 'p') > p.prob_ppm)),
+        |ex2 AS (SELECT * FROM st UNION ALL SELECT * FROM d1),
+        |m3 AS (SELECT e.peer AS vertex, d.peer AS peer, d.vendor,
+        |         (d.prob_ppm * e.prob_ppm) // 1000000 AS prob_ppm, d.ts
+        |       FROM d2 d JOIN ex2 e
+        |         ON d.vertex = e.vertex AND e.peer <> d.peer
+        |       UNION ALL
+        |       SELECT d.peer, e.peer, d.vendor,
+        |         (d.prob_ppm * e.prob_ppm) // 1000000, e.ts
+        |       FROM d2 d JOIN ex2 e
+        |         ON d.vertex = e.vertex AND e.peer <> d.peer),
+        |p2 AS (SELECT vertex, peer,
+        |         struct_extract(m, 'v') AS vendor,
+        |         struct_extract(m, 'p') AS prob_ppm,
+        |         struct_extract(m, 't') AS ts
+        |       FROM (SELECT vertex, peer,
+        |               max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
+        |             FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |             GROUP BY 1, 2)),
+        |c3 AS (SELECT vertex, peer,
+        |         max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
+        |       FROM m3 GROUP BY 1, 2),
+        |d3 AS (SELECT c.vertex, c.peer,
+        |         struct_extract(m, 'v') AS vendor,
+        |         struct_extract(m, 'p') AS prob_ppm,
+        |         struct_extract(m, 't') AS ts
+        |       FROM c3 c
+        |       LEFT JOIN st s ON c.vertex = s.vertex AND c.peer = s.peer
+        |       LEFT JOIN p2 p ON c.vertex = p.vertex AND c.peer = p.peer
+        |       WHERE struct_extract(m, 'p') >= 500
+        |         AND (s.vertex IS NULL
+        |              OR struct_extract(m, 'p') > s.prob_ppm)
+        |         AND (p.vertex IS NULL
+        |              OR struct_extract(m, 'p') > p.prob_ppm)),
+        |p3 AS (SELECT vertex, peer,
+        |         struct_extract(m, 'v') AS vendor,
+        |         struct_extract(m, 'p') AS prob_ppm,
+        |         struct_extract(m, 't') AS ts
+        |       FROM (SELECT vertex, peer,
+        |               max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
+        |             FROM (SELECT * FROM p2 UNION ALL SELECT * FROM d3)
+        |             GROUP BY 1, 2))
+        |SELECT vertex, peer, vendor, prob_ppm, ts FROM p3
+        |ORDER BY vertex, peer""".stripMargin)
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.graph.GraphOps
+import graft.graph.{GraphOps, GraphQueries}
 import graft.graph.GraphOps.Edge
 
 /** Graph operator semantics on a hand-crafted graph (AGraph.scala
@@ -194,6 +194,85 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
       val dist = GraphOps.heavyVertices(degree, eps, histCap = 10)
         .select($"vertex").as[Long].collect().toSet
       assert(dist === fast, s"epsilon=$eps")
+    }
+  }
+
+  // --- probability-product incremental BSP (reference
+  //     incrementalNetBSP, HGraphTable.scala:143-228) ---
+
+  private def probDf(rows: Seq[(Long, Long, Long, Long, Long)]) =
+    rows.toDF("vertex", "peer", "vendor", "prob_ppm", "ts")
+  private def symm(rows: Seq[(Long, Long, Long, Long, Long)]) =
+    rows ++ rows.map { case (v, p, ve, pr, ts) => (p, v, ve, pr, ts) }
+
+  test("probBsp: a new edge's evidence attenuates multiplicatively " +
+    "along the standing chain with the reference's vendor/ts carry") {
+    // chain 1-2 (p=.5, ts=100, vendor=10), 2-3 (p=.4, ts=200, vendor=11);
+    // new evidence 3-4 (p=.8, ts=300, vendor=99)
+    val state = probDf(symm(Seq((1L, 2L, 10L, 500000L, 100L),
+      (2L, 3L, 11L, 400000L, 200L))))
+    val batch = probDf(symm(Seq((3L, 4L, 99L, 800000L, 300L))))
+    val got = GraphOps.probBspIncremental(state, batch, supersteps = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // hand-computed: suggestion prob = product of path ppm (DIV 1e6 per
+    // hop); vendor always the new edge's; ts = new edge's ts toward the
+    // propagation target, the EXISTING edge's ts on the reverse message
+    val expect = Set(
+      (3L, 4L, 99L, 800000L, 300L), (4L, 3L, 99L, 800000L, 300L),
+      (2L, 4L, 99L, 320000L, 300L), (4L, 2L, 99L, 320000L, 200L),
+      (1L, 4L, 99L, 160000L, 300L), (4L, 1L, 99L, 160000L, 100L))
+    assert(got === expect)
+  }
+
+  test("probBsp: dominance — a suggestion never ties or loses against " +
+    "standing state, and a dominated batch edge is silently absorbed") {
+    val state = probDf(symm(Seq((1L, 2L, 10L, 500000L, 100L))))
+    // batch edge 1-2 at LOWER prob than standing: must produce nothing
+    val weaker = probDf(symm(Seq((1L, 2L, 99L, 400000L, 300L))))
+    assert(GraphOps.probBspIncremental(state, weaker, 3).isEmpty)
+    // equal prob: the reference drops on >=, so still nothing
+    val equal = probDf(symm(Seq((1L, 2L, 99L, 500000L, 300L))))
+    assert(GraphOps.probBspIncremental(state, equal, 3).isEmpty)
+    // strictly higher: accepted as a suggested upgrade
+    val stronger = probDf(symm(Seq((1L, 2L, 99L, 600000L, 300L))))
+    val got = GraphOps.probBspIncremental(state, stronger, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 99L, 600000L, 300L),
+      (2L, 1L, 99L, 600000L, 300L)))
+  }
+
+  test("probBsp: fewer supersteps is a prefix — every k-step suggestion " +
+    "key survives at k+1 with prob no lower, on the g16 fixture") {
+    import graft.llm.TextOps
+    def ppm(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"src".as("vertex"), $"dst".as("peer"), $"vendor",
+      expr("pb * 1000000 DIV 255").as("prob_ppm"), $"ts")
+    def sym2(df: org.apache.spark.sql.DataFrame) = df.unionByName(
+      df.select($"peer".as("vertex"), $"vertex".as("peer"), $"vendor",
+        $"prob_ppm", $"ts"))
+    val state = sym2(ppm(GraphQueries.dedupA(spark, sf)))
+    val batch = sym2(ppm(GraphQueries.feedB(spark, sf).filter(
+      TextOps.sharedHash(concat_ws(":", lit("g16"), $"src", $"dst"))
+        % 200 === 0)))
+    def run(k: Int) = GraphOps.probBspIncremental(state, batch, k, 500L)
+      .select($"vertex", $"peer", $"prob_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val p2 = run(2)
+    val p3 = run(3)
+    assert(p2.nonEmpty, "fixture should accept suggestions")
+    p2.foreach { case (k, prob) =>
+      assert(p3.contains(k), s"key $k lost at 3 supersteps")
+      assert(p3(k) >= prob, s"key $k prob regressed at 3 supersteps")
+    }
+    // and every suggestion strictly beats the standing state (the
+    // dominance invariant end-to-end)
+    val stateMap = state.select($"vertex", $"peer", $"prob_ppm")
+      .as[(Long, Long, Long)].collect()
+      .groupMapReduce(r => (r._1, r._2))(_._3)(math.max)
+    p3.foreach { case (k, prob) =>
+      stateMap.get(k).foreach(sp =>
+        assert(prob > sp, s"suggestion $k does not beat state"))
     }
   }
 }
