@@ -542,6 +542,50 @@ object GraphOps {
         e.select($"a").distinct().select($"a".as("vertex"), $"a".as("cluster")))
   }
 
+  /** k-core peeling to the FULL fixpoint: repeatedly drop vertices of
+    * degree < k until none remain (the data-dependent completion of
+    * the fixed-round g15 contract). Input: symmetric (src, dst) pairs.
+    * Output: the surviving edge set.
+    *
+    * Each round is one partial-agg'd degree count + two semi-joins
+    * over the monotonically SHRINKING edge set, lineage cut per round.
+    * Convergence is an exact edge-count comparison — peeling only
+    * removes rows, so an unchanged count IS the fixpoint (no hashed
+    * signature needed, and no two-sided except). `maxRounds` is a
+    * runaway guard that FAILS FAST rather than returning an unpeeled
+    * core (the connectedComponentsStar discipline); real graphs
+    * converge in O(peel depth) <= O(max degeneracy) rounds.
+    */
+  def kcoreFixpoint(pairs: DataFrame, k: Int, maxRounds: Int = 60)
+      : DataFrame = {
+    var edges = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    var n = edges.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val keep = edges.groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("vertex"))
+      val next = edges
+        .join(keep.withColumnRenamed("vertex", "src"), Seq("src"),
+          "left_semi")
+        .join(keep.withColumnRenamed("vertex", "dst"), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      edges = next
+      n = m
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kcoreFixpoint did not converge in $maxRounds rounds — raise " +
+          "maxRounds (rounds are bounded by the graph's peel depth)")
+    edges
+  }
+
   /** Probability-product incremental BSP — the reference's
     * `incrementalNetBSP` semantics (HGraphTable.scala:143-228,
     * SURVEY-declared intent): a BATCH of new scored connections is

@@ -467,6 +467,20 @@ object GraphQueries {
         .orderBy($"vertex")
     }),
 
+    // G17 (extra): k-core peeled to the FULL data-dependent fixpoint
+    // (g15 is the fixed-3-round contract; this one peels until every
+    // surviving vertex has degree >= k, with the fail-fast round guard
+    // of connectedComponentsStar). Convergence = exact edge-count
+    // equality — peeling only removes, so an unchanged count is the
+    // fixpoint. Oracle: recursive-CTE replay that re-derives degrees
+    // per round and stops emitting once min degree reaches k.
+    "g17_kcore_fix" -> ((s, d) => {
+      import s.implicits._
+      GraphOps.kcoreFixpoint(pairs2(s, d).select($"src", $"dst"), 3)
+        .groupBy($"src".as("vertex")).agg(count(lit(1)).as("deg"))
+        .orderBy($"vertex")
+    }),
+
     // G16 (the reference's one previously-unmapped semantic):
     // probability-product incremental BSP (incrementalNetBSP,
     // HGraphTable.scala:143-228). Standing state = the deduplicated
@@ -721,6 +735,29 @@ object GraphQueries {
       """
         |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
         |FROM e3 GROUP BY src ORDER BY vertex""".stripMargin),
+    // Recursive-CTE peel: each iteration re-derives both endpoints'
+    // degrees by window counts over the previous round's edge set and
+    // emits survivors only while some vertex is still below k; the
+    // final guard returns the empty core when the last emitted round
+    // was not itself a fixpoint (all survivors peeled at once).
+    "g17_kcore_fix" -> (CTE.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, peel AS (
+        |  SELECT 0 AS r, src, dst FROM pairs2
+        |  UNION ALL
+        |  SELECT r + 1, src, dst FROM (
+        |    SELECT r, src, dst, dsrc, ddst, min(dsrc) OVER () AS mindeg
+        |    FROM (SELECT r, src, dst,
+        |            count(*) OVER (PARTITION BY src) AS dsrc,
+        |            count(*) OVER (PARTITION BY dst) AS ddst
+        |          FROM peel) t1) t2
+        |  WHERE mindeg < 3 AND dsrc >= 3 AND ddst >= 3),
+        |lastr AS (SELECT src, dst FROM peel
+        |          WHERE r = (SELECT max(r) FROM peel)),
+        |chk AS (SELECT src, count(*) AS deg FROM lastr GROUP BY src)
+        |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
+        |FROM lastr
+        |WHERE (SELECT min(deg) FROM chk) >= 3
+        |GROUP BY src ORDER BY vertex""".stripMargin),
     // Fixed-superstep replay of the probability-product BSP: the same
     // integer-ppm arithmetic, struct-max message collapse, strict-
     // dominance filters, and pre-merge existing sets, unrolled as CTEs.

@@ -60,14 +60,27 @@ object Ingest {
     * reference itself pipes Kafka through a socket proxy
     * (KafkaProxy.scala:12-33), so the socket-validated path is also the
     * reference-parity path. */
+  /** The exact reader options the kafka leg passes to
+    * `format("kafka")` — split out so the option plumbing is a unit-
+    * testable contract even where no broker or connector can load. */
+  def kafkaReaderOptions(src: KafkaSource): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> src.bootstrapServers,
+    "subscribe" -> src.topic,
+    "startingOffsets" -> src.startingOffsets)
+
+  /** Kafka record batch → the transport-normalized `value: String`
+    * shape. Input carries Spark's kafka source schema (key/value
+    * BINARY plus topic/partition/offset/timestamp metadata); the cell
+    * line is the UTF-8 value bytes. Pure column logic, so the contract
+    * is testable on a synthetic kafka-shaped frame. */
+  def normalizeKafka(records: DataFrame): DataFrame =
+    records.select(col("value").cast("string").as("value"))
+
   def lines(spark: SparkSession, src: StreamSource): DataFrame = src match {
-    case KafkaSource(bs, topic, off) =>
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bs)
-        .option("subscribe", topic)
-        .option("startingOffsets", off)
-        .load()
-        .select(col("value").cast("string").as("value"))
+    case k: KafkaSource =>
+      normalizeKafka(spark.readStream.format("kafka")
+        .options(kafkaReaderOptions(k))
+        .load())
     case SocketSource(host, port) =>
       spark.readStream.format("socket")
         .option("host", host).option("port", port).load()

@@ -197,6 +197,40 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("kcoreFixpoint: every surviving vertex has deg >= k, the fixed-" +
+    "3-round g15 peel is a prefix (continuing it reaches the same " +
+    "fixpoint), and a triangle+tail peels to the triangle") {
+    // triangle 1-2-3 plus a tail 3-4-5: 2-core = the triangle
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val sym = tri ++ tri.map(_.swap)
+    val edges = sym.toDF("src", "dst")
+    val core = GraphOps.kcoreFixpoint(edges, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(core === Set((1L, 2L), (2L, 3L), (1L, 3L),
+      (2L, 1L), (3L, 2L), (3L, 1L)))
+    // fixture: fixpoint(raw) == fixpoint(3-round-peeled) — the fixed-
+    // round query is a genuine prefix of the full peel
+    val raw = GraphQueries.pairs2(spark, sf).select($"src", $"dst")
+    val full = GraphOps.kcoreFixpoint(raw, 3)
+    var three = raw
+    for (_ <- 1 to 3) {
+      val keep = three.groupBy($"src".as("vertex"))
+        .agg(count(lit(1)).as("deg")).filter($"deg" >= 3).select($"vertex")
+      three = three
+        .join(keep.withColumnRenamed("vertex", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("vertex", "dst"), Seq("dst"), "left_semi")
+        .select($"src", $"dst").localCheckpoint(eager = true)
+    }
+    val continued = GraphOps.kcoreFixpoint(three, 3)
+    val a = full.as[(Long, Long)].collect().toSet
+    val b = continued.as[(Long, Long)].collect().toSet
+    assert(a === b)
+    // degree invariant at the fixpoint
+    val minDeg = full.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .agg(min($"deg")).as[Long].head()
+    assert(minDeg >= 3)
+  }
+
   // --- probability-product incremental BSP (reference
   //     incrementalNetBSP, HGraphTable.scala:143-228) ---
 

@@ -100,4 +100,34 @@ class SocketStreamSpec extends AnyFunSuite with SparkSpec {
     assert(msg.toLowerCase.contains("kafka"),
       s"kafka source lookup not reached: $e")
   }
+
+  test("kafka option plumbing and record normalization are the socket " +
+    "contract: UTF-8 value bytes become the same cell lines the shared " +
+    "merge parses") {
+    assert(Ingest.kafkaReaderOptions(
+      Ingest.KafkaSource("b1:9092,b2:9092", "cells", "latest")) === Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "cells",
+      "startingOffsets" -> "latest"))
+    // synthetic batch with Spark's kafka source schema: key/value are
+    // BINARY, plus topic/partition/offset metadata the normalize step
+    // must drop
+    val cell = "1,E,last,100,10"
+    val kafkaShaped = Seq(
+      (Array[Byte](107), cell.getBytes("UTF-8"), "cells", 0, 42L))
+      .toDF("key", "value", "topic", "partition", "offset")
+    val normalized = Ingest.normalizeKafka(kafkaShaped)
+    assert(normalized.schema.map(f => (f.name, f.dataType.typeName))
+      === Seq(("value", "string")))
+    assert(normalized.as[String].collect().toSeq === Seq(cell))
+    // and the normalized line parses to the exact cell the socket path
+    // produces (the shared foreachBatch split contract)
+    val f = split(col("value"), ",")
+    val parsed = normalized.select(
+      f.getItem(0).cast("long").as("key"), f.getItem(1).as("family"),
+      f.getItem(2).as("qualifier"), f.getItem(3).as("value"),
+      f.getItem(4).cast("long").as("ts"))
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(parsed === Seq((1L, "E", "last", "100", 10L)))
+  }
 }
