@@ -148,8 +148,12 @@ object LlmQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      // the band index is the PERSISTED artifact (AnnStore: parquet
+      // bucketed by the (b, bucket) probe key), so the candidate join
+      // plans against its storage partitioning — no Exchange ever
+      // touches the index side (PlanSpec pins it)
       Dedup.minHashLshIncremental(corpus,
-          Dedup.minHashBandIndex(corpus),
+          AnnStore.minHashBandIndex(s, d, corpus),
           docs.filter($"doc_id" % 5 === 0), 0.8)
         .orderBy($"da", $"db")
     }),
@@ -354,7 +358,10 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       val corpus = emb.filter($"vec_id" % 25 =!= 0)
       val cents = Similarity.ivfCentroids(corpus, 40)
-      Similarity.ivfProbe(cents, Similarity.ivfIndex(corpus, cents),
+      // index read from the PERSISTED cent_id-bucketed table
+      // (AnnStore): the probe's bucket join shuffles only the query
+      // batch; the corpus-sized index side plans Exchange-free
+      Similarity.ivfProbe(cents, AnnStore.ivfIndex(s, d, corpus, cents),
           emb.filter($"vec_id" % 25 === 0), k = 3, nprobe = 2)
         .orderBy($"query_id", $"rank")
     }),

@@ -445,4 +445,72 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.contains("BroadcastExchange"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("persisted ANN indexes: probe joins plan against the index's " +
+    "storage bucketing — zero shuffle in the index-scan subtree even " +
+    "with broadcast disabled") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import graft.llm.{AnnStore, Dedup, Similarity}
+
+    def deep[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++
+        kids.flatMap(deep(_)(pf))
+    }
+    def pin(df: org.apache.spark.sql.DataFrame, pathFrag: String): Unit = {
+      df.collect() // finalize the adaptive plan
+      val plan = df.queryExecution.executedPlan
+      def hasIndexScan(p: SparkPlan): Boolean = deep(p) {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains(pathFrag)) => s
+      }.nonEmpty
+      // the LOWEST join with the index on exactly one side (minimal
+      // subtree — higher joins contain it transitively)
+      val joins = deep(plan) {
+        case j: SortMergeJoinExec if j.children.count(hasIndexScan) == 1 => j: SparkPlan
+        case j: ShuffledHashJoinExec if j.children.count(hasIndexScan) == 1 => j: SparkPlan
+        case j: BroadcastHashJoinExec if j.children.count(hasIndexScan) == 1 => j: SparkPlan
+      }
+      assert(joins.nonEmpty, s"no join over $pathFrag:\n" +
+        plan.toString.take(3000))
+      val lowest = joins.minBy(j => deep(j) { case p => p }.size)
+      val indexSide = lowest.children.find(hasIndexScan).get
+      val scans = deep(indexSide) {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains(pathFrag)) => s
+      }
+      assert(scans.exists(_.bucketedScan),
+        "index scan is not a bucketed scan:\n" + indexSide.toString.take(2000))
+      val shuffles = deep(indexSide) { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"index side shuffles (${shuffles.size}):\n" +
+          indexSide.toString.take(3000))
+    }
+
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // IVF: the full registered query (probe join + top-k window)
+      pin(SparkEntry.queries("llm_ann_ivf_incr")(spark, sf),
+        "graft_ann/graft_ivf_index")
+      // minhash: the candidate join fragment (the registered query
+      // caches it inside an InMemoryRelation, which hides the join
+      // from the outer plan — pin the fragment that IS the claim)
+      val docs = Tables.documents(spark, sf)
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      val idx = AnnStore.minHashBandIndex(spark, sf, corpus)
+      val bIdx = Dedup.minHashBandIndex(docs.filter($"doc_id" % 5 === 0))
+      pin(idx.select($"doc_id".as("da"), $"b", $"bucket")
+          .join(bIdx.select($"doc_id".as("db"), $"b", $"bucket"),
+            Seq("b", "bucket")),
+        "graft_ann/graft_mh_band_index")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
 }
