@@ -645,7 +645,11 @@ object GraphOps {
       .agg(max(struct($"prob_ppm", $"ts", $"vendor")).as("m"))
       .select($"vertex", $"peer", $"m.vendor".as("vendor"),
         $"m.prob_ppm".as("prob_ppm"), $"m.ts".as("ts"))
-    val st = canon(state).repartition($"vertex").cache()
+    // the existing side never contributes vendor (messages carry the
+    // NEW edge's vendor, the reference's ehe.vendorCode) — cache the
+    // slim 4-column layout, partitioned by the message-join key
+    val st = state.select(col("vertex"), col("peer"), col("prob_ppm"),
+        col("ts")).repartition(col("vertex")).cache()
     st.count() // materialize once; every superstep reuses the layout
     // pending starts ABSENT, not as an empty relation: unioning a
     // statically-empty LocalRelation trips Catalyst's union constraint
@@ -671,14 +675,20 @@ object GraphOps {
           .select($"c.vertex", $"c.peer", $"c.vendor", $"c.prob_ppm",
             $"c.ts")
       }.localCheckpoint(true)
-      drained = delta.isEmpty
+      drained = delta.isEmpty // limit-1 over the checkpointed blocks
       // propagate the delta against the PRE-MERGE existing connections
       if (step < supersteps && !drained) {
-        val existing = pending.fold(st)(st.unionByName(_))
+        val existing = pending.fold(st)(p => st.unionByName(p.drop("vendor")))
         val paired = delta.as("d")
           .join(existing.as("e"), $"d.vertex" === $"e.vertex")
           .filter($"e.peer" =!= $"d.peer")
           .withColumn("pp", expr("d.prob_ppm * e.prob_ppm DIV 1000000"))
+          // floor the product BEFORE the message shuffle: dropping a
+          // sub-floor message can only drop keys whose MAX is
+          // sub-floor, which the post-aggregation floor drops anyway —
+          // identical outcome, but deep-hop fan-out (attenuated to
+          // epsilon) never reaches the wire
+          .filter($"pp" >= minProbPpm)
           .localCheckpoint(true) // the join feeds BOTH message legs
         inbox = paired.select($"e.peer".as("vertex"), $"d.peer".as("peer"),
             $"d.vendor".as("vendor"), $"pp".as("prob_ppm"),
