@@ -89,7 +89,13 @@ object ExplainDump {
     // broadcast 1-row frame); m21/st16 execute their clone/stream
     // eagerly, so their returned plans are result reads — the clone
     // contract is pinned by KVCloneSpec at the files level
-    "an_rfm")
+    "an_rfm",
+    // round 13: the IVF probe over the PERSISTED bucketed index (the
+    // index-side scan plans Exchange-free — also pinned executed by
+    // PlanSpec with broadcast disabled); g16/g17 checkpoint per
+    // round/superstep so their returned plans are final-state reads —
+    // their shapes live in GraphOps scaladoc + GraphOpsSpec
+    "llm_ann_ivf_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
