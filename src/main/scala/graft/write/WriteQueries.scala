@@ -1277,6 +1277,48 @@ object WriteQueries {
     // StreamDedup.scala). The 90-day horizon exceeds the staged data's
     // 30-day span, so within this run the dedup is exact and the oracle
     // is plain DISTINCT.
+    // §2.10 (extra): st17 — streaming ANN ingest, the embedding twin of
+    // st8's dedup ingest: micro-batches of NEW vectors probe the
+    // PERSISTED cent_id-bucketed IVF index (AnnStore) — the standing
+    // corpus is never re-assigned, the index side of every batch's
+    // probe join plans Exchange-free, and only batch-sized top-k rows
+    // flow to the executor-side sink. Results are batch-invariant
+    // (each query vector probes independently), so the oracle is the
+    // batch-equivalent IVF probe replay.
+    "st17_ann_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.llm.{AnnStore, Similarity}
+      val out = RepoPaths.target("graft_stream/st17_out")
+      KVTable.deleteRecursively(out)
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter($"vec_id" % 25 =!= 0)
+      val cents = Similarity.ivfCentroids(corpus, 40)
+        .localCheckpoint(eager = true)
+      val index = AnnStore.ivfIndex(s, d, corpus, cents)
+      val batchAll = emb.filter($"vec_id" % 25 === 0)
+      val stage = stageOnce(s, "st17", d, version = 1) { dir =>
+        (0 to 1).foreach(g => batchAll
+          .filter(expr("(vec_id DIV 25) % 2") === g)
+          .coalesce(1).write.mode("append").parquet(dir))
+      }
+      val src = s.readStream.schema(batchAll.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      withStreamPartitions(s) {
+        val q = src.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.GraftSession.withMicroBatchPlanning(batch.sparkSession) {
+              graft.streaming.IdempotentSink.parquet(out)(
+                Similarity.ivfProbe(cents, index, batch, k = 3, nprobe = 2),
+                batchId)
+            }
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      graft.streaming.IdempotentSink.read(s, out)
+        .orderBy($"query_id", $"rank")
+    }),
+
     "st4_stream_dedup" -> ((s, d) => {
       import s.implicits._
       val out = RepoPaths.target("graft_stream/st4_out")
@@ -1590,6 +1632,38 @@ object WriteQueries {
         |SELECT disposition, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(cents) AS BIGINT) AS cents
         |FROM cls GROUP BY disposition ORDER BY disposition""".stripMargin,
+    // batch-equivalent replay of the streaming IVF ingest: per-batch
+    // probes are independent per query vector, so the union of batch
+    // results equals one batch probe over the whole query split —
+    // identical to llm_ann_ivf_incr's oracle shape
+    "st17_ann_ingest" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |co AS (SELECT vec_id, e FROM e WHERE vec_id % 25 <> 0),
+        |c AS (SELECT vec_id AS cent_id, e AS ec FROM co WHERE vec_id % 40 = 0),
+        |ab AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM co v CROSS JOIN c) WHERE r <= 1),
+        |aq AS (SELECT vec_id, cent_id FROM (
+        |  SELECT v.vec_id, c.cent_id,
+        |         row_number() OVER (PARTITION BY v.vec_id
+        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
+        |                    c.cent_id) AS r
+        |  FROM e v CROSS JOIN c WHERE v.vec_id % 25 = 0) WHERE r <= 2),
+        |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS nb_id,
+        |                  round(list_cosine_similarity(qe.e, be.e), 6) AS cos
+        |           FROM aq q JOIN ab b USING (cent_id)
+        |           JOIN e qe ON qe.vec_id = q.vec_id
+        |           JOIN e be ON be.vec_id = b.vec_id
+        |           WHERE b.vec_id <> q.vec_id)
+        |SELECT query_id, rank, nb_id, cos FROM (
+        |  SELECT query_id, nb_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |                ORDER BY cos DESC, nb_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "m16_cdc_apply" ->
       """WITH base AS (
         |  SELECT o_orderkey AS key,
