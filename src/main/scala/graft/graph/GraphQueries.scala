@@ -518,6 +518,43 @@ object GraphQueries {
         .orderBy($"vertex")
     }),
 
+    // G18 (extra): per-vertex local clustering coefficient over g10's
+    // projected part-part graph — 2·tri(v) / (deg(v)·(deg(v)−1)), the
+    // community-density score behind spam-ring and bot-cluster
+    // detection. Same wedge-join shape as g10 but the closure is an
+    // INNER join (the triangle's three corners each take a count), so
+    // cost stays Σ wedge-counts; degree and triangle tables are
+    // vertex-sized; one double division per vertex, rounded.
+    "g18_clustering_coef" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_partkey")
+      val e = li
+        .join(li.select($"l_orderkey", $"l_partkey".as("v")), Seq("l_orderkey"))
+        .filter($"l_partkey" < $"v")
+        .select($"l_partkey".as("u"), $"v")
+        .distinct()
+      val deg = e.select($"u".as("x")).unionByName(e.select($"v".as("x")))
+        .groupBy($"x".as("vertex")).agg(count(lit(1)).as("deg"))
+      val tr = e.as("a")
+        .join(e.as("b"), $"a.v" === $"b.u")
+        .join(e.as("c"), $"c.u" === $"a.u" && $"c.v" === $"b.v")
+        .select($"a.u".as("t1"), $"a.v".as("t2"), $"b.v".as("t3"))
+      val tv = tr.select($"t1".as("vertex"))
+        .unionByName(tr.select($"t2".as("vertex")))
+        .unionByName(tr.select($"t3".as("vertex")))
+        .groupBy($"vertex").agg(count(lit(1)).as("tri"))
+      deg.join(tv, Seq("vertex"), "left_outer")
+        .filter($"deg" >= 2)
+        .select($"vertex", $"deg",
+          coalesce($"tri", lit(0L)).as("tri"),
+          round(lit(2.0) * coalesce($"tri", lit(0L))
+            / ($"deg" * ($"deg" - 1)), 6).as("coef"))
+        .orderBy($"vertex")
+    }),
+
     // G16 (the reference's one previously-unmapped semantic):
     // probability-product incremental BSP (incrementalNetBSP,
     // HGraphTable.scala:143-228). Standing state = the deduplicated
@@ -765,6 +802,31 @@ object GraphQueries {
       """
         |SELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg
         |FROM e3 GROUP BY src ORDER BY vertex""".stripMargin),
+    "g18_clustering_coef" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |deg AS (SELECT x AS vertex, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY x),
+        |tr AS (SELECT a.u AS t1, a.v AS t2, b.v AS t3
+        |       FROM e a JOIN e b ON a.v = b.u
+        |       JOIN e c ON c.u = a.u AND c.v = b.v),
+        |tv AS (SELECT vertex, CAST(count(*) AS BIGINT) AS tri
+        |       FROM (SELECT t1 AS vertex FROM tr
+        |             UNION ALL SELECT t2 FROM tr
+        |             UNION ALL SELECT t3 FROM tr)
+        |       GROUP BY vertex)
+        |SELECT d.vertex, d.deg, COALESCE(tv.tri, 0) AS tri,
+        |       round(2.0 * COALESCE(tv.tri, 0)
+        |             / (d.deg * (d.deg - 1)), 6) AS coef
+        |FROM deg d LEFT JOIN tv ON d.vertex = tv.vertex
+        |WHERE d.deg >= 2 ORDER BY d.vertex""".stripMargin,
     // Recursive-CTE peel: each iteration re-derives both endpoints'
     // degrees by window counts over the previous round's edge set and
     // emits survivors only while some vertex is still below k; the
