@@ -48,6 +48,25 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("an_retention: offset-0 retention is exactly 1, no offset " +
+    "exceeds its cohort, and cohort sizes sum to the distinct user count") {
+    val rows = SparkEntry.queries("an_retention")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val sizes = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cohort, off, users, ret) =>
+      assert(sizes.contains(cohort), s"cohort $cohort missing offset 0")
+      assert(users <= sizes(cohort), s"cohort $cohort offset $off " +
+        "retains more users than it has")
+      if (off == 0L) assert(ret === 1.0)
+      assert(ret > 0 && ret <= 1.0)
+    }
+    val totalUsers = Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(sizes.values.sum === totalUsers,
+      "every user belongs to exactly one cohort")
+  }
+
   test("an_markov: per-prev probabilities sum to 1 and counts conserve " +
     "the transition total") {
     val rows = SparkEntry.queries("an_markov")(spark, sf)
