@@ -1409,33 +1409,6 @@ object Analytics {
     // Scale shape: the global max-ts is a broadcast scalar; then ONE
     // partial-agg'd groupBy over the events — per-row weights, no
     // window, no second shuffle.
-    // Cohort retention matrix — the product-analytics staple: users
-    // bucketed by FIRST-SEEN epoch week; retention(cohort, k) =
-    // distinct users active k weeks later / cohort size. Scale shape:
-    // the activity set collapses to distinct (user, week) FIRST (one
-    // partial-agg'd dedup — a user's thousandth event that week adds
-    // nothing to the shuffle), first-seen is a user-sized min, the
-    // (cohort, offset) rollup is a plain count over the deduped set
-    // (no count-distinct Expand), and cohort sizes come from the
-    // offset-0 rows of the same rollup. Ratio = one double division,
-    // rounded — no float accumulation.
-    "an_retention" -> ((s, d) => {
-      import s.implicits._
-      val wk = Tables.events(s, d).select($"user_id",
-        expr("ts DIV 1000000000 DIV 604800").as("w"))
-      val act = wk.distinct()
-      val first = act.groupBy($"user_id").agg(min($"w").as("cohort"))
-      val counts = act.join(first, "user_id")
-        .select($"cohort", ($"w" - $"cohort").as("offset"), $"user_id")
-        .groupBy($"cohort", $"offset").agg(count(lit(1)).as("users"))
-      val size = counts.filter($"offset" === 0)
-        .select($"cohort", $"users".as("cohort_users"))
-      counts.join(size, "cohort")
-        .select($"cohort", $"offset", $"users",
-          round($"users" / $"cohort_users", 6).as("retention"))
-        .orderBy($"cohort", $"offset")
-    }),
-
     "an_decay_agg" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d).select($"user_id",
@@ -2477,19 +2450,6 @@ object Analytics {
         |       lead(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt,
         |       cents
         |FROM ch ORDER BY user_id, vf""".stripMargin,
-    "an_retention" ->
-      """WITH act AS (SELECT DISTINCT user_id,
-        |               (epoch_ns(ts) // 1000000000) // 604800 AS w
-        |             FROM events),
-        |f AS (SELECT user_id, min(w) AS cohort FROM act GROUP BY user_id),
-        |c AS (SELECT f.cohort, act.w - f.cohort AS "offset",
-        |             CAST(count(*) AS BIGINT) AS users
-        |      FROM act JOIN f USING (user_id) GROUP BY 1, 2),
-        |s AS (SELECT cohort, users AS cu FROM c WHERE "offset" = 0)
-        |SELECT c.cohort, c."offset" AS "offset", c.users,
-        |       round(c.users * 1.0 / s.cu, 6) AS retention
-        |FROM c JOIN s USING (cohort)
-        |ORDER BY c.cohort, c."offset"""".stripMargin,
     "an_decay_agg" ->
       """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
         |              CAST(round(value * 100) AS BIGINT) AS cents

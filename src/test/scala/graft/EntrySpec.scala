@@ -35,4 +35,27 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     assert(dups.isEmpty, s"query names registered twice: $dups")
     assert(all.length === SparkEntry.queries.size)
   }
+
+  test("no WITHIN-module duplicate registrations — a Scala Map literal " +
+    "silently keeps the last duplicate key, so shadowing is invisible " +
+    "to the Map-level guard; scan the source instead") {
+    // each registered name may appear at most twice as a map key in the
+    // whole source tree: once as the query lambda, once as the oracle
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val names = SparkEntry.queries.keySet ++ SparkEntry.oracleSql.keySet
+    val key = """"([a-z][a-z0-9_]*)"\s*->""".r
+    val srcRoot = Paths.get("src/main/scala/graft")
+    assert(Files.exists(srcRoot), s"source root not found from ${
+      Paths.get(".").toAbsolutePath}")
+    val counts = Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => key.findAllMatchIn(Files.readString(p)).map(_.group(1)))
+      .filter(names)
+      .toSeq.groupBy(identity).view.mapValues(_.size)
+    val over = counts.filter(_._2 > 2).toMap
+    assert(over.isEmpty,
+      s"names registered more than query+oracle once: $over — a " +
+        "duplicate key inside one module's Map shadows the earlier entry")
+  }
 }

@@ -48,18 +48,18 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("an_retention: offset-0 retention is exactly 1, no offset " +
-    "exceeds its cohort, and cohort sizes sum to the distinct user count") {
+  test("an_retention: offset-0 retention is exactly 1000 per-mille, no " +
+    "offset exceeds its cohort, and cohorts partition the user set") {
     val rows = SparkEntry.queries("an_retention")(spark, sf)
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
     val sizes = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
-    rows.foreach { case (cohort, off, users, ret) =>
+    rows.foreach { case (cohort, off, active, pm) =>
       assert(sizes.contains(cohort), s"cohort $cohort missing offset 0")
-      assert(users <= sizes(cohort), s"cohort $cohort offset $off " +
+      assert(active <= sizes(cohort), s"cohort $cohort offset $off " +
         "retains more users than it has")
-      if (off == 0L) assert(ret === 1.0)
-      assert(ret > 0 && ret <= 1.0)
+      if (off == 0L) assert(pm === 1000L)
+      assert(pm >= 0 && pm <= 1000L)
     }
     val totalUsers = Tables.events(spark, sf)
       .select($"user_id").distinct().count()
