@@ -43,35 +43,54 @@ object Bench {
     //  - sweep 3 (timed, adaptive) re-samples only the queries whose
     //    two samples still disagree by >1.5x — one more vote against
     //    residual noise, bounded to the unstable few.
+    //  - sweep 4 (timed) takes one MORE spread sample for the top-N
+    //    most expensive queries: the adaptive resample cannot fire
+    //    when BOTH earlier samples land in the same box-load window,
+    //    and on expensive queries one bad window costs whole seconds
+    //    in the artifact — a third vote there is cheap insurance
+    //    (bounded to N queries) against exactly that.
     //
-    // Reported number per query = min across its samples (the
-    // reproducible steady-state time; the mean would average box noise
-    // back in).
-    def sweepOnce(timed: Boolean): Map[String, Double] =
-      selected.map { case (name, fn) =>
-        sweepCaches()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (if (timed) (System.nanoTime() - t0) / 1e9 else 0.0)
-      }.toMap
-    sweepOnce(timed = false)
-    val s1 = sweepOnce(timed = true)
-    val s2 = sweepOnce(timed = true)
-    val unstable = selected.map(_._1).filter { n =>
-      val (a, b) = (s1(n), s2(n))
-      math.min(a, b) > 0.5 && math.max(a, b) / math.min(a, b) > 1.5
-    }.toSet
-    val s3 = selected.filter(p => unstable(p._1)).map { case (name, fn) =>
+    // Reported number per query = min across its SUCCESSFUL samples
+    // (the reproducible steady-state time; the mean would average box
+    // noise back in). A sample where the query THREW is recorded as a
+    // failure, never as a time — time-to-failure is not a latency, and
+    // a fast crash must not print as a flattering min. Queries with
+    // zero successful samples land in the artifact's "failed" list.
+    def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
       sweepCaches()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    sweepCaches()
-    val results = selected.map { case (name, _) =>
-      name -> math.min(math.min(s1(name), s2(name)),
-        s3.getOrElse(name, Double.MaxValue))
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case _: Throwable => None }
     }
+    selected.foreach { case (_, fn) => sample(fn) } // staging, untimed
+    val s1 = selected.map { case (n, fn) => n -> sample(fn) }.toMap
+    val s2 = selected.map { case (n, fn) => n -> sample(fn) }.toMap
+    val unstable = selected.map(_._1).filter { n =>
+      (s1(n), s2(n)) match {
+        case (Some(a), Some(b)) =>
+          math.min(a, b) > 0.5 && math.max(a, b) / math.min(a, b) > 1.5
+        case _ => true // a failed sample is the strongest disagreement
+      }
+    }.toSet
+    val s3 = selected.filter(p => unstable(p._1))
+      .map { case (n, fn) => n -> sample(fn) }.toMap
+    def minSoFar(n: String): Option[Double] =
+      Seq(s1(n), s2(n), s3.getOrElse(n, None)).flatten.minOption
+    val topN = selected.map(_._1)
+      .sortBy(n => -minSoFar(n).getOrElse(0.0)).take(25).toSet
+    val s4 = selected.filter(p => topN(p._1))
+      .map { case (n, fn) => n -> sample(fn) }.toMap
+    sweepCaches()
+    val perQuery = selected.map { case (name, _) =>
+      name -> Seq(s1(name), s2(name), s3.getOrElse(name, None),
+        s4.getOrElse(name, None)).flatten.minOption
+    }
+    val failed = perQuery.collect { case (n, None) => n }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (no successful " +
+        s"sample): ${failed.mkString(", ")}")
+    val results = perQuery.collect { case (n, Some(v)) => n -> v }
     val total = results.map(_._2).sum
     // Supplemental: the merged KV read COLD vs UNDER CONCURRENT APPEND
     // LOAD — puts landing while the scan runs (the compaction-swap spec
@@ -140,11 +159,13 @@ object Bench {
         (if (l < 0) "" // discarded: no load actually landed during it
          else s""""kv_read_under_append_sec":${math.round(l * 1000) / 1000.0},""")
     }
+    val failedJson = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString("\"failed\":[", ",", "],")
     def line(entries: Seq[(String, Double)], extra: String = ""): String = {
       val qs = entries.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},""" +
-        s""""unit":"sec","nqueries":${results.size},$kvExtra$extra""" +
+        s""""unit":"sec","nqueries":${results.size},$failedJson$kvExtra$extra""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query record (all timings, full precision) → file.

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for the SCALING.md curves (dev
+  * tooling, like Bench/Verify): replicates the driver's sf0.1 tables
+  * `copies`× with disjoint key namespaces, producing a synthetic
+  * sf≈1.0 under target/synth/ WITHOUT touching /root/testdata.
+  *
+  * Replication-with-key-shift is the right scale-up for plan stress:
+  * per-key group sizes, join selectivities and the degree distribution
+  * keep their sf0.1 shape (each copy is a disjoint universe, exactly
+  * like TPC-H sf growth, where order/part/supplier counts all scale
+  * together), while totals grow linearly — so a measured super-linear
+  * runtime exposes a super-linear PLAN, not a changed data shape.
+  * No RNG anywhere: output is a pure function of the input tables.
+  *
+  *  - lineitem: l_orderkey / l_partkey / l_suppkey shift per copy
+  *    (disjoint graph universes for the pairs2/probState suites)
+  *  - events: event_id / user_id shift; the time WINDOW stays fixed so
+  *    event density grows 10× — the streaming-stress axis
+  *  - documents: doc_id shifts; a per-copy suffix token keeps the
+  *    copies from being exact duplicates of each other
+  *  - embeddings: vec_id shifts; the vector rotates by `copy`
+  *    positions (norm-preserving, deterministic) so ANN structure
+  *    stays non-degenerate
+  *  - dims (region/nation/customer/supplier/part/orders) copy through
+  *    unchanged — none of the scaling-curve queries join them, and
+  *    TPC-H itself holds region/nation fixed across sf
+  */
+object SynthGen {
+
+  private def withCopies(df: DataFrame, copies: Int): DataFrame =
+    df.withColumn("_c", explode(sequence(lit(0L), lit(copies - 1L))))
+
+  /** col + copy * (max(col)+1): disjoint id namespace per copy. */
+  private def shifted(df: DataFrame, keys: Seq[String], copies: Int)
+      : DataFrame = {
+    val maxes = df.agg(
+      keys.head -> "max", keys.tail.map(_ -> "max"): _*).first()
+    val base = withCopies(df, copies)
+    keys.zipWithIndex.foldLeft(base) { case (d, (k, i)) =>
+      d.withColumn(k, col(k) + col("_c") * (maxes.getLong(i) + 1L))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.drop(1).headOption
+      .getOrElse(RepoPaths.target("synth/sf1.0"))
+    val copies = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local()
+    def write(name: String, df: DataFrame): Unit = {
+      df.drop("_c").write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+      println(s"[synthgen] $name -> $out/$name.parquet")
+    }
+
+    write("lineitem", shifted(Tables(spark, src, "lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), copies))
+
+    write("events", shifted(Tables(spark, src, "events"),
+      Seq("event_id", "user_id"), copies))
+
+    write("documents",
+      shifted(Tables(spark, src, "documents"), Seq("doc_id"), copies)
+        .withColumn("text", concat(col("text"), lit(" c"),
+          col("_c").cast("string")))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+
+    val emb = shifted(Tables(spark, src, "embeddings"),
+      Seq("vec_id"), copies)
+    write("embeddings", emb.withColumn("embedding",
+      concat( // rotate by `copy` positions; copy 0 stays the original
+        slice(col("embedding"), (col("_c") + 1).cast("int"),
+          size(col("embedding")) - col("_c").cast("int")),
+        slice(col("embedding"), lit(1), col("_c").cast("int")))))
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach(t => write(t, Tables(spark, src, t)))
+    spark.stop()
+  }
+}

@@ -542,6 +542,32 @@ object GraphOps {
         e.select($"a").distinct().select($"a".as("vertex"), $"a".as("cluster")))
   }
 
+  /** Degree-ordered orientation for triangle/wedge enumeration: point
+    * each undirected edge toward the higher-(degree, id) endpoint.
+    * The triangle set is invariant under ANY total vertex order, but
+    * the wedge-join cost is Σ_v in(v)·out(v) and depends on it hard:
+    * id-orientation leaves a hot mid-id vertex with d/2 in- and d/2
+    * out-edges (d²/4 wedges — unbounded under power-law skew), while
+    * degree-orientation bounds every out-neighborhood by O(√m) (an
+    * out-neighbor has degree ≥ yours, and there can only be √(2m)
+    * vertices of degree ≥ √(2m)), so total wedges are O(m^1.5) on ANY
+    * graph — the classic Ortmann/Brandes bound. Input: one row per
+    * undirected edge as (u, v), endpoints distinct in any order.
+    * Output: the same edge set re-oriented, columns (u, v). */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.select($"u".as("x"))
+      .unionByName(edges.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("dg"))
+    val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+    edges
+      .join(deg.select($"x".as("u"), $"dg".as("du")), Seq("u"))
+      .join(deg.select($"x".as("v"), $"dg".as("dv")), Seq("v"))
+      .select(when(fwd, $"u").otherwise($"v").as("u"),
+        when(fwd, $"v").otherwise($"u").as("v"))
+  }
+
   /** k-core peeling to the FULL fixpoint: repeatedly drop vertices of
     * degree < k until none remain (the data-dependent completion of
     * the fixed-round g15 contract). Input: symmetric (src, dst) pairs.
@@ -555,10 +581,19 @@ object GraphOps {
     * runaway guard that FAILS FAST rather than returning an unpeeled
     * core (the connectedComponentsStar discipline); real graphs
     * converge in O(peel depth) <= O(max degeneracy) rounds.
+    *
+    * Degrees are derived from groupBy(src) alone, which is only the
+    * true degree when the input holds BOTH directions of every edge —
+    * callers with a one-directional edge list must pass
+    * `symmetric = false` so the input is symmetrized here instead of
+    * silently peeling an out-degree-based (wrong) core.
     */
-  def kcoreFixpoint(pairs: DataFrame, k: Int, maxRounds: Int = 60)
-      : DataFrame = {
-    var edges = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+  def kcoreFixpoint(pairs: DataFrame, k: Int, maxRounds: Int = 60,
+      symmetric: Boolean = true): DataFrame = {
+    val sym =
+      if (symmetric) pairs.select(col("src"), col("dst"))
+      else reverse(pairs.select(col("src"), col("dst"))).distinct()
+    var edges = sym.localCheckpoint(true)
     var n = edges.count()
     var round = 0
     var converged = false
@@ -633,7 +668,28 @@ object GraphOps {
     * prob_ppm, ts), symmetric (both directions present).
     */
   def probBspIncremental(state: DataFrame, batch: DataFrame,
-      supersteps: Int, minProbPpm: Long = 1L): DataFrame = {
+      supersteps: Int, minProbPpm: Long = 1L,
+      stateColocated: Boolean = false): DataFrame = {
+    val s = state.sparkSession
+    import s.implicits._
+    // The dominance join keys on (vertex, peer) but the state layout is
+    // clustered by vertex alone (the propagation join's key). Spark
+    // only anchors co-partitioning on a SUBSET of the join keys when
+    // this conf allows it — without it EnsureRequirements re-shuffles
+    // the full standing state by (vertex, peer) EVERY superstep.
+    // Scoped set/restore is sound because the whole loop executes
+    // eagerly (localCheckpoint/count) inside this function.
+    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPartPrev = s.conf.get(coPartKey)
+    s.conf.set(coPartKey, "false")
+    try probBspIncrementalRun(state, batch, supersteps, minProbPpm,
+      stateColocated)
+    finally s.conf.set(coPartKey, coPartPrev)
+  }
+
+  private def probBspIncrementalRun(state: DataFrame, batch: DataFrame,
+      supersteps: Int, minProbPpm: Long,
+      stateColocated: Boolean): DataFrame = {
     val s = state.sparkSession
     import s.implicits._
     val cols = Seq("vertex", "peer", "vendor", "prob_ppm", "ts")
@@ -647,9 +703,17 @@ object GraphOps {
         $"m.prob_ppm".as("prob_ppm"), $"m.ts".as("ts"))
     // the existing side never contributes vendor (messages carry the
     // NEW edge's vendor, the reference's ehe.vendorCode) — cache the
-    // slim 4-column layout, partitioned by the message-join key
-    val st = state.select(col("vertex"), col("peer"), col("prob_ppm"),
-        col("ts")).repartition(col("vertex")).cache()
+    // slim 4-column layout, partitioned by the message-join key.
+    // `stateColocated`: the caller's state is ALREADY clustered by
+    // vertex (a Staging bucketed table) — skip the repartition and let
+    // every superstep join plan against the storage partitioning
+    // (cache and project both preserve it); the batch/delta side pays
+    // the only Exchange. At 100 TB the standing state is the table an
+    // ingest cannot afford to re-shuffle per run.
+    val slim = state.select(col("vertex"), col("peer"), col("prob_ppm"),
+      col("ts"))
+    val st = (if (stateColocated) slim
+              else slim.repartition(col("vertex"))).cache()
     st.count() // materialize once; every superstep reuses the layout
     // pending starts ABSENT, not as an empty relation: unioning a
     // statically-empty LocalRelation trips Catalyst's union constraint
@@ -676,10 +740,13 @@ object GraphOps {
             $"c.ts")
       }.localCheckpoint(true)
       drained = delta.isEmpty // limit-1 over the checkpointed blocks
-      // propagate the delta against the PRE-MERGE existing connections
+      // propagate the delta against the PRE-MERGE existing connections.
+      // Join the state leg and the pending leg SEPARATELY, then union
+      // the pairs: join distributes over union, and a union node would
+      // erase the state's partitioning credit (bucketed or cached
+      // hash layout) and force a per-superstep state shuffle.
       if (step < supersteps && !drained) {
-        val existing = pending.fold(st)(p => st.unionByName(p.drop("vendor")))
-        val paired = delta.as("d")
+        def pairWith(existing: DataFrame): DataFrame = delta.as("d")
           .join(existing.as("e"), $"d.vertex" === $"e.vertex")
           .filter($"e.peer" =!= $"d.peer")
           .withColumn("pp", expr("d.prob_ppm * e.prob_ppm DIV 1000000"))
@@ -689,14 +756,21 @@ object GraphOps {
           // identical outcome, but deep-hop fan-out (attenuated to
           // epsilon) never reaches the wire
           .filter($"pp" >= minProbPpm)
+          .select($"d.peer".as("d_peer"), $"d.vendor".as("d_vendor"),
+            $"d.ts".as("d_ts"), $"e.peer".as("e_peer"),
+            $"e.ts".as("e_ts"), $"pp")
+        val paired = pending.fold(pairWith(st))(p =>
+            pairWith(st).unionByName(
+              pairWith(p.select(col("vertex"), col("peer"),
+                col("prob_ppm"), col("ts")))))
           .localCheckpoint(true) // the join feeds BOTH message legs
-        inbox = paired.select($"e.peer".as("vertex"), $"d.peer".as("peer"),
-            $"d.vendor".as("vendor"), $"pp".as("prob_ppm"),
-            $"d.ts".as("ts"))
+        inbox = paired.select($"e_peer".as("vertex"), $"d_peer".as("peer"),
+            $"d_vendor".as("vendor"), $"pp".as("prob_ppm"),
+            $"d_ts".as("ts"))
           .unionByName(
-            paired.select($"d.peer".as("vertex"), $"e.peer".as("peer"),
-              $"d.vendor".as("vendor"), $"pp".as("prob_ppm"),
-              $"e.ts".as("ts")))
+            paired.select($"d_peer".as("vertex"), $"e_peer".as("peer"),
+              $"d_vendor".as("vendor"), $"pp".as("prob_ppm"),
+              $"e_ts".as("ts")))
       }
       if (!drained)
         pending = Some(pending.fold(delta)(p =>

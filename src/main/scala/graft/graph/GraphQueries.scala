@@ -41,23 +41,19 @@ object GraphQueries {
     * dominant-cost note from last round). A marker records dataset +
     * recipe version; any mismatch rebuilds. */
   def pairs2(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.kv.GraftFs
-    // per-dataset path: bench interleaves warmup (sf0.001) and timed
+    // per-dataset table: bench interleaves warmup (sf0.001) and timed
     // (target sf) runs per query — a shared path would rebuild on every
-    // alternation instead of being built once per dataset
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-    val path = RepoPaths.target(s"graft_graph/pairs2_$slug")
-    val marker = s"$path/_graft_setup.txt"
-    val tag = s"pairs2 v1 $d"
-    if (!GraftFs.readString(marker).contains(tag)) {
-      GraphOps.reverse(dedupA(s, d).select(col("src"), col("dst")))
-        // cluster by src — the key every downstream join/groupBy uses —
-        // so scans start co-located and row groups prune on src ranges
-        .repartition(col("src")).sortWithinPartitions(col("src"), col("dst"))
-        .write.mode("overwrite").parquet(path)
-      GraftFs.writeString(marker, tag)
-    }
-    s.read.parquet(path)
+    // alternation instead of being built once per dataset. BUCKETED by
+    // src — the key every downstream join/groupBy uses — so consumers
+    // plan against the storage partitioning (no Exchange on this side)
+    // and row groups prune on src ranges; tag fingerprints the source
+    // lineitem files so a regenerated dataset rebuilds, never staleness.
+    val slug = graft.Staging.slug(d)
+    graft.Staging.ensureBucketed(s, s"graft_pairs2_$slug",
+      RepoPaths.target(s"graft_stage/pairs2_$slug"), buckets = 32,
+      clusterCols = Seq("src"), sortCols = Seq("src", "dst"),
+      tag = s"pairs2 v2 $d fp=${graft.Staging.fingerprint(s"$d/lineitem.parquet")}")(
+      GraphOps.reverse(dedupA(s, d).select(col("src"), col("dst"))))
   }
 
   /** (src,dst,pb,vendor,ts) → the probBsp connection shape: integer-ppm
@@ -82,19 +78,18 @@ object GraphQueries {
     * building it inline per query run would time the prologue, not the
     * propagation. */
   def probState(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.kv.GraftFs
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-    val path = RepoPaths.target(s"graft_graph/probstate_$slug")
-    val marker = s"$path/_graft_setup.txt"
-    val tag = s"probstate v1 $d"
-    if (!GraftFs.readString(marker).contains(tag)) {
-      symScored(s)(ppmScored(s)(deduplicate(feedA(s, d))))
-        .repartition(col("vertex"))
-        .sortWithinPartitions(col("vertex"), col("peer"))
-        .write.mode("overwrite").parquet(path)
-      GraftFs.writeString(marker, tag)
-    }
-    s.read.parquet(path)
+    // BUCKETED by vertex — the per-superstep join key — so the
+    // incremental BSP's dominance and propagation joins plan against
+    // the storage partitioning: zero Exchange on the state side
+    // (PlanSpec pins it) and no per-run repartition+cache prologue.
+    // At 100 TB the standing connection state is exactly the table an
+    // ingest batch cannot afford to re-shuffle per trigger.
+    val slug = graft.Staging.slug(d)
+    graft.Staging.ensureBucketed(s, s"graft_probstate_$slug",
+      RepoPaths.target(s"graft_stage/probstate_$slug"), buckets = 32,
+      clusterCols = Seq("vertex"), sortCols = Seq("vertex", "peer"),
+      tag = s"probstate v2 $d fp=${graft.Staging.fingerprint(s"$d/lineitem.parquet")}")(
+      symScored(s)(ppmScored(s)(deduplicate(feedA(s, d)))))
   }
 
   /** Shared oracle prologue mirroring the Spark-side fixtures. */
@@ -372,25 +367,26 @@ object GraphQueries {
 
     // G10 (extra): triangle counting over the part co-purchase
     // projection (parts sharing an order within a shipdate year).
-    // The classic two-join formulation with ID-ordered orientation
-    // (u < v) so each triangle counts once: wedge join on the shared
-    // middle vertex, then a SEMI join probes the closing edge —
-    // candidate triangles never materialize. At 100 TB the projection
-    // fan-out is bounded by (rows per order)^2 and the wedge join by
-    // the max oriented out-degree; production would orient by degree
-    // instead of ID (same plan, smaller skew bound) and cap
-    // super-vertices with a13's cutoff first.
+    // The classic two-join formulation with DEGREE-ordered orientation
+    // (each edge toward its higher-(degree, id) endpoint — the
+    // triangle set is orientation-invariant, GraphOps.orientByDegree)
+    // so each triangle counts once AND the wedge join is bounded
+    // O(m^1.5) on any graph, power-law skew included: wedge join on
+    // the shared middle vertex, then a SEMI join probes the closing
+    // edge — candidate triangles never materialize. At 100 TB the
+    // projection fan-out stays bounded by (rows per order)^2 and a
+    // true super-vertex would be capped with a13's cutoff first.
     "g10_triangles" -> ((s, d) => {
       import s.implicits._
       val li = Tables.lineitem(s, d)
         .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
           && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
         .select($"l_orderkey", $"l_partkey")
-      val e = li
+      val e = GraphOps.orientByDegree(li
         .join(li.select($"l_orderkey", $"l_partkey".as("v")), Seq("l_orderkey"))
         .filter($"l_partkey" < $"v")
         .select($"l_partkey".as("u"), $"v")
-        .distinct()
+        .distinct())
       val wedges = e
         .join(e.select($"u".as("w_u"), $"v".as("w_v")), $"v" === $"w_u")
       wedges
@@ -523,7 +519,9 @@ object GraphQueries {
     // community-density score behind spam-ring and bot-cluster
     // detection. Same wedge-join shape as g10 but the closure is an
     // INNER join (the triangle's three corners each take a count), so
-    // cost stays Σ wedge-counts; degree and triangle tables are
+    // cost stays Σ wedge-counts — bounded O(m^1.5) by the same
+    // degree-ordered orientation as g10 (triangle corners are
+    // orientation-invariant); degree and triangle tables are
     // vertex-sized; one double division per vertex, rounded.
     "g18_clustering_coef" -> ((s, d) => {
       import s.implicits._
@@ -531,12 +529,13 @@ object GraphQueries {
         .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
           && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
         .select($"l_orderkey", $"l_partkey")
-      val e = li
+      val und = li
         .join(li.select($"l_orderkey", $"l_partkey".as("v")), Seq("l_orderkey"))
         .filter($"l_partkey" < $"v")
         .select($"l_partkey".as("u"), $"v")
         .distinct()
-      val deg = e.select($"u".as("x")).unionByName(e.select($"v".as("x")))
+      val e = GraphOps.orientByDegree(und)
+      val deg = und.select($"u".as("x")).unionByName(und.select($"v".as("x")))
         .groupBy($"x".as("vertex")).agg(count(lit(1)).as("deg"))
       val tr = e.as("a")
         .join(e.as("b"), $"a.v" === $"b.u")
@@ -573,7 +572,7 @@ object GraphQueries {
         TextOps.sharedHash(concat_ws(":", lit("g16"), $"src", $"dst"))
           % 200 === 0)))
       GraphOps.probBspIncremental(probState(s, d), batch,
-          supersteps = 3, minProbPpm = 500L)
+          supersteps = 3, minProbPpm = 500L, stateColocated = true)
         .orderBy($"vertex", $"peer")
     })
   )

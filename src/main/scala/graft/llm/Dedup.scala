@@ -429,10 +429,35 @@ object Dedup {
       lab = next.select(col("v"), col("label"))
       i += 1
     }
+    // a non-converged exit would silently hand back labels that split
+    // real components — fail fast instead (the connectedComponentsStar
+    // discipline); a pair graph needing more than maxIter rounds has
+    // diameter > maxIter and should run clustersViaStar (O(log²) rounds)
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIter rounds — the pair " +
+          "graph's diameter exceeds maxIter; raise it or use the " +
+          "star-contraction path (clustersBounded falls back to it)")
     docs.select(col("doc_id"))
       .join(lab.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster"))
+      .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
+  }
+
+  /** [[clusters]] semantics (cluster = component-min doc id, isolated
+    * docs self-labeled) through GraphOps.connectedComponentsStar —
+    * star contraction converges in O(log²) rounds regardless of
+    * component diameter, so it is the safe distributed path when the
+    * pair graph's shape is unknown (clustersBounded's over-cap leg). */
+  def clustersViaStar(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = graft.graph.GraphOps.connectedComponentsStar(
+      pairs.select(col("da").as("src"), col("db").as("dst")))
+    docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("vertex", "doc_id"), Seq("doc_id"),
+        "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("keep", (col("cluster") === col("doc_id")).cast("boolean"))
   }
 
@@ -444,7 +469,10 @@ object Dedup {
     * of component diameter, the same collect-under-cap-else-distributed
     * discipline as the a13 cutoff (graph/GraphOps.scala). Labels are
     * the component-min doc id — identical to the fixpoint's answer —
-    * and anything over `cap` edges falls back to [[clusters]]. */
+    * and anything over `cap` edges falls back to [[clustersViaStar]]
+    * (star contraction: O(log²) rounds on ANY diameter, unlike the
+    * O(diameter) label-prop loop, which a single adversarial chain
+    * component would stall past its maxIter backstop). */
   def clustersBounded(docs: DataFrame, pairs: DataFrame,
                       cap: Int = 2000000): DataFrame = {
     // ONE job: limit(cap+1) bounds driver memory AND answers the
@@ -452,7 +480,7 @@ object Dedup {
     // union-find is idempotent over them
     val edges = pairs.select(col("da").as("v"), col("db").as("w"))
       .limit(cap + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (edges.length > cap) clusters(docs, pairs)
+    if (edges.length > cap) clustersViaStar(docs, pairs)
     else {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

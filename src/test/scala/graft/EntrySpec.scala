@@ -40,19 +40,37 @@ class EntrySpec extends AnyFunSuite with SparkSpec {
     "silently keeps the last duplicate key, so shadowing is invisible " +
     "to the Map-level guard; scan the source instead") {
     // each registered name may appear at most twice as a map key in the
-    // whole source tree: once as the query lambda, once as the oracle
+    // REGISTRATION modules (the files whose Map literals SparkEntry
+    // composes): once as the query lambda, once as the oracle. Scanning
+    // only these files keeps the guard from false-positiving on a
+    // future legitimate third map elsewhere (tolerances, skip-lists)
+    // while still catching the within-module shadowing it exists for.
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val names = SparkEntry.queries.keySet ++ SparkEntry.oracleSql.keySet
     val key = """"([a-z][a-z0-9_]*)"\s*->""".r
+    val registrationFiles = Set("Scans.scala", "Filters.scala",
+      "Joins.scala", "Aggs.scala", "Windows.scala", "SetOps.scala",
+      "Analytics.scala", "GraphQueries.scala", "WriteQueries.scala",
+      "CodecQueries.scala", "LlmQueries.scala", "SparkEntry.scala")
     val srcRoot = Paths.get("src/main/scala/graft")
     assert(Files.exists(srcRoot), s"source root not found from ${
       Paths.get(".").toAbsolutePath}")
-    val counts = Files.walk(srcRoot).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
+    val scanned = Files.walk(srcRoot).iterator().asScala
+      .filter(p => registrationFiles(p.getFileName.toString)).toSeq
+    // the file list must stay in sync with SparkEntry's module list:
+    // every registered name must be FOUND at least twice (query+oracle)
+    // inside the scanned set, else a module was renamed out from under
+    // the guard
+    val counts = scanned
       .flatMap(p => key.findAllMatchIn(Files.readString(p)).map(_.group(1)))
       .filter(names)
-      .toSeq.groupBy(identity).view.mapValues(_.size)
+      .groupBy(identity).view.mapValues(_.size)
+    val unseen = names.filter(n => counts.getOrElse(n, 0) < 2)
+    assert(unseen.isEmpty,
+      s"registered names not found as query+oracle keys in the scanned " +
+        s"registration files (module renamed? update registrationFiles): " +
+        unseen.take(10))
     val over = counts.filter(_._2 > 2).toMap
     assert(over.isEmpty,
       s"names registered more than query+oracle once: $over — a " +

@@ -511,6 +511,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
           .join(bIdx.select($"doc_id".as("db"), $"b", $"bucket"),
             Seq("b", "bucket")),
         "graft_ann/graft_mh_band_index")
+      // g16 standing state: the incremental BSP's dominance join plans
+      // against probState's vertex-bucketed storage layout — the state
+      // (corpus) side never shuffles for an ingest; only the batch side
+      // pays an Exchange. HashPartitioning(vertex) satisfies the
+      // (vertex, peer) join's ClusteredDistribution (subset credit).
+      import graft.graph.GraphQueries
+      val st = GraphQueries.probState(spark, sf)
+      val cand = GraphQueries.feedB(spark, sf)
+        .select($"src".as("vertex"), $"dst".as("peer"), $"pb")
+      // same scoped conf the operator itself runs under: anchoring
+      // co-partitioning on the vertex-only bucket layout for a
+      // (vertex, peer) join needs subset anchoring allowed
+      val coPart = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try pin(cand.as("c").join(st.as("s"),
+          $"c.vertex" === $"s.vertex" && $"c.peer" === $"s.peer", "left"),
+        "graft_stage/probstate")
+      finally spark.conf.set(
+        "spark.sql.requireAllClusterKeysForCoPartition", coPart)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 }
