@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *  - embeddings: vec_id shifts; the vector rotates by `copy`
   *    positions (norm-preserving, deterministic) so ANN structure
   *    stays non-degenerate
-  *  - dims (region/nation/customer/supplier/part/orders) copy through
+  *  - orders: o_orderkey / o_custkey shift with the SAME per-copy
+  *    offset as lineitem (FK-coherent) — the CDC/mutation stream
+  *    suites (st12/st13) are orders-driven
+  *  - dims (region/nation/customer/supplier/part) copy through
   *    unchanged — none of the scaling-curve queries join them, and
   *    TPC-H itself holds region/nation fixed across sf
   */
@@ -34,14 +37,18 @@ object SynthGen {
   private def withCopies(df: DataFrame, copies: Int): DataFrame =
     df.withColumn("_c", explode(sequence(lit(0L), lit(copies - 1L))))
 
-  /** col + copy * (max(col)+1): disjoint id namespace per copy. */
+  /** One FIXED offset per copy for every key column, far above any
+    * sf0.1 id: the same copy index shifts l_orderkey and o_orderkey by
+    * the same amount, so cross-table FK joins stay valid inside each
+    * copy (per-table max-based offsets would break them). */
+  private val SHIFT = 10000000L
+
+  /** col + copy * SHIFT: disjoint, FK-coherent id namespace per copy. */
   private def shifted(df: DataFrame, keys: Seq[String], copies: Int)
       : DataFrame = {
-    val maxes = df.agg(
-      keys.head -> "max", keys.tail.map(_ -> "max"): _*).first()
     val base = withCopies(df, copies)
-    keys.zipWithIndex.foldLeft(base) { case (d, (k, i)) =>
-      d.withColumn(k, col(k) + col("_c") * (maxes.getLong(i) + 1L))
+    keys.foldLeft(base) { case (d, k) =>
+      d.withColumn(k, col(k) + col("_c") * SHIFT)
     }
   }
 
@@ -77,7 +84,15 @@ object SynthGen {
           size(col("embedding")) - col("_c").cast("int")),
         slice(col("embedding"), lit(1), col("_c").cast("int")))))
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders")
+    write("orders", shifted(Tables(spark, src, "orders"),
+      Seq("o_orderkey", "o_custkey"), copies))
+
+    // region/nation stay fixed across sf exactly as in TPC-H; the
+    // remaining dims pass through unscaled. CAVEAT: only copy 0's FKs
+    // into these unscaled dims resolve — fine for the scaling-curve
+    // suite (no measured query joins them), but do NOT run dim-joining
+    // TPC-H queries against this dir without scaling the dims too.
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(t, Tables(spark, src, t)))
     spark.stop()
   }
