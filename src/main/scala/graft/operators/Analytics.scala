@@ -965,14 +965,36 @@ object Analytics {
         round($"l_extendedprice" * 100).cast("long").as("p"),
         round($"l_discount" * 100).cast("long").as("dc"),
         round($"l_tax" * 100).cast("long").as("t"))
-      def big(c: String) = col(c).cast("decimal(38,0)")
+      // Split-accumulator exact summation: the per-row product is pure
+      // LONG math (operands are non-negative per-row cents ≤ ~1e7 at
+      // ANY scale factor, so xy < 2^47 — can never overflow), and Σxy
+      // is carried as three 20-bit LIMB sums, each a plain long sum
+      // (codegen'd, vectorized hash agg — no per-row Decimal work at
+      // all). A limb sum grows ≤ N·2^20, overflow-free past 10^12
+      // rows per group; the limbs recombine in decimal(38) on the 3
+      // GROUP rows, bit-identical to a decimal(38) running sum of the
+      // products at any scale. (The naive sum(decimal×decimal) form
+      // measured 10× tpch_q1's long-sum scan on the same table.)
       val ms = Seq("q", "p", "dc", "t")
-      val prodSums = for {
+      val pairsUp = for {
         (x, i) <- ms.zipWithIndex; (y, j) <- ms.zipWithIndex if i <= j
-      } yield sum(big(x) * big(y)).as(s"s_${x}_$y")
-      val agg = li.groupBy($"l_returnflag").agg(
+      } yield (x, y)
+      val limbSums = for {
+        (x, y) <- pairsUp; limb <- 0 to 2
+      } yield sum(shiftright(col(x) * col(y), limb * 20)
+        .bitwiseAND(lit(1048575L))).as(s"s_${x}_${y}_l$limb")
+      val agg0 = li.groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"),
-        (ms.map(m => sum(col(m)).as(s"s_$m")) ++ prodSums): _*)
+        (ms.map(m => sum(col(m)).as(s"s_$m")) ++ limbSums): _*)
+      def limb(nm: String, i: Int) =
+        col(s"${nm}_l$i").cast("decimal(38,0)")
+      val agg = agg0.select(
+        col("l_returnflag") +: col("n") +: ms.map(m => col(s"s_$m")) ++:
+        pairsUp.map { case (x, y) =>
+          val nm = s"s_${x}_$y"
+          (limb(nm, 2) * lit(1099511627776L) +
+            limb(nm, 1) * lit(1048576L) + limb(nm, 0)).as(nm)
+        }: _*)
       def corr(x: String, y: String) = {
         val n = $"n".cast("double")
         val sx = col(s"s_$x").cast("double")
@@ -1080,11 +1102,13 @@ object Analytics {
         round($"l_quantity" * 100).cast("long").as("x"),
         round($"l_extendedprice" * 100).cast("long").as("y"))
       def big(c: String) = col(c).cast("decimal(38,0)")
+      // row-side products in LONG (≤ ~1e14, overflow-free at any sf —
+      // the an_corr_matrix discipline), decimal(38) only in the SUM
       val agg = li.groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum(big("x") * big("y")).as("sxy"),
-        sum(big("x") * big("x")).as("sxx"),
-        sum(big("y") * big("y")).as("syy"))
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
       // Σx·Σy overflows a long (≈1.8e22 at sf0.1) — ANSI mode would
       // throw; keep every cross-product in decimal(38)
       val num = ($"n" * $"sxy" - big("sx") * big("sy")).cast("double")
