@@ -770,9 +770,15 @@ object LlmQueries {
     "llm_ccnet_buckets" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // The scored relation is consumed THREE times (min/max stats, the
+      // 256-bin histogram, the final rank join) — materialize the slim
+      // one-row-per-doc scores once, or the whole bigram-LM pipeline
+      // (tokenize + corpus-model join + per-doc agg) re-executes per
+      // consumer. At sf1.0 this was 3× the query's entire cost.
       val scored = Retrieval.bigramNll(Tables.documents(s, d))
         .select($"doc_id", $"nll",
           (round($"nll" * 1e6)).cast("long").as("m"))
+        .localCheckpoint(true)
       val stats = scored.agg(min($"m"), max($"m"), count(lit(1))).first()
       val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
       val span = hi - lo + 1

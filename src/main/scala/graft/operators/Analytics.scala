@@ -1138,9 +1138,13 @@ object Analytics {
         .filter($"l_returnflag".isin("A", "R"))
         .select($"l_returnflag".as("g"),
           round($"l_extendedprice" * 100).cast("long").as("c"))
+      // vc is consumed three times (min/max stats, bin totals, the
+      // final ECDF join) — materialize the distinct-value counts once,
+      // or the lineitem scan + groupBy re-executes per consumer
       val vc = li.groupBy($"c").agg(
         sum(when($"g" === "A", 1L).otherwise(0L)).as("c1"),
         sum(when($"g" === "R", 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint(true)
       // the global ECDF cum-sum runs PARTITIONED: 128 range bins, with
       // bin offsets from a bounded (≤128-row) driver collect — the
       // an_ntile two-pass shape; a bare Window.orderBy(c) would put
