@@ -13,6 +13,33 @@ import graft.Tables
 object Analytics {
   type Q = (SparkSession, String) => DataFrame
 
+  import org.apache.spark.sql.Column
+
+  /** Split-accumulator exact product sums (the an_corr_matrix
+    * discipline): Σxy where the SUM overflows a bigint but each
+    * per-row product is long-bounded (non-negative operands ≤ ~1e7
+    * cents ⇒ xy < 2^47 at ANY scale factor). The product multiplies
+    * in LONG and the sum is carried as three 20-bit limb sums — plain
+    * long aggregation, codegen'd and vectorized, no per-row Decimal
+    * work; a limb sum grows ≤ N·2^20, overflow-free past 10^12 rows
+    * per group. [[limbRecombined]] reassembles the exact decimal(38)
+    * total on the (few) group rows. LimbSumSpec proves bit-equality
+    * with a direct decimal product sum on adversarial max-bound and
+    * randomized data. */
+  private[graft] def limbProductSums(pairs: Seq[(String, String)])
+      : Seq[Column] =
+    for { (x, y) <- pairs; limb <- 0 to 2 }
+      yield sum(shiftright(col(x) * col(y), limb * 20)
+        .bitwiseAND(lit(1048575L))).as(s"s_${x}_${y}_l$limb")
+
+  /** Exact decimal(38) Σxy from the three limb sums of
+    * [[limbProductSums]]; aliased `s_<x>_<y>`. */
+  private[graft] def limbRecombined(x: String, y: String): Column = {
+    def limb(i: Int) = col(s"s_${x}_${y}_l$i").cast("decimal(38,0)")
+    (limb(2) * lit(1099511627776L) + limb(1) * lit(1048576L) + limb(0))
+      .as(s"s_${x}_$y")
+  }
+
   /** Derived partsupp: the testdata ships no partsupp table, so the
     * five TPC-H queries that need one (q2/q9/q11/q16/q20) run over the
     * DISTINCT (part, supplier) pairs observed in lineitem, with
@@ -965,36 +992,22 @@ object Analytics {
         round($"l_extendedprice" * 100).cast("long").as("p"),
         round($"l_discount" * 100).cast("long").as("dc"),
         round($"l_tax" * 100).cast("long").as("t"))
-      // Split-accumulator exact summation: the per-row product is pure
-      // LONG math (operands are non-negative per-row cents ≤ ~1e7 at
-      // ANY scale factor, so xy < 2^47 — can never overflow), and Σxy
-      // is carried as three 20-bit LIMB sums, each a plain long sum
-      // (codegen'd, vectorized hash agg — no per-row Decimal work at
-      // all). A limb sum grows ≤ N·2^20, overflow-free past 10^12
-      // rows per group; the limbs recombine in decimal(38) on the 3
-      // GROUP rows, bit-identical to a decimal(38) running sum of the
-      // products at any scale. (The naive sum(decimal×decimal) form
-      // measured 10× tpch_q1's long-sum scan on the same table.)
+      // Split-accumulator exact summation ([[limbProductSums]]): long
+      // row-side products, three 20-bit limb long sums per pair, exact
+      // decimal(38) recombination on the 3 GROUP rows. (The naive
+      // sum(decimal×decimal) form measured 10× tpch_q1's long-sum scan
+      // on the same table.)
       val ms = Seq("q", "p", "dc", "t")
       val pairsUp = for {
         (x, i) <- ms.zipWithIndex; (y, j) <- ms.zipWithIndex if i <= j
       } yield (x, y)
-      val limbSums = for {
-        (x, y) <- pairsUp; limb <- 0 to 2
-      } yield sum(shiftright(col(x) * col(y), limb * 20)
-        .bitwiseAND(lit(1048575L))).as(s"s_${x}_${y}_l$limb")
       val agg0 = li.groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"),
-        (ms.map(m => sum(col(m)).as(s"s_$m")) ++ limbSums): _*)
-      def limb(nm: String, i: Int) =
-        col(s"${nm}_l$i").cast("decimal(38,0)")
+        (ms.map(m => sum(col(m)).as(s"s_$m")) ++
+          limbProductSums(pairsUp)): _*)
       val agg = agg0.select(
         col("l_returnflag") +: col("n") +: ms.map(m => col(s"s_$m")) ++:
-        pairsUp.map { case (x, y) =>
-          val nm = s"s_${x}_$y"
-          (limb(nm, 2) * lit(1099511627776L) +
-            limb(nm, 1) * lit(1048576L) + limb(nm, 0)).as(nm)
-        }: _*)
+        pairsUp.map { case (x, y) => limbRecombined(x, y) }: _*)
       def corr(x: String, y: String) = {
         val n = $"n".cast("double")
         val sx = col(s"s_$x").cast("double")
