@@ -82,10 +82,14 @@ object Bench {
     val s4 = selected.filter(p => topN(p._1))
       .map { case (n, fn) => n -> sample(fn) }.toMap
     sweepCaches()
-    val perQuery = selected.map { case (name, _) =>
+    // every sample in sweep order — published (not just the min) so a
+    // persistent in-sweep slowdown is visible as N agreeing samples
+    // instead of being masked by min-folding (the g11 demand)
+    val allSamples = selected.map { case (name, _) =>
       name -> Seq(s1(name), s2(name), s3.getOrElse(name, None),
-        s4.getOrElse(name, None)).flatten.minOption
+        s4.getOrElse(name, None)).flatten
     }
+    val perQuery = allSamples.map { case (n, ss) => n -> ss.minOption }
     val failed = perQuery.collect { case (n, None) => n }
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (no successful " +
@@ -168,11 +172,18 @@ object Bench {
         s""""unit":"sec","nqueries":${results.size},$failedJson$kvExtra$extra""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
-    // Full per-query record (all timings, full precision) → file.
+    // Full per-query record (all timings, full precision, plus every
+    // per-sweep sample) → file.
+    val samplesJson = allSamples
+      .filter(_._2.nonEmpty)
+      .map { case (n, ss) =>
+        "\"" + n + "\":[" +
+          ss.map(v => math.round(v * 1000) / 1000.0).mkString(",") + "]"
+      }.mkString("\"samples\":{", ",", "},")
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
-    try w.println(line(results)) finally w.close()
+    try w.println(line(results, samplesJson)) finally w.close()
     // The stdout line is read from a bounded log tail (~2000 chars), so
     // the full 106-query map never survives. Emit a line that FITS:
     // per-query entries added slowest-first (the ones that matter for

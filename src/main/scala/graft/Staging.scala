@@ -38,26 +38,54 @@ object Staging {
     d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
 
   /** Cheap driver-side fingerprint of a source dataset (a parquet file
-    * or a directory of part files): name+length+mtime of each data
-    * file, order-independent. Folded into every recipe tag so
-    * regenerating the data at the same path rebuilds the artifact
-    * instead of serving a stale one. One listStatus per ensure() call
-    * — metadata-only, no data read. */
+    * or a directory tree of part files): RELATIVE path+length+mtime of
+    * each data file, order-independent, walking nested directories
+    * (a hive-partitioned source is dirs-of-dirs — a one-level listing
+    * would see only directories, filter them all out, and fingerprint
+    * EVERY regeneration as the same empty signature, silently reviving
+    * the staleness hazard this exists to close). Folded into every
+    * recipe tag so regenerating the data at the same path rebuilds the
+    * artifact instead of serving a stale one. One listStatus per
+    * directory level — metadata-only, no data read. */
   def fingerprint(dataPath: String): String = {
     val p = new Path(dataPath)
     val fs = p.getFileSystem(GraftFs.hadoopConf)
     if (!fs.exists(p)) "absent"
     else {
       val st = fs.getFileStatus(p)
-      val files = if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
-      val sig = files
-        .filter(f => !f.getPath.getName.startsWith(".") && !f.isDirectory)
-        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-        .sorted.mkString("|")
+      def walk(d: org.apache.hadoop.fs.FileStatus): Seq[String] =
+        if (d.getPath.getName.startsWith(".")) Nil
+        else if (d.isDirectory) fs.listStatus(d.getPath).toSeq.flatMap(walk)
+        else {
+          val rel = p.toUri.relativize(d.getPath.toUri).getPath
+          Seq(s"$rel:${d.getLen}:${d.getModificationTime}")
+        }
+      val sig = walk(st).sorted.mkString("|")
       val crc = new java.util.zip.CRC32C()
       crc.update(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.lang.Long.toHexString(crc.getValue)
     }
+  }
+
+  /** Build-once FLAT (non-bucketed) staged artifact — the other half
+    * of the facade, for the sites where bucketing would add nothing:
+    * format fixtures and landing dirs whose operator-under-test is the
+    * SCAN or stream itself (s7/s12–s18, stream stages), KV table bases
+    * whose layout the KV store owns (s10/m11/j14), and artifacts whose
+    * build already writes its own final layout (partsupp, g9's
+    * range-partitioned net). Same marker discipline as
+    * [[ensureBucketed]]: a `tag` mismatch wipes `path` and rebuilds;
+    * the marker is written only AFTER `build` completes, so a crash
+    * mid-build leaves no marker and the next run starts clean.
+    * Returns `path`. */
+  def ensureFlat(path: String, tag: String)(build: => Unit): String = {
+    val marker = s"$path/_graft_setup.txt"
+    if (!GraftFs.readString(marker).contains(tag)) {
+      GraftFs.delete(path, recursive = true)
+      build
+      GraftFs.writeString(marker, tag)
+    }
+    path
   }
 
   /** Read the named bucketed artifact, building it (once per recipe

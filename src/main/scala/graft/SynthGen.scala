@@ -28,9 +28,20 @@ import org.apache.spark.sql.functions._
   *  - orders: o_orderkey / o_custkey shift with the SAME per-copy
   *    offset as lineitem (FK-coherent) — the CDC/mutation stream
   *    suites (st12/st13) are orders-driven
-  *  - dims (region/nation/customer/supplier/part) copy through
-  *    unchanged — none of the scaling-curve queries join them, and
-  *    TPC-H itself holds region/nation fixed across sf
+  *  - customer / supplier / part: primary keys shift with the SAME
+  *    per-copy offset as the fact FKs that reference them, so
+  *    o_custkey→c_custkey, l_partkey→p_partkey, l_suppkey→s_suppkey
+  *    all resolve inside every copy — exactly TPC-H sf semantics,
+  *    where these three scale linearly with the facts. The
+  *    nation-key columns are NOT shifted: region/nation stay fixed
+  *    across sf in TPC-H too, and every copy's dims point at them.
+  *
+  * Regeneration staleness: every marker-guarded per-dataset artifact
+  * staged FROM a previous generation of this dir (KV bases, stream
+  * landing dirs, format fixtures — the flat tags carry no content
+  * fingerprint) would silently serve stale data, so after writing,
+  * the generator DELETES all staged artifacts slugged to the output
+  * dir; the fingerprinted bucketed artifacts would rebuild anyway.
   */
 object SynthGen {
 
@@ -87,13 +98,37 @@ object SynthGen {
     write("orders", shifted(Tables(spark, src, "orders"),
       Seq("o_orderkey", "o_custkey"), copies))
 
-    // region/nation stay fixed across sf exactly as in TPC-H; the
-    // remaining dims pass through unscaled. CAVEAT: only copy 0's FKs
-    // into these unscaled dims resolve — fine for the scaling-curve
-    // suite (no measured query joins them), but do NOT run dim-joining
-    // TPC-H queries against this dir without scaling the dims too.
-    Seq("region", "nation", "customer", "supplier", "part")
+    // the fact-referenced dims scale with the facts (TPC-H sf
+    // semantics), keyed by the SAME per-copy offset as their FKs;
+    // nation keys stay unshifted — region/nation are fixed across sf
+    write("customer", shifted(Tables(spark, src, "customer"),
+      Seq("c_custkey"), copies))
+    write("supplier", shifted(Tables(spark, src, "supplier"),
+      Seq("s_suppkey"), copies))
+    write("part", shifted(Tables(spark, src, "part"),
+      Seq("p_partkey"), copies))
+    Seq("region", "nation")
       .foreach(t => write(t, Tables(spark, src, t)))
+
+    // invalidate per-dataset staged artifacts built from a PREVIOUS
+    // generation of this dir (flat tags carry no content fingerprint)
+    val slug = Staging.slug(out)
+    val tgt = java.nio.file.Paths.get(RepoPaths.target(""))
+    if (java.nio.file.Files.isDirectory(tgt)) {
+      val fams = java.nio.file.Files.list(tgt)
+      try fams.forEach { fam =>
+        if (java.nio.file.Files.isDirectory(fam)) {
+          val subs = java.nio.file.Files.list(fam)
+          try subs.forEach { sub =>
+            if (sub.getFileName.toString.endsWith(s"_$slug")) {
+              println(s"[synthgen] dropping stale staged artifact $sub")
+              graft.sources.kv.GraftFs.delete(sub.toString, recursive = true)
+              : Unit
+            }
+          } finally subs.close()
+        }
+      } finally fams.close()
+    }
     spark.stop()
   }
 }

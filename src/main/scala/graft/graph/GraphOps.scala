@@ -298,8 +298,22 @@ object GraphOps {
     * returning — repeated invocations leak nothing. */
   def pageRank(pairs: DataFrame, iters: Int, damp: Double = 0.85): DataFrame = {
     val (result, cleanup) = pageRankStaged(pairs, iters, damp)
-    try result.localCheckpoint(true) finally cleanup()
+    try traced(result.sparkSession, "final_checkpoint")(
+      result.localCheckpoint(true)) finally cleanup()
   }
+
+  /** Per-phase wall-clock tracing for the bench bimodality diagnosis
+    * (the g11 demand): under `spark.graft.bench.trace=true`, each
+    * eager phase of an iterative loop prints `[trace] <name> <sec>` to
+    * stderr. Flag-off cost: one conf lookup per phase. */
+  private def traced[T](s: org.apache.spark.sql.SparkSession,
+      name: String)(body: => T): T =
+    if (!s.conf.getOption("spark.graft.bench.trace").contains("true")) body
+    else {
+      val t0 = System.nanoTime()
+      try body finally System.err.println(
+        f"[trace] $name ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
 
   /** The lazy plan + a cache-release handle — split out so PlanSpec can
     * pin the cached-edge-layout iteration shape before materialization
@@ -323,6 +337,11 @@ object GraphOps {
       .select(col("vertex"), lit(0L).as("degree"))
     val deg = outDeg.unionByName(sinks)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // trace-only eager stage so the edge-layout/degree materialization
+    // separates from iteration time in the per-phase breakdown
+    if (pairs.sparkSession.conf.getOption("spark.graft.bench.trace")
+        .contains("true"))
+      traced(pairs.sparkSession, "stage_edges_deg")(deg.count(): Unit)
     val n = deg.agg(count(lit(1)).as("n"))
     def step(pr: DataFrame): DataFrame = {
       val contrib = p
@@ -347,7 +366,10 @@ object GraphOps {
     // leave only the final round lazy for the caller/PlanSpec
     val result = (1 to iters).foldLeft(pr0) { (pr, i) =>
       val next = step(pr)
-      if (i < iters) next.localCheckpoint(true) else next
+      if (i < iters)
+        traced(pairs.sparkSession, s"iter${i}_checkpoint")(
+          next.localCheckpoint(true))
+      else next
     }
     (result, () => { p.unpersist(false); deg.unpersist(false): Unit })
   }
@@ -583,16 +605,32 @@ object GraphOps {
     * converge in O(peel depth) <= O(max degeneracy) rounds.
     *
     * Degrees are derived from groupBy(src) alone, which is only the
-    * true degree when the input holds BOTH directions of every edge —
-    * callers with a one-directional edge list must pass
-    * `symmetric = false` so the input is symmetrized here instead of
-    * silently peeling an out-degree-based (wrong) core.
+    * true degree when the input holds BOTH directions of every edge.
+    * The DEFAULT (`symmetric = false`) therefore symmetrizes the input
+    * here — safe for any caller, at the cost of one reverse+distinct.
+    * Callers that KNOW their edge list is already symmetric (pairs2 is,
+    * by construction) opt into skipping that shuffle with
+    * `symmetric = true`; a false claim would peel an out-degree-based
+    * (wrong) core, so under `spark.graft.debug.validate=true` the
+    * claim is spot-checked (a bounded edge sample must find its
+    * reverse in the input) and misuse FAILS LOUDLY instead
+    * (GraphOpsSpec pins it).
     */
   def kcoreFixpoint(pairs: DataFrame, k: Int, maxRounds: Int = 60,
-      symmetric: Boolean = true): DataFrame = {
-    val sym =
-      if (symmetric) pairs.select(col("src"), col("dst"))
-      else reverse(pairs.select(col("src"), col("dst"))).distinct()
+      symmetric: Boolean = false): DataFrame = {
+    val in = pairs.select(col("src"), col("dst"))
+    if (symmetric && pairs.sparkSession.conf
+        .getOption("spark.graft.debug.validate").contains("true")) {
+      val missing = in.limit(1000)
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .join(in, Seq("src", "dst"), "left_anti").limit(1).count()
+      if (missing > 0)
+        throw new IllegalArgumentException(
+          "kcoreFixpoint(symmetric = true) called on an edge list " +
+            "missing reverse edges — the claim is false; drop the flag " +
+            "(the default symmetrizes) or fix the input")
+    }
+    val sym = if (symmetric) in else reverse(in).distinct()
     var edges = sym.localCheckpoint(true)
     var n = edges.count()
     var round = 0

@@ -304,17 +304,13 @@ object GraphQueries {
     // over the persisted layout, same discipline as s10/m11.
     "g9_net_view" -> ((s, d) => {
       import s.implicits._
-      import graft.sources.kv.GraftFs
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val path = RepoPaths.target(s"graft_net/g9_$slug")
-      val marker = s"$path/_graft_setup.txt"
-      val tag = s"g9 v1 $d"
-      if (!GraftFs.readString(marker).contains(tag)) {
+      // flat facade, but the build writes its OWN layout: range-
+      // partitioned by src (the reference's region-ordered table view)
+      val path = RepoPaths.target(s"graft_net/g9_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(path, s"g9 v1 $d")(
         fromPairs(feedA(s, d))
           .repartitionByRange(8, $"src").sortWithinPartitions($"src")
-          .write.mode("overwrite").parquet(path)
-        GraftFs.writeString(marker, tag)
-      }
+          .write.mode("overwrite").parquet(path))
       val net = s.read.parquet(path)
       net.select($"src",
           filter($"edges", e => pmod(e("dst"), lit(3)) === 1).as("es"))
@@ -509,7 +505,10 @@ object GraphQueries {
     // per round and stops emitting once min degree reaches k.
     "g17_kcore_fix" -> ((s, d) => {
       import s.implicits._
-      GraphOps.kcoreFixpoint(pairs2(s, d).select($"src", $"dst"), 3)
+      // pairs2 is symmetric by construction (reverse() of the dedup'd
+      // pair set) — opt out of the safe-default symmetrize shuffle
+      GraphOps.kcoreFixpoint(pairs2(s, d).select($"src", $"dst"), 3,
+          symmetric = true)
         .groupBy($"src".as("vertex")).agg(count(lit(1)).as("deg"))
         .orderBy($"vertex")
     }),

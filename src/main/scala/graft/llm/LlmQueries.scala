@@ -42,21 +42,21 @@ object LlmQueries {
     * recipe version; mismatch rebuilds (same discipline as
     * GraphQueries.pairs2 and the s10/m11 KV setup). */
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.kv.GraftFs
     // per-dataset path — see GraphQueries.pairs2: bench alternates
-    // warmup and timed datasets per query
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-    val path = graft.RepoPaths.target(s"graft_llm/cluster_labels_$slug")
-    val marker = s"$path/_graft_setup.txt"
-    val tag = s"clusters v1 $d"
-    if (!GraftFs.readString(marker).contains(tag)) {
+    // warmup and timed datasets per query. BUCKETED by doc_id — the
+    // key keepBest joins the per-doc quality scores on — so the label
+    // side plans against the storage partitioning; tag fingerprints
+    // the source documents files (staleness discipline).
+    val slug = graft.Staging.slug(d)
+    graft.Staging.ensureBucketed(s, s"graft_cluster_labels_$slug",
+      graft.RepoPaths.target(s"graft_llm/cluster_labels_$slug"),
+      buckets = 32, clusterCols = Seq("doc_id"),
+      tag = s"clusters v2 $d fp=${
+        graft.Staging.fingerprint(s"$d/documents.parquet")}") {
       val docs = Tables.documents(s, d)
       Dedup.clusters(docs, Dedup.minHashLsh(docs, 0.8))
         .select(col("doc_id"), col("cluster"))
-        .write.mode("overwrite").parquet(path)
-      GraftFs.writeString(marker, tag)
     }
-    s.read.parquet(path)
   }
 
   /** The standing dedup state an ingest pipeline keeps warm: the
@@ -68,20 +68,25 @@ object LlmQueries {
     * parquet. */
   private[graft] def standingDedupState(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    import graft.sources.kv.GraftFs
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-    val path = graft.RepoPaths.target(s"graft_llm/standing_$slug")
-    val marker = s"$path/_graft_setup.txt"
-    val tag = s"standing v1 $d"
+    // FLAT (not bucketed), deliberately: the band index enters the
+    // incremental probe join UNDER A UNION with the batch's own index
+    // (Dedup.clustersIncremental's one-probe contract — batch-batch
+    // and corpus-batch candidates from a single band-bucket join), and
+    // a union forfeits any storage-partitioning credit; the labels are
+    // consumed only after semi-join pruning to the colliding docs.
+    // Both reads stay trigger-bound, so bucketing would buy nothing
+    // until the probe join is split per leg (the g16 refactor — not
+    // worth its complexity at per-batch scale).
+    val path = graft.RepoPaths
+      .target(s"graft_llm/standing_${graft.Staging.slug(d)}")
     val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
-    if (!GraftFs.readString(marker).contains(tag)) {
-      GraftFs.delete(path, recursive = true)
+    graft.Staging.ensureFlat(path, s"standing v2 $d fp=${
+        graft.Staging.fingerprint(s"$d/documents.parquet")}") {
       Dedup.clusters(corpus, Dedup.minHashLsh(corpus, 0.8))
         .select(col("doc_id"), col("cluster"))
         .write.mode("overwrite").parquet(s"$path/labels")
       Dedup.minHashBandIndex(corpus)
         .write.mode("overwrite").parquet(s"$path/index")
-      GraftFs.writeString(marker, tag)
     }
     (corpus, s.read.parquet(s"$path/labels"), s.read.parquet(s"$path/index"))
   }
@@ -775,10 +780,12 @@ object LlmQueries {
       // one-row-per-doc scores once, or the whole bigram-LM pipeline
       // (tokenize + corpus-model join + per-doc agg) re-executes per
       // consumer. At sf1.0 this was 3× the query's entire cost.
-      val scored = Retrieval.bigramNll(Tables.documents(s, d))
-        .select($"doc_id", $"nll",
-          (round($"nll" * 1e6)).cast("long").as("m"))
-        .localCheckpoint(true)
+      // Materialize.eager: localCheckpoint here (local mode), persist
+      // under spark.graft.materialize=persist on lossy clusters.
+      val scored = graft.Materialize.eager(
+        Retrieval.bigramNll(Tables.documents(s, d))
+          .select($"doc_id", $"nll",
+            (round($"nll" * 1e6)).cast("long").as("m")))
       val stats = scored.agg(min($"m"), max($"m"), count(lit(1))).first()
       val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
       val span = hi - lo + 1

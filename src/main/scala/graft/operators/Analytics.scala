@@ -25,12 +25,33 @@ object Analytics {
     * per group. [[limbRecombined]] reassembles the exact decimal(38)
     * total on the (few) group rows. LimbSumSpec proves bit-equality
     * with a direct decimal product sum on adversarial max-bound and
-    * randomized data. */
+    * randomized data.
+    *
+    * HARD PRECONDITION — non-negative operands, product < 2^60: a
+    * negative product would shiftright arithmetically into garbage
+    * limbs, and bits ≥ 60 are silently masked off. Callers with signed
+    * or wider columns must rescale first. The docstring alone can't
+    * stop a future caller, so under `spark.graft.debug.validate=true`
+    * every row is range-checked and violation RAISES instead of
+    * summing garbage (LimbSumSpec pins it); the flag-off hot path is
+    * untouched (pure long multiply-shift-mask). */
   private[graft] def limbProductSums(pairs: Seq[(String, String)])
-      : Seq[Column] =
+      : Seq[Column] = {
+    val validate = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.debug.validate").contains("true")
+    def prod(x: String, y: String): Column = {
+      val p = col(x) * col(y)
+      if (!validate) p
+      else when(col(x) < 0 || col(y) < 0 || p >= lit(1152921504606846976L),
+        raise_error(concat(lit(s"limbProductSums precondition broken on " +
+          s"($x, $y): operands must be non-negative with product < 2^60" +
+          s"; got x="), col(x), lit(" y="), col(y))))
+        .otherwise(p)
+    }
     for { (x, y) <- pairs; limb <- 0 to 2 }
-      yield sum(shiftright(col(x) * col(y), limb * 20)
+      yield sum(shiftright(prod(x, y), limb * 20)
         .bitwiseAND(lit(1048575L))).as(s"s_${x}_${y}_l$limb")
+  }
 
   /** Exact decimal(38) Σxy from the three limb sums of
     * [[limbProductSums]]; aliased `s_<x>_<y>`. */
@@ -55,12 +76,17 @@ object Analytics {
     */
   private def partsupp(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.sources.kv.GraftFs
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-    val path = graft.RepoPaths.target(s"graft_tpch/partsupp_$slug")
-    val marker = s"$path/_graft_setup.txt"
-    val tag = s"partsupp v1 $d"
-    if (!GraftFs.readString(marker).contains(tag)) {
+    // BUCKETED by ps_partkey — the key q2/q9/q16/q20 join on — via the
+    // Staging facade, so the five consumers plan against the storage
+    // partitioning and the derived table never re-shuffles per query;
+    // tag fingerprints the source lineitem files (staleness discipline)
+    val slug = graft.Staging.slug(d)
+    graft.Staging.ensureBucketed(s, s"graft_partsupp_$slug",
+      graft.RepoPaths.target(s"graft_tpch/partsupp_$slug"), buckets = 32,
+      clusterCols = Seq("ps_partkey"),
+      sortCols = Seq("ps_partkey", "ps_suppkey"),
+      tag = s"partsupp v2 $d fp=${
+        graft.Staging.fingerprint(s"$d/lineitem.parquet")}")(
       Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey").distinct()
         .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"),
           (conv(substring(md5(concat($"l_partkey".cast("string"), lit("_"),
@@ -68,13 +94,7 @@ object Analytics {
             % 100000L / lit(100.0)).as("ps_supplycost"),
           (conv(substring(md5(concat($"l_suppkey".cast("string"), lit("#"),
             $"l_partkey".cast("string"))), 1, 6), 16, 10).cast("long")
-            % 9999L + 1L).as("ps_availqty"))
-        .repartition($"ps_partkey")
-        .sortWithinPartitions($"ps_partkey", $"ps_suppkey")
-        .write.mode("overwrite").parquet(path)
-      GraftFs.writeString(marker, tag)
-    }
-    s.read.parquet(path)
+            % 9999L + 1L).as("ps_availqty")))
   }
 
   /** The same derivation as a DuckDB CTE, prepended to the oracles. */
@@ -980,11 +1000,14 @@ object Analytics {
     // (quantity, extendedprice, discount, tax) per returnflag group
     // from a SINGLE aggregation — n + 4 linear sums + 10 product sums
     // — where the naive form runs corr() 6 times (6 scans, or one scan
-    // with 6 stateful aggs). The sums are EXACT integers (cents;
-    // products in decimal(38) ↔ DuckDB HUGEINT, since Σp² overflows
-    // a BIGINT at sf≥0.1), so both engines see identical values and
-    // the double arithmetic downstream is bit-identical. At 100 TB:
-    // one scan, one partial-agg'd shuffle to 3 group rows, zero joins.
+    // with 6 stateful aggs). The sums are EXACT integers: cents
+    // multiply as LONGs and each Σxy is carried as three 20-bit limb
+    // LONG sums ([[limbProductSums]]), recombined to decimal(38) only
+    // on the 3 group rows ([[limbRecombined]]) — Σp² overflows a
+    // BIGINT at sf≥0.1, and DuckDB's HUGEINT sum sees the identical
+    // exact value — so the double arithmetic downstream is
+    // bit-identical across engines. At 100 TB: one scan, one
+    // partial-agg'd shuffle to 3 group rows, zero joins.
     "an_corr_matrix" -> ((s, d) => {
       import s.implicits._
       val li = Tables.lineitem(s, d).select($"l_returnflag",
@@ -1153,11 +1176,12 @@ object Analytics {
           round($"l_extendedprice" * 100).cast("long").as("c"))
       // vc is consumed three times (min/max stats, bin totals, the
       // final ECDF join) — materialize the distinct-value counts once,
-      // or the lineitem scan + groupBy re-executes per consumer
-      val vc = li.groupBy($"c").agg(
+      // or the lineitem scan + groupBy re-executes per consumer.
+      // Materialize.eager: localCheckpoint here (local mode), persist
+      // under spark.graft.materialize=persist on lossy clusters.
+      val vc = graft.Materialize.eager(li.groupBy($"c").agg(
         sum(when($"g" === "A", 1L).otherwise(0L)).as("c1"),
-        sum(when($"g" === "R", 1L).otherwise(0L)).as("c2"))
-        .localCheckpoint(true)
+        sum(when($"g" === "R", 1L).otherwise(0L)).as("c2")))
       // the global ECDF cum-sum runs PARTITIONED: 128 range bins, with
       // bin offsets from a bounded (≤128-row) driver collect — the
       // an_ntile two-pass shape; a bare Window.orderBy(c) would put

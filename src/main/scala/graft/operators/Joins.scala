@@ -362,22 +362,18 @@ object Joins {
     * dataset. Write once, train forever: exactly the feature-store
     * loop, through the engine's own table. */
   private def scd2DimTable(s: SparkSession, d: String): graft.write.KVTable = {
-    import graft.sources.kv.GraftFs
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-    val path = graft.RepoPaths.target(s"graft_kv/j14_dim_$slug")
-    val marker = s"$path/_graft_setup.txt"
-    val tag = s"j14_dim v1 $d"
-    val t = graft.write.KVTable(s, path)
-    if (!GraftFs.readString(marker).contains(tag)) {
-      t.drop()
+    // flat: the KV store owns this dir's layout (the setupOnce case)
+    val path =
+      graft.RepoPaths.target(s"graft_kv/j14_dim_${graft.Staging.slug(d)}")
+    graft.Staging.ensureFlat(path, s"j14_dim v1 $d") {
+      val t = graft.write.KVTable(s, path)
       t.put(Analytics.scd2Changes(s, d).select(
         col("user_id").as("key"), lit("F").as("family"),
         col("vf").cast("string").as("qualifier"),
         col("cents").cast("string").as("value"), col("vf").as("ts")))
       t.compact()
-      GraftFs.writeString(marker, tag)
     }
-    t
+    graft.write.KVTable(s, path)
   }
 
   val oracles: Map[String, String] = Map(

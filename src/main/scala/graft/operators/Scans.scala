@@ -82,14 +82,11 @@ object Scans {
       import s.implicits._
       // File-stream source needs a directory: stage the events table into
       // one (models the landing dir a stream ingests at scale) — built
-      // once per dataset behind a marker, like every stream stage.
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val stageDir = RepoPaths.target(s"graft_stream/events_$slug")
-      val marker = s"$stageDir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s7 v1 $d")) {
-        Tables.events(s, d).write.mode("overwrite").parquet(stageDir)
-        graft.sources.kv.GraftFs.writeString(marker, s"s7 v1 $d")
-      }
+      // once per dataset. Flat: a stream landing dir, no join key.
+      val stageDir =
+        RepoPaths.target(s"graft_stream/events_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(stageDir, s"s7 v1 $d")(
+        Tables.events(s, d).write.mode("overwrite").parquet(stageDir))
       val schema = Tables.events(s, d).schema
       val src = s.readStream.schema(schema).parquet(stageDir)
       val agg = src.groupBy($"event_type")
@@ -134,14 +131,12 @@ object Scans {
     // doubles against the parquet original.
     "s12_csv_source" -> ((s, d) => {
       import s.implicits._
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val dir = RepoPaths.target(s"graft_fmt/csv_customer_$slug")
-      val marker = s"$dir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s12 v1 $d")) {
+      // flat: a format fixture — the operator under test IS the scan
+      val dir =
+        RepoPaths.target(s"graft_fmt/csv_customer_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(dir, s"s12 v1 $d")(
         Tables.customer(s, d).write.mode("overwrite")
-          .option("header", "true").csv(dir)
-        graft.sources.kv.GraftFs.writeString(marker, s"s12 v1 $d")
-      }
+          .option("header", "true").csv(dir))
       s.read.option("header", "true").schema(Tables.customer(s, d).schema)
         .csv(dir)
         .groupBy($"c_mktsegment")
@@ -156,13 +151,11 @@ object Scans {
     // round-trip byte-for-byte (total length check).
     "s13_json_source" -> ((s, d) => {
       import s.implicits._
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val dir = RepoPaths.target(s"graft_fmt/json_events_$slug")
-      val marker = s"$dir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s13 v1 $d")) {
-        Tables.events(s, d).write.mode("overwrite").json(dir)
-        graft.sources.kv.GraftFs.writeString(marker, s"s13 v1 $d")
-      }
+      // flat: a format fixture — the operator under test IS the scan
+      val dir =
+        RepoPaths.target(s"graft_fmt/json_events_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(dir, s"s13 v1 $d")(
+        Tables.events(s, d).write.mode("overwrite").json(dir))
       s.read.schema(Tables.events(s, d).schema).json(dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
@@ -179,13 +172,11 @@ object Scans {
     // the format-fidelity check.
     "s14_orc_source" -> ((s, d) => {
       import s.implicits._
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val dir = RepoPaths.target(s"graft_fmt/orc_orders_$slug")
-      val marker = s"$dir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s14 v1 $d")) {
-        Tables.orders(s, d).write.mode("overwrite").orc(dir)
-        graft.sources.kv.GraftFs.writeString(marker, s"s14 v1 $d")
-      }
+      // flat: a format fixture — the operator under test IS the scan
+      val dir =
+        RepoPaths.target(s"graft_fmt/orc_orders_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(dir, s"s14 v1 $d")(
+        Tables.orders(s, d).write.mode("overwrite").orc(dir))
       s.read.schema(Tables.orders(s, d).schema).orc(dir)
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -205,14 +196,13 @@ object Scans {
     // scan and counts the partitions actually read).
     "s15_partitioned_scan" -> ((s, d) => {
       import s.implicits._
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val dir = RepoPaths.target(s"graft_fmt/part_orders_$slug")
-      val marker = s"$dir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s15 v1 $d")) {
+      // flat facade, but the build writes its OWN layout: hive
+      // partitionBy(status) — the partition dirs ARE what s15 tests
+      val dir =
+        RepoPaths.target(s"graft_fmt/part_orders_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(dir, s"s15 v1 $d")(
         Tables.orders(s, d).write.mode("overwrite")
-          .partitionBy("o_orderstatus").parquet(dir)
-        graft.sources.kv.GraftFs.writeString(marker, s"s15 v1 $d")
-      }
+          .partitionBy("o_orderstatus").parquet(dir))
       // the total is ONE scalar (bounded collect) — it must reach the
       // dim as a literal Filter, not a join condition, for Catalyst's
       // PartitionPruning rule to see a selective predicate
@@ -242,10 +232,11 @@ object Scans {
     // read semantics are identical.)
     "s16_schema_evolution" -> ((s, d) => {
       import s.implicits._
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val dir = RepoPaths.target(s"graft_fmt/evo_orders_$slug")
-      val marker = s"$dir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s16 v1 $d")) {
+      // flat: two-generation landing-zone fixture — the mixed-schema
+      // file LAYOUT is the thing under test
+      val dir =
+        RepoPaths.target(s"graft_fmt/evo_orders_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(dir, s"s16 v1 $d") {
         val o = Tables.orders(s, d)
         o.filter($"o_orderkey" % 2 === 0)
           .select($"o_orderkey", $"o_totalprice")
@@ -253,7 +244,6 @@ object Scans {
         o.filter($"o_orderkey" % 2 =!= 0)
           .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
           .write.mode("overwrite").parquet(s"$dir/data/gen=2")
-        graft.sources.kv.GraftFs.writeString(marker, s"s16 v1 $d")
       }
       s.read.option("mergeSchema", "true").parquet(s"$dir/data")
         .groupBy(coalesce($"o_orderstatus", lit("__pre_evolution__"))
@@ -271,16 +261,14 @@ object Scans {
     // dataset; the parse round-trip is the oracle check.
     "s18_text_source" -> ((s, d) => {
       import s.implicits._
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val dir = RepoPaths.target(s"graft_fmt/txt_nation_$slug")
-      val marker = s"$dir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s18 v1 $d")) {
+      // flat: a format fixture — the operator under test IS the scan
+      val dir =
+        RepoPaths.target(s"graft_fmt/txt_nation_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(dir, s"s18 v1 $d")(
         Tables.nation(s, d)
           .select(concat_ws("|", $"n_nationkey", $"n_regionkey", $"n_name")
             .as("value"))
-          .coalesce(1).write.mode("overwrite").text(dir)
-        graft.sources.kv.GraftFs.writeString(marker, s"s18 v1 $d")
-      }
+          .coalesce(1).write.mode("overwrite").text(dir))
       s.read.text(dir)
         .select(split($"value", "\\|").as("f"))
         .select(element_at($"f", 1).cast("long").as("n_nationkey"),
@@ -301,10 +289,10 @@ object Scans {
     // marker out of the scan here.
     "s17_binary_source" -> ((s, d) => {
       import s.implicits._
-      val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-      val dir = RepoPaths.target(s"graft_fmt/bin_docs_$slug")
-      val marker = s"$dir/_graft_setup.txt"
-      if (!graft.sources.kv.GraftFs.readString(marker).contains(s"s17 v1 $d")) {
+      // flat: a directory of raw .bin blobs IS the source under test
+      val dir =
+        RepoPaths.target(s"graft_fmt/bin_docs_${graft.Staging.slug(d)}")
+      graft.Staging.ensureFlat(dir, s"s17 v1 $d") {
         val rows = Tables.documents(s, d).filter($"doc_id" < 5)
           .select($"doc_id", $"text").collect()
         val p = java.nio.file.Paths.get(dir)
@@ -314,7 +302,6 @@ object Scans {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           : Unit
         }
-        graft.sources.kv.GraftFs.writeString(marker, s"s17 v1 $d")
       }
       s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
         .select(

@@ -22,16 +22,10 @@ object WriteQueries {
     * stable. Sinks/checkpoints still reset per run. */
   private def stageOnce(s: SparkSession, name: String, d: String,
                         version: Int)(build: String => Unit): String = {
-    val slug = d.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
-    val dir = RepoPaths.target(s"graft_stream/${name}_$slug")
-    val marker = s"$dir/_graft_setup.txt"
-    val tag = s"$name v$version $d"
-    if (!graft.sources.kv.GraftFs.readString(marker).contains(tag)) {
-      KVTable.deleteRecursively(dir)
-      build(dir)
-      graft.sources.kv.GraftFs.writeString(marker, tag)
-    }
-    dir
+    val dir = RepoPaths.target(s"graft_stream/${name}_${graft.Staging.slug(d)}")
+    // flat: a stream LANDING dir — the file-stream source lists it in
+    // mtime order; there is no downstream join key to bucket by
+    graft.Staging.ensureFlat(dir, s"$name v$version $d")(build(dir))
   }
 
   /** Stateful streams commit one state store per shuffle partition per
@@ -58,16 +52,11 @@ object WriteQueries {
   private def setupOnce(s: SparkSession, name: String, d: String,
                         version: Int)(build: KVTable => Unit): KVTable = {
     val path = base(name)
-    val marker = s"$path/_graft_setup.txt"
-    val tag = s"$name v$version $d"
-    val fresh = graft.sources.kv.GraftFs.readString(marker).contains(tag)
-    if (fresh) KVTable(s, path)
-    else {
-      val t = KVTable(s, path, wipe = true)
-      build(t)
-      graft.sources.kv.GraftFs.writeString(marker, tag)
-      t
-    }
+    // flat: the KV store owns this dir's layout (region dirs + logs);
+    // bucketed parquet staging does not apply to a KV table base
+    graft.Staging.ensureFlat(path, s"$name v$version $d")(
+      build(KVTable(s, path, wipe = true)))
+    KVTable(s, path)
   }
 
   /** part → F:size cells at ts. */

@@ -263,17 +263,38 @@ class GraphOpsSpec extends AnyFunSuite with SparkSpec {
       .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet)
   }
 
-  test("kcoreFixpoint symmetric=false symmetrizes a one-directional " +
+  test("kcoreFixpoint DEFAULT symmetrizes a one-directional " +
     "input instead of peeling an out-degree core") {
     // one-directional triangle+tail: groupBy(src) out-degrees are all
     // 1-2, so a symmetric=true run over this input would peel
-    // EVERYTHING at k=2; the symmetrize path recovers the true core
+    // EVERYTHING at k=2; the (default) symmetrize path recovers the
+    // true core — misuse-by-omission is structurally impossible
     val oneDir = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")
-    val core = GraphOps.kcoreFixpoint(oneDir, 2, symmetric = false)
+    val core = GraphOps.kcoreFixpoint(oneDir, 2)
       .as[(Long, Long)].collect().toSet
     assert(core === Set((1L, 2L), (2L, 3L), (1L, 3L),
       (2L, 1L), (3L, 2L), (3L, 1L)))
+  }
+
+  test("kcoreFixpoint: a FALSE symmetric=true claim fails loudly under " +
+    "the debug flag instead of returning an out-degree core") {
+    val oneDir = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    spark.conf.set("spark.graft.debug.validate", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraphOps.kcoreFixpoint(oneDir, 2, symmetric = true).count()
+      }
+      assert(e.getMessage.contains("missing reverse edges"))
+      // a TRUE claim passes the spot-check and skips the symmetrize
+      val sym = oneDir.unionByName(
+        oneDir.select($"dst".as("src"), $"src".as("dst")))
+      val core = GraphOps.kcoreFixpoint(sym, 2, symmetric = true)
+        .as[(Long, Long)].collect().toSet
+      assert(core === Set((1L, 2L), (2L, 3L), (1L, 3L),
+        (2L, 1L), (3L, 2L), (3L, 1L)))
+    } finally spark.conf.unset("spark.graft.debug.validate")
   }
 
   // --- probability-product incremental BSP (reference

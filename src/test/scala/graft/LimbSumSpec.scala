@@ -48,12 +48,36 @@ class LimbSumSpec extends AnyFunSuite with SparkSpec {
 
   test("randomized bounded rows recombine bit-exactly (seeded)") {
     val rnd = new scala.util.Random(20260816L)
+    // (& Long.MaxValue), not math.abs: abs(Long.MinValue) is NEGATIVE
+    // and would feed a negative operand into the limb sum
+    def bounded() = (rnd.nextLong() & Long.MaxValue) % (MaxCents + 1)
     val rows = (1 to 50000).map { _ =>
       val g = if (rnd.nextBoolean()) "a" else "b"
-      (g, math.abs(rnd.nextLong()) % (MaxCents + 1),
-        math.abs(rnd.nextLong()) % (MaxCents + 1))
+      (g, bounded(), bounded())
     }
     assert(limbTotals(rows) === exactSums(rows))
+  }
+
+  test("precondition misuse RAISES under the debug flag instead of " +
+    "summing garbage: negative operand and >=2^60 product") {
+    spark.conf.set("spark.graft.debug.validate", "true")
+    try {
+      def limbs() = Analytics.limbProductSums(Seq(("x", "y")))
+      val neg = Seq(("a", -1L, 5L)).toDF("g", "x", "y")
+        .groupBy($"g").agg(limbs().head, limbs().tail: _*)
+      val e1 = intercept[Exception] { neg.collect() }
+      assert(e1.getMessage.contains("limbProductSums precondition"))
+      val wide = Seq(("a", 1L << 31, 1L << 31)).toDF("g", "x", "y")
+        .groupBy($"g").agg(limbs().head, limbs().tail: _*)
+      val e2 = intercept[Exception] { wide.collect() }
+      assert(e2.getMessage.contains("limbProductSums precondition"))
+      // in-bounds rows still sum exactly with the guard active
+      val ok = Seq(("a", MaxCents, MaxCents)).toDF("g", "x", "y")
+        .groupBy($"g").agg(limbs().head, limbs().tail: _*)
+        .select(Analytics.limbRecombined("x", "y"))
+      assert(BigInt(ok.collect()(0).getDecimal(0).toBigInteger)
+        === BigInt(MaxCents) * BigInt(MaxCents))
+    } finally spark.conf.unset("spark.graft.debug.validate")
   }
 
   test("zero and identity edges: empty products, single row, zero operands") {
