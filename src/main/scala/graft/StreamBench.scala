@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.write.KVTable
+
+/** Streaming-sink THROUGHPUT axis (dev tooling, like Bench): the st*
+  * wall-clock numbers at small sf are dominated by per-trigger commit
+  * floors (SCALING.md slopes ≤0.13), which says nothing about how the
+  * sinks handle DATA. This bench holds the trigger count FIXED and
+  * scales the rows-per-batch 1×/3×/10× (disjoint key namespaces, the
+  * SynthGen replication discipline), measuring rows/sec through three
+  * representative foreachBatch sinks:
+  *
+  *  - st1-shaped: raw KV upsert ingest (events → put)
+  *  - st9-shaped: SQL MERGE INTO with per-batch pre-aggregation
+  *  - st13-shaped: CDC-apply incremental MV refresh (O(churn) fold)
+  *
+  * Staging, base-table builds and sink wipes run OUTSIDE the timed
+  * region; the timed region is exactly start()→awaitTermination().
+  * A sink whose rows/sec holds ~flat (or grows) across the three batch
+  * sizes is commit-floor-bound at test scale and data-parallel above
+  * it — the 100 TB/day claim made measurable.
+  */
+object StreamBench {
+
+  // same fixed per-copy key shift as SynthGen: disjoint universes
+  private val SHIFT = 10000000L
+  private val FILES = 4 // staged file count == trigger count (mFPT=1)
+
+  private def replicate(df: DataFrame, keys: Seq[String], m: Int): DataFrame = {
+    val base = df.withColumn("_c", explode(sequence(lit(0L), lit(m - 1L))))
+    keys.foldLeft(base) { case (d2, k) =>
+      d2.withColumn(k, col(k) + col("_c") * SHIFT)
+    }.drop("_c")
+  }
+
+  /** Stage `df` into exactly FILES parquet files (one per trigger),
+    * deterministically split by key hash. Built once per (dataset, m). */
+  private def stage(name: String, d: String, m: Int, keyCol: String,
+                    df: DataFrame): String = {
+    val dir = RepoPaths.target(
+      s"graft_streambench/${name}_${Staging.slug(d)}_x$m")
+    Staging.ensureFlat(dir, s"$name x$m v1 $d") {
+      (0 until FILES).foreach { f =>
+        df.filter(pmod(col(keyCol), lit(FILES.toLong)) === f.toLong)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+    }
+    dir
+  }
+
+  private def timed[T](body: => T): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** st1-shaped: events × m streamed file-per-trigger into a KV upsert
+    * sink. Returns (rows, sec). */
+  private def runIngest(s: SparkSession, d: String, m: Int): (Long, Double) = {
+    import s.implicits._
+    val ev = replicate(Tables.events(s, d), Seq("event_id", "user_id"), m)
+    val dir = stage("st1", d, m, "event_id", ev)
+    val rows = s.read.parquet(dir).count()
+    val t = KVTable(s, RepoPaths.target("graft_streambench/kv_st1"),
+      wipe = true)
+    val src = s.readStream.schema(Tables.events(s, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sec = timed {
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          t.put(batch.select($"user_id".as("key"), lit("E").as("family"),
+            lit("last").as("qualifier"),
+            round($"value" * 100).cast("long").cast("string").as("value"),
+            $"ts"))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (rows, sec)
+  }
+
+  /** st9-shaped: events × m merged into a standing customer-keyed KV
+    * table via SQL MERGE INTO, one pre-aggregated update set per
+    * batch. Returns (rows, sec). */
+  private def runMerge(s: SparkSession, d: String, m: Int): (Long, Double) = {
+    import s.implicits._
+    val ev = replicate(Tables.events(s, d), Seq("event_id", "user_id"), m)
+    val dir = stage("st9", d, m, "event_id", ev)
+    val rows = s.read.parquet(dir).count()
+    val path = RepoPaths.target("graft_streambench/kv_st9")
+    val t = KVTable(s, path, wipe = true)
+    t.put(Tables.customer(s, d).select($"c_custkey".as("key"),
+      lit("F").as("family"), lit("bal").as("qualifier"),
+      round($"c_acctbal" * 100).cast("long").cast("string").as("value"),
+      lit(1L).as("ts")))
+    t.compact()
+    val ident = graft.sources.kv.KVSource.sqlName(s, path)
+    val src = s.readStream.schema(Tables.events(s, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sec = timed {
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy($"user_id".as("key"))
+            .agg(max(round($"value" * 100).cast("long")).as("mx"))
+            .createOrReplaceTempView("streambench_updates")
+          batch.sparkSession.sql(
+            s"""MERGE INTO $ident t USING streambench_updates u
+               |ON t.key = u.key AND t.family = 'F' AND t.qualifier = 'bal'
+               |WHEN MATCHED THEN UPDATE SET value =
+               |  CAST(greatest(CAST(t.value AS BIGINT), u.mx) AS STRING)
+               |WHEN NOT MATCHED THEN
+               |  INSERT (key, family, qualifier, value, ts, tomb)
+               |  VALUES (u.key, 'F', 'bal', CAST(u.mx AS STRING), 1,
+               |          null)""".stripMargin)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (rows, sec)
+  }
+
+  /** st13-shaped: the CDC mutation history of orders × m applied
+    * incrementally to a standing aggregate MV — trigger count fixed by
+    * the mutation script's 3 ts steps, churn per trigger scales with
+    * m. Returns (changeRows, sec); change rows are counted on the
+    * cached batch the fold consumes anyway. */
+  private def runCdcApply(s: SparkSession, d: String, m: Int): (Long, Double) = {
+    import s.implicits._
+    val o = replicate(Tables.orders(s, d), Seq("o_orderkey", "o_custkey"), m)
+    val t = KVTable(s, RepoPaths.target("graft_streambench/kv_st13"),
+      wipe = true)
+    graft.write.WriteQueries.putOrdersBase(t, o)
+    t.compact()
+    graft.write.WriteQueries.mutateOrders(t, o)
+    val agg = KVTable(s, RepoPaths.target("graft_streambench/kv_st13_agg"),
+      wipe = true)
+    agg.put(t.resolvedAsOf(1L)
+      .groupBy(($"key" % 100).as("key"))
+      .agg(sum($"value".cast("long")).as("total"))
+      .select($"key", lit("A").as("family"), lit("sum").as("qualifier"),
+        $"total".cast("string").as("value"), lit(1L).as("ts")))
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val src = s.readStream.format("graft-cdc")
+      .option("path", t.path)
+      .option("startTs", "1").option("stepTs", "1")
+      .load()
+    val sec = timed {
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val b = batch.persist()
+          rowsSeen.addAndGet(b.count()): Unit
+          graft.write.WriteQueries.cdcApplyBatch(agg)(b, batchId)
+          b.unpersist(): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    (rowsSeen.get(), sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    val runs: Seq[(String, (SparkSession, String, Int) => (Long, Double))] =
+      Seq("st1_ingest" -> runIngest, "st9_merge_into" -> runMerge,
+        "st13_cdc_apply" -> runCdcApply)
+    val ms = Seq(1, 3, 10)
+    // untimed warm lap at 1× per sink: stages the 1× dirs, warms
+    // codegen/JIT on the exact plans, builds nothing timed
+    runs.foreach { case (_, fn) => fn(spark, sfDir, 1) }
+    val out = runs.map { case (name, fn) =>
+      val cells = ms.map { m =>
+        val (rows, sec) = fn(spark, sfDir, m)
+        val rps = math.round(rows / sec)
+        System.err.println(
+          f"[streambench] $name x$m: $rows rows / $sec%.2f s = $rps rows/s")
+        s""""x$m":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0},"rps":$rps}"""
+      }
+      s""""$name":{${cells.mkString(",")}}"""
+    }
+    println(s"""{"metric":"stream_throughput","unit":"rows_per_sec",""" +
+      s""""triggers":$FILES,"results":{${out.mkString(",")}},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -32,7 +32,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filtered runs dump a filtered oracle map too — check.py treats
+    // an oracle with no dump dir as a loud FAIL, which must not fire
+    // for queries a dev-iteration filter deliberately skipped
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -24,8 +24,11 @@ object WriteQueries {
                         version: Int)(build: String => Unit): String = {
     val dir = RepoPaths.target(s"graft_stream/${name}_${graft.Staging.slug(d)}")
     // flat: a stream LANDING dir — the file-stream source lists it in
-    // mtime order; there is no downstream join key to bucket by
-    graft.Staging.ensureFlat(dir, s"$name v$version $d")(build(dir))
+    // mtime order; there is no downstream join key to bucket by. The
+    // tag fingerprints the whole source dataset: a regenerated dataset
+    // at the same path (SynthGen) must restage, never serve stale.
+    graft.Staging.ensureFlat(dir,
+      s"$name v$version $d fp=${graft.Staging.fingerprint(d)}")(build(dir))
   }
 
   /** Stateful streams commit one state store per shuffle partition per
@@ -53,8 +56,11 @@ object WriteQueries {
                         version: Int)(build: KVTable => Unit): KVTable = {
     val path = base(name)
     // flat: the KV store owns this dir's layout (region dirs + logs);
-    // bucketed parquet staging does not apply to a KV table base
-    graft.Staging.ensureFlat(path, s"$name v$version $d")(
+    // bucketed parquet staging does not apply to a KV table base. The
+    // tag fingerprints the whole source dataset (regeneration-proof —
+    // this path is NOT dataset-slugged, so the slug-wipe can't see it).
+    graft.Staging.ensureFlat(path,
+      s"$name v$version $d fp=${graft.Staging.fingerprint(d)}")(
       build(KVTable(s, path, wipe = true)))
     KVTable(s, path)
   }
@@ -76,7 +82,7 @@ object WriteQueries {
   }
 
   /** m14/m16 shared base state: one `cents` cell per order at ts=1. */
-  private def putOrdersBase(t: KVTable, o: org.apache.spark.sql.DataFrame): Unit = {
+  private[graft] def putOrdersBase(t: KVTable, o: org.apache.spark.sql.DataFrame): Unit = {
     import o.sparkSession.implicits._
     val cents = round($"o_totalprice" * 100).cast("long")
     t.put(o.select($"o_orderkey".as("key"), lit("F").as("family"),
@@ -88,7 +94,7 @@ object WriteQueries {
     * deletes (%5, ts=3), fresh inserts (%3 shifted keys, ts=4). m16's
     * oracle re-derives m14's final state, so the two queries MUST
     * mutate identically; one definition keeps them in sync. */
-  private def mutateOrders(t: KVTable, o: org.apache.spark.sql.DataFrame): Unit = {
+  private[graft] def mutateOrders(t: KVTable, o: org.apache.spark.sql.DataFrame): Unit = {
     import o.sparkSession.implicits._
     val cents = round($"o_totalprice" * 100).cast("long")
     t.put(o.filter($"o_orderkey" % 7 === 0)

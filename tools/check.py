@@ -3,8 +3,10 @@
 not part of the shipped library). Compares Verify's parquet dumps against
 the oracle SQL run in DuckDB over the same testdata.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
-(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+Usage: python3 tools/check.py <sfDir> <outDir> [jsonOut]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first; jsonOut
+writes a CORRECTNESS_r*-style per-query artifact, e.g. for the
+synthetic-sf1.0 gate)
 """
 import json, sys, glob, os
 import duckdb
@@ -22,31 +24,47 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.reset_index(drop=True)
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
     con = duckdb.connect()
+    # bounded memory + disk spill: the sf1.0 graph/BSP oracle SQL can
+    # otherwise OOM-kill the process on a busy box
+    con.sql("SET memory_limit='40GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # the driver's testdata is one file per table; SynthGen writes
+        # Spark-style DIRECTORIES of part files — glob those
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noorc = 0
+    record = {}
+    def rec(name, ok, rows=None, err=None):
+        record[name] = {"rows_match": bool(ok), "schema_match": bool(ok),
+                        "hash_match": bool(ok), "rows": rows, "err": err}
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no output parquet"); n_fail += 1; continue
+            print(f"FAIL {name}: no output parquet"); n_fail += 1
+            rec(name, False, err="no output parquet"); continue
         got = pd.read_parquet(qdir)
         if name not in oracles:
             print(f"noorc {name}: rows={len(got)}"); n_noorc += 1; continue
         try:
             exp = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1
+            rec(name, False, err=f"oracle error {e}"); continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: cols {list(g.columns)} != {list(e.columns)}")
-            n_fail += 1; continue
+            n_fail += 1; rec(name, False, err="schema mismatch"); continue
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} != {len(e)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}"); n_fail += 1
+            rec(name, False, err=f"rows {len(g)} != {len(e)}"); continue
         # row order must match too (queries are deterministically ordered)
         diff_cols = []
         for c in g.columns:
@@ -65,11 +83,13 @@ def main(sf_dir: str, out_dir: str) -> None:
                 m = g[c] != e[c]
                 print(f"  {c}: got {g[c][m].head(3).tolist()} exp {e[c][m].head(3).tolist()}")
             n_fail += 1
+            rec(name, False, err=f"value diff {diff_cols}")
         elif diff_cols:
             print(f"WARN {name}: float not bit-exact {diff_cols}")
-            n_pass += 1
+            n_pass += 1; rec(name, True, rows=len(g))
         else:
             print(f"pass {name}: rows={len(g)}"); n_pass += 1
+            rec(name, True, rows=len(g))
     # an oracle with no output dir means the Spark side THREW during the
     # dump ([verify] line in the run log) — that must fail loudly, not
     # vanish from the tally (nine events-table queries hid this way for
@@ -80,7 +100,10 @@ def main(sf_dir: str, out_dir: str) -> None:
         print(f"FAIL {name}: no output dump (query threw during Verify)")
         n_fail += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noorc} no-oracle ==")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "queries": record}, open(json_out, "w"), indent=1)
     if n_fail: sys.exit(1)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)

@@ -17,10 +17,16 @@ import json, sys
 def main(artifact: str, passes: list) -> None:
     art = json.load(open(artifact))
     q = dict(art["queries"])
+    samples = dict(art.get("samples", {}))
     for p in passes:
         d = json.load(open(p))
         for k, v in d["queries"].items():
             q[k] = min(q[k], v) if k in q else v
+        # accumulate EVERY in-sweep sample (not just the pass min): a
+        # persistent slowdown must be visible as N agreeing samples,
+        # not masked by min-folding (the g11 demand)
+        for k, vs in d.get("samples", {}).items():
+            samples[k] = samples.get(k, []) + vs
     improved = {k: (art["queries"][k], q[k]) for k in art["queries"]
                 if q[k] < art["queries"][k] - 5e-4}
     new = {k: (None, q[k]) for k in q if k not in art["queries"]}
@@ -28,6 +34,9 @@ def main(artifact: str, passes: list) -> None:
     art["value"] = round(sum(q.values()), 3)
     art["nqueries"] = len(q)
     art["passes"] = art.get("passes", 1) + len(passes)
+    # publish the full sample lists for the 25 most expensive queries
+    top25 = sorted(q, key=lambda k: -q[k])[:25]
+    art["samples"] = {k: samples[k] for k in sorted(top25) if k in samples}
     json.dump(art, open(artifact, "w"), separators=(",", ":"))
     print(f"total {art['value']}s over {art['nqueries']} queries, "
           f"{art['passes']} passes")
