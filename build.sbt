@@ -23,8 +23,39 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Commit the heap up front (Xms=Xmx) — the standard production executor
+// sizing, and the fix for the g11 bench bimodality (BENCH_r15_full
+// verdicts): with a large -Xmx and a tiny default -Xms, the full GC the
+// bench runs between samples lets G1 uncommit the heap, and the next
+// timed sample then pays multi-GB mmap+zero page faults — measured 2-3x
+// inflation on the allocation-heavy iterative graph loops at -Xmx96g,
+// reproducing the driver-pass slowdown that min-folded builder passes
+// never showed. Xms is capped at 70% of physical RAM so an oversized
+// SPARK_DRIVER_MEM still boots (committed-but-untouched pages are lazy,
+// but a hard cap keeps strict-overcommit boxes safe too).
+val sparkDriverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val sparkDriverXms: Option[String] = {
+  def mib(s: String): Option[Long] = {
+    val m = "(?i)^([0-9]+)([gm])$".r
+    s.trim match {
+      case m(n, u) => Some(if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong)
+      case _ => None
+    }
+  }
+  val capMib = scala.util.Try {
+    val src = scala.io.Source.fromFile("/proc/meminfo")
+    try src.getLines().find(_.startsWith("MemTotal"))
+      .map(_.replaceAll("[^0-9]", "").toLong * 7 / 10 / 1024).get
+    finally src.close()
+  }.toOption
+  (mib(sparkDriverMem), capMib) match {
+    case (Some(req), Some(cap)) => Some(s"-Xms${math.min(req, cap)}m")
+    case (Some(req), None)      => Some(s"-Xms${req}m")
+    case _                      => None // unparseable override: skip Xms
+  }
+}
+javaOptions ++= jdk17AddOpens ++ sparkDriverXms.toSeq ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$sparkDriverMem",
 )

@@ -56,18 +56,37 @@ object Bench {
     // failure, never as a time — time-to-failure is not a latency, and
     // a fast crash must not print as a flattering min. Queries with
     // zero successful samples land in the artifact's "failed" list.
+    // A timed sample also captures the per-phase breakdown the graph
+    // loops record to graft.Trace — when an environment reproduces the
+    // g11 in-sweep slowdown, its own artifact names WHICH phase (edge
+    // staging vs iteration checkpoint vs final materialization)
+    // absorbed the time instead of printing one opaque number.
+    type Sample = (Option[Double], Seq[(String, Double)])
+    // GC wall-clock inside the timed region, from the collector MXBeans
+    // — distinguishes "the query's own work got slower" from "a GC
+    // pause landed inside the sample" without any JVM flags
+    def gcSec(): Double = {
+      var ms = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach(b => ms += math.max(0L, b.getCollectionTime))
+      ms / 1e3
+    }
     def sample(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Option[Double] = {
+        : Sample = {
       sweepCaches()
+      Trace.drain() // discard residue from the previous query/staging
+      val gc0 = gcSec()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      try { fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        (Some(t), Trace.drain() :+ ("_gc_sec" -> (gcSec() - gc0))) }
+      catch { case _: Throwable => (None, Trace.drain()) }
     }
     selected.foreach { case (_, fn) => sample(fn) } // staging, untimed
     val s1 = selected.map { case (n, fn) => n -> sample(fn) }.toMap
     val s2 = selected.map { case (n, fn) => n -> sample(fn) }.toMap
     val unstable = selected.map(_._1).filter { n =>
-      (s1(n), s2(n)) match {
+      (s1(n)._1, s2(n)._1) match {
         case (Some(a), Some(b)) =>
           math.min(a, b) > 0.5 && math.max(a, b) / math.min(a, b) > 1.5
         case _ => true // a failed sample is the strongest disagreement
@@ -76,7 +95,7 @@ object Bench {
     val s3 = selected.filter(p => unstable(p._1))
       .map { case (n, fn) => n -> sample(fn) }.toMap
     def minSoFar(n: String): Option[Double] =
-      Seq(s1(n), s2(n), s3.getOrElse(n, None)).flatten.minOption
+      Seq(s1(n)._1, s2(n)._1, s3.get(n).flatMap(_._1)).flatten.minOption
     val topN = selected.map(_._1)
       .sortBy(n => -minSoFar(n).getOrElse(0.0)).take(25).toSet
     val s4 = selected.filter(p => topN(p._1))
@@ -84,12 +103,15 @@ object Bench {
     sweepCaches()
     // every sample in sweep order — published (not just the min) so a
     // persistent in-sweep slowdown is visible as N agreeing samples
-    // instead of being masked by min-folding (the g11 demand)
-    val allSamples = selected.map { case (name, _) =>
-      name -> Seq(s1(name), s2(name), s3.getOrElse(name, None),
-        s4.getOrElse(name, None)).flatten
-    }
-    val perQuery = allSamples.map { case (n, ss) => n -> ss.minOption }
+    // instead of being masked by min-folding (the g11 demand); phases
+    // stay aligned with the successful samples
+    val allSamples: Seq[(String, Seq[(Double, Seq[(String, Double)])])] =
+      selected.map { case (name, _) =>
+        name -> Seq(s1.get(name), s2.get(name), s3.get(name), s4.get(name))
+          .flatten.collect { case (Some(t), ph) => (t, ph) }
+      }
+    val perQuery = allSamples.map { case (n, ss) =>
+      n -> ss.map(_._1).minOption }
     val failed = perQuery.collect { case (n, None) => n }
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (no successful " +
@@ -173,17 +195,36 @@ object Bench {
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
     // Full per-query record (all timings, full precision, plus every
-    // per-sweep sample) → file.
+    // per-sweep sample and its phase breakdown) → file.
+    def phaseObj(ph: Seq[(String, Double)]): String =
+      ph.map { case (p, v) =>
+        "\"" + p + "\":" + math.round(v * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
     val samplesJson = allSamples
       .filter(_._2.nonEmpty)
       .map { case (n, ss) =>
         "\"" + n + "\":[" +
-          ss.map(v => math.round(v * 1000) / 1000.0).mkString(",") + "]"
+          ss.map(s => math.round(s._1 * 1000) / 1000.0).mkString(",") + "]"
       }.mkString("\"samples\":{", ",", "},")
+    val phasesJson = allSamples
+      .filter(_._2.exists(_._2.nonEmpty))
+      .map { case (n, ss) =>
+        "\"" + n + "\":[" + ss.map(s => phaseObj(s._2)).mkString(",") + "]"
+      }.mkString("\"phases\":{", ",", "},")
+    // stdout budget is tight (~1800 chars survive the driver's log
+    // tail): ship ONLY the min sample's phase breakdown for the three
+    // queries the r14 driver pass read anomalously slow — when that
+    // environment hits the 9 s mode again, ITS artifact carries the
+    // per-phase evidence
+    val minPhases = Seq("g11_pagerank", "g12_concomp", "g13_label_prop")
+      .flatMap { n =>
+        allSamples.find(_._1 == n).map(_._2).filter(_.nonEmpty)
+          .map(ss => "\"" + n + "\":" + phaseObj(ss.minBy(_._1)._2))
+      }.mkString("\"min_phases\":{", ",", "},")
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
-    try w.println(line(results, samplesJson)) finally w.close()
+    try w.println(line(results, samplesJson + phasesJson)) finally w.close()
     // The stdout line is read from a bounded log tail (~2000 chars), so
     // the full 106-query map never survives. Emit a line that FITS:
     // per-query entries added slowest-first (the ones that matter for
@@ -192,9 +233,10 @@ object Bench {
       .map { case (k, v) => k -> math.round(v * 1000) / 1000.0 }
       .sortBy(-_._2)
     val budgeted = rounded.inits.find(e =>
-      line(e, "\"truncated_to_slowest\":" + e.size + ",").length <= 1800).get
+      line(e, minPhases + "\"truncated_to_slowest\":" + e.size + ",")
+        .length <= 1800).get
     println(line(budgeted.sortBy(_._1),
-      "\"truncated_to_slowest\":" + budgeted.size + ","))
+      minPhases + "\"truncated_to_slowest\":" + budgeted.size + ","))
     spark.stop()
   }
 }

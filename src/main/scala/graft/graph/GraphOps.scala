@@ -298,22 +298,28 @@ object GraphOps {
     * returning — repeated invocations leak nothing. */
   def pageRank(pairs: DataFrame, iters: Int, damp: Double = 0.85): DataFrame = {
     val (result, cleanup) = pageRankStaged(pairs, iters, damp)
-    try traced(result.sparkSession, "final_checkpoint")(
+    try traced(result.sparkSession, "pr_final_checkpoint")(
       result.localCheckpoint(true)) finally cleanup()
   }
 
   /** Per-phase wall-clock tracing for the bench bimodality diagnosis
-    * (the g11 demand): under `spark.graft.bench.trace=true`, each
-    * eager phase of an iterative loop prints `[trace] <name> <sec>` to
-    * stderr. Flag-off cost: one conf lookup per phase. */
+    * (the g11 demand): every eager phase of an iterative loop is
+    * ALWAYS recorded to [[graft.Trace]] (two nanoTime calls + one
+    * bounded-queue offer — invisible at phase scale; graft.Bench
+    * drains it per sample into the artifact, so the anomalous
+    * environment reports its own breakdown). Additionally, under
+    * `spark.graft.bench.trace=true`, prints `[trace] <name> <sec>` to
+    * stderr for interactive runs. */
   private def traced[T](s: org.apache.spark.sql.SparkSession,
-      name: String)(body: => T): T =
-    if (!s.conf.getOption("spark.graft.bench.trace").contains("true")) body
-    else {
-      val t0 = System.nanoTime()
-      try body finally System.err.println(
-        f"[trace] $name ${(System.nanoTime() - t0) / 1e9}%.3f")
+      name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally {
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.Trace.record(name, sec)
+      if (s.conf.getOption("spark.graft.bench.trace").contains("true"))
+        System.err.println(f"[trace] $name $sec%.3f")
     }
+  }
 
   /** The lazy plan + a cache-release handle — split out so PlanSpec can
     * pin the cached-edge-layout iteration shape before materialization
@@ -337,11 +343,12 @@ object GraphOps {
       .select(col("vertex"), lit(0L).as("degree"))
     val deg = outDeg.unionByName(sinks)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // trace-only eager stage so the edge-layout/degree materialization
-    // separates from iteration time in the per-phase breakdown
-    if (pairs.sparkSession.conf.getOption("spark.graft.bench.trace")
-        .contains("true"))
-      traced(pairs.sparkSession, "stage_edges_deg")(deg.count(): Unit)
+    // eager staging stage (unconditional, so traced and untraced runs
+    // execute the IDENTICAL plan): populates the edge-layout and
+    // degree caches — work every iteration needs anyway — and makes
+    // the edge-staging cost a separate entry in the per-phase
+    // breakdown instead of riding inside iteration 1
+    traced(pairs.sparkSession, "pr_stage_edges_deg")(deg.count(): Unit)
     val n = deg.agg(count(lit(1)).as("n"))
     def step(pr: DataFrame): DataFrame = {
       val contrib = p
@@ -367,7 +374,7 @@ object GraphOps {
     val result = (1 to iters).foldLeft(pr0) { (pr, i) =>
       val next = step(pr)
       if (i < iters)
-        traced(pairs.sparkSession, s"iter${i}_checkpoint")(
+        traced(pairs.sparkSession, s"pr_iter${i}_checkpoint")(
           next.localCheckpoint(true))
       else next
     }
@@ -396,18 +403,20 @@ object GraphOps {
       .repartition(col("dst")).sortWithinPartitions(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = p.select(col("src").as("vertex")).distinct()
-        .withColumn("label", col("vertex"))
-        .localCheckpoint(eager = true)
-      for (_ <- 1 to iters) {
-        labels = p
+      val s = pairs.sparkSession
+      var labels = traced(s, "lp_stage")(
+        p.select(col("src").as("vertex")).distinct()
+          .withColumn("label", col("vertex"))
+          .localCheckpoint(eager = true))
+      for (i <- 1 to iters) {
+        labels = traced(s, s"lp_round$i")(p
           .join(labels.withColumnRenamed("vertex", "dst"), "dst")
           .groupBy(col("src").as("vertex"), col("label"))
           .agg(count(lit(1)).as("c"))
           .groupBy(col("vertex"))
           .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
           .select(col("vertex"), (-col("m.nl")).as("label"))
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = true))
       }
       labels
     } finally { p.unpersist(false): Unit }
@@ -507,11 +516,11 @@ object GraphOps {
       : DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    var e = pairs
+    var e = traced(s, "cc_stage")(pairs
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     // signature of the CURRENT edge set: (count, sum of 32-bit row
     // hashes, summed as long — overflow-free under ANSI below 2^32
     // edges). Equal signatures are necessary, not sufficient, for set
@@ -525,7 +534,7 @@ object GraphOps {
     var eSig = sig(e)
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
+    while (!converged && round < maxRounds) { traced(s, s"cc_round$round") {
       // large-star over the symmetric view: m(u) = min(N(u) ∪ {u}),
       // emit (m, v) for neighbors v > u (canonical: m < u < v)
       val sym = e.select($"a".as("u"), $"b".as("v"))
@@ -553,7 +562,7 @@ object GraphOps {
       e = small
       eSig = smallSig
       round += 1
-    }
+    } }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxRounds rounds " +
