@@ -100,11 +100,23 @@ object SynthGen {
 
     // the fact-referenced dims scale with the facts (TPC-H sf
     // semantics), keyed by the SAME per-copy offset as their FKs;
-    // nation keys stay unshifted — region/nation are fixed across sf
+    // nation keys stay unshifted — region/nation are fixed across sf.
+    // c_name/s_name are REGENERATED from the shifted key (the TPC-H
+    // spec derives them as 'Customer#'/'Supplier#' + 9-digit key):
+    // leaving the copies' names identical breaks the name<->key
+    // bijection both engines rely on — caught by the sf1.0 oracle
+    // gate as a tpch_q21 hash mismatch (its oracle groups by s_name
+    // alone; Spark's plan carries s_suppkey through the join).
     write("customer", shifted(Tables(spark, src, "customer"),
-      Seq("c_custkey"), copies))
+      Seq("c_custkey"), copies)
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"),
+          9, "0"))))
     write("supplier", shifted(Tables(spark, src, "supplier"),
-      Seq("s_suppkey"), copies))
+      Seq("s_suppkey"), copies)
+      .withColumn("s_name",
+        concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"),
+          9, "0"))))
     write("part", shifted(Tables(spark, src, "part"),
       Seq("p_partkey"), copies))
     Seq("region", "nation")

@@ -864,18 +864,18 @@ object GraphQueries {
         |bb AS (SELECT * FROM b0
         |       UNION ALL
         |       SELECT peer, vertex, vendor, prob_ppm, ts FROM b0),
-        |c1 AS (SELECT vertex, peer,
-        |         max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
-        |       FROM bb GROUP BY 1, 2),
-        |d1 AS (SELECT c.vertex, c.peer,
-        |         struct_extract(m, 'v') AS vendor,
-        |         struct_extract(m, 'p') AS prob_ppm,
-        |         struct_extract(m, 't') AS ts
+        |c1 AS (SELECT vertex, peer, vendor, prob_ppm, ts FROM (
+        |         SELECT vertex, peer, vendor, prob_ppm, ts,
+        |                row_number() OVER (PARTITION BY vertex, peer
+        |                  ORDER BY prob_ppm DESC, ts DESC, vendor DESC)
+        |                  AS rn
+        |         FROM bb) WHERE rn = 1),
+        |d1 AS (SELECT c.vertex, c.peer, c.vendor, c.prob_ppm, c.ts
         |       FROM c1 c LEFT JOIN st s
         |         ON c.vertex = s.vertex AND c.peer = s.peer
-        |       WHERE struct_extract(m, 'p') >= 500
+        |       WHERE c.prob_ppm >= 500
         |         AND (s.vertex IS NULL
-        |              OR struct_extract(m, 'p') > s.prob_ppm)),
+        |              OR c.prob_ppm > s.prob_ppm)),
         |m2 AS (SELECT e.peer AS vertex, d.peer AS peer, d.vendor,
         |         (d.prob_ppm * e.prob_ppm) // 1000000 AS prob_ppm, d.ts
         |       FROM d1 d JOIN st e
@@ -885,21 +885,21 @@ object GraphQueries {
         |         (d.prob_ppm * e.prob_ppm) // 1000000, e.ts
         |       FROM d1 d JOIN st e
         |         ON d.vertex = e.vertex AND e.peer <> d.peer),
-        |c2 AS (SELECT vertex, peer,
-        |         max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
-        |       FROM m2 GROUP BY 1, 2),
-        |d2 AS (SELECT c.vertex, c.peer,
-        |         struct_extract(m, 'v') AS vendor,
-        |         struct_extract(m, 'p') AS prob_ppm,
-        |         struct_extract(m, 't') AS ts
+        |c2 AS (SELECT vertex, peer, vendor, prob_ppm, ts FROM (
+        |         SELECT vertex, peer, vendor, prob_ppm, ts,
+        |                row_number() OVER (PARTITION BY vertex, peer
+        |                  ORDER BY prob_ppm DESC, ts DESC, vendor DESC)
+        |                  AS rn
+        |         FROM m2) WHERE rn = 1),
+        |d2 AS (SELECT c.vertex, c.peer, c.vendor, c.prob_ppm, c.ts
         |       FROM c2 c
         |       LEFT JOIN st s ON c.vertex = s.vertex AND c.peer = s.peer
         |       LEFT JOIN d1 p ON c.vertex = p.vertex AND c.peer = p.peer
-        |       WHERE struct_extract(m, 'p') >= 500
+        |       WHERE c.prob_ppm >= 500
         |         AND (s.vertex IS NULL
-        |              OR struct_extract(m, 'p') > s.prob_ppm)
+        |              OR c.prob_ppm > s.prob_ppm)
         |         AND (p.vertex IS NULL
-        |              OR struct_extract(m, 'p') > p.prob_ppm)),
+        |              OR c.prob_ppm > p.prob_ppm)),
         |ex2 AS (SELECT * FROM st UNION ALL SELECT * FROM d1),
         |m3 AS (SELECT e.peer AS vertex, d.peer AS peer, d.vendor,
         |         (d.prob_ppm * e.prob_ppm) // 1000000 AS prob_ppm, d.ts
@@ -910,37 +910,35 @@ object GraphQueries {
         |         (d.prob_ppm * e.prob_ppm) // 1000000, e.ts
         |       FROM d2 d JOIN ex2 e
         |         ON d.vertex = e.vertex AND e.peer <> d.peer),
-        |p2 AS (SELECT vertex, peer,
-        |         struct_extract(m, 'v') AS vendor,
-        |         struct_extract(m, 'p') AS prob_ppm,
-        |         struct_extract(m, 't') AS ts
-        |       FROM (SELECT vertex, peer,
-        |               max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
-        |             FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
-        |             GROUP BY 1, 2)),
-        |c3 AS (SELECT vertex, peer,
-        |         max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
-        |       FROM m3 GROUP BY 1, 2),
-        |d3 AS (SELECT c.vertex, c.peer,
-        |         struct_extract(m, 'v') AS vendor,
-        |         struct_extract(m, 'p') AS prob_ppm,
-        |         struct_extract(m, 't') AS ts
+        |p2 AS (SELECT vertex, peer, vendor, prob_ppm, ts FROM (
+        |         SELECT vertex, peer, vendor, prob_ppm, ts,
+        |                row_number() OVER (PARTITION BY vertex, peer
+        |                  ORDER BY prob_ppm DESC, ts DESC, vendor DESC)
+        |                  AS rn
+        |         FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2))
+        |       WHERE rn = 1),
+        |c3 AS (SELECT vertex, peer, vendor, prob_ppm, ts FROM (
+        |         SELECT vertex, peer, vendor, prob_ppm, ts,
+        |                row_number() OVER (PARTITION BY vertex, peer
+        |                  ORDER BY prob_ppm DESC, ts DESC, vendor DESC)
+        |                  AS rn
+        |         FROM m3) WHERE rn = 1),
+        |d3 AS (SELECT c.vertex, c.peer, c.vendor, c.prob_ppm, c.ts
         |       FROM c3 c
         |       LEFT JOIN st s ON c.vertex = s.vertex AND c.peer = s.peer
         |       LEFT JOIN p2 p ON c.vertex = p.vertex AND c.peer = p.peer
-        |       WHERE struct_extract(m, 'p') >= 500
+        |       WHERE c.prob_ppm >= 500
         |         AND (s.vertex IS NULL
-        |              OR struct_extract(m, 'p') > s.prob_ppm)
+        |              OR c.prob_ppm > s.prob_ppm)
         |         AND (p.vertex IS NULL
-        |              OR struct_extract(m, 'p') > p.prob_ppm)),
-        |p3 AS (SELECT vertex, peer,
-        |         struct_extract(m, 'v') AS vendor,
-        |         struct_extract(m, 'p') AS prob_ppm,
-        |         struct_extract(m, 't') AS ts
-        |       FROM (SELECT vertex, peer,
-        |               max({'p': prob_ppm, 't': ts, 'v': vendor}) AS m
-        |             FROM (SELECT * FROM p2 UNION ALL SELECT * FROM d3)
-        |             GROUP BY 1, 2))
+        |              OR c.prob_ppm > p.prob_ppm)),
+        |p3 AS (SELECT vertex, peer, vendor, prob_ppm, ts FROM (
+        |         SELECT vertex, peer, vendor, prob_ppm, ts,
+        |                row_number() OVER (PARTITION BY vertex, peer
+        |                  ORDER BY prob_ppm DESC, ts DESC, vendor DESC)
+        |                  AS rn
+        |         FROM (SELECT * FROM p2 UNION ALL SELECT * FROM d3))
+        |       WHERE rn = 1)
         |SELECT vertex, peer, vendor, prob_ppm, ts FROM p3
         |ORDER BY vertex, peer""".stripMargin)
   )

@@ -8,9 +8,88 @@ Usage: python3 tools/check.py <sfDir> <outDir> [jsonOut]
 writes a CORRECTNESS_r*-style per-query artifact, e.g. for the
 synthetic-sf1.0 gate)
 """
-import json, sys, glob, os
+import json, re, sys, glob, os
 import duckdb
 import pandas as pd
+
+try:  # fail as a catchable MemoryError instead of an OS oom-kill:
+    import resource  # DuckDB 1.0 can blow past its memory_limit (the
+    # g16 struct-max path reached 130 GB RSS before the kernel killed
+    # the whole gate at sf1.0)
+    resource.setrlimit(resource.RLIMIT_AS, (100 << 30, 100 << 30))
+except Exception:
+    pass
+
+
+def split_ctes(sql):
+    """Parse `WITH a AS (...), b AS (...) SELECT ...` into
+    ([(name, body)...], final_select); None if not that shape.
+    Paren counting skips single-quoted strings."""
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.I)
+    if not m:
+        return None
+    i = m.end(); ctes = []
+    while True:
+        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+\(", sql[i:], re.I)
+        if not m:
+            return None
+        name = m.group(1); j = i + m.end() - 1  # at the '('
+        depth = 0; k = j; instr = False
+        while k < len(sql):
+            c = sql[k]
+            if instr:
+                if c == "'": instr = False
+            elif c == "'": instr = True
+            elif c == "(": depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0: break
+            k += 1
+        ctes.append((name, sql[j + 1:k]))
+        rest = re.match(r"\s*,", sql[k + 1:])
+        if rest: i = k + 1 + rest.end()
+        else: return ctes, sql[k + 1:]
+
+
+def run_oracle(con, sql):
+    """Run an oracle; on a DuckDB out-of-memory, retry with each CTE
+    staged as a temp table. DuckDB 1.0 INLINES every CTE reference, so
+    a 3-superstep BSP oracle re-expands its 12M-row dedup subtree
+    exponentially — infeasible at sf1.0 even though every individual
+    stage is small. Staging is semantics-preserving (same SQL text per
+    stage, evaluated once, in definition order)."""
+    try:
+        return con.sql(sql).df()
+    except (duckdb.OutOfMemoryException, duckdb.IOException, MemoryError):
+        # IOException: the inlined plan's spill can exhaust the disk
+        # (st8's re-expanded shingle join wrote >79 GB of temp) —
+        # staging bounds each stage, so retry the same way
+        parsed = split_ctes(sql)
+        if parsed is None:
+            raise
+        print("  (oom inlined; retrying with staged CTEs)")
+        ctes, final = parsed
+        # a genuinely recursive CTE (self-reference in FROM/JOIN) can't
+        # become a temp table: stage only the prefix before the first
+        # one and leave the rest in a residual WITH RECURSIVE — the
+        # expensive re-expanded stages are the non-recursive prefix
+        def recursive(name, body):
+            return re.search(rf"\b(FROM|JOIN)\s+{name}\b", body, re.I)
+        cut = next((ix for ix, (n, b) in enumerate(ctes)
+                    if recursive(n, b)), len(ctes))
+        residual = ctes[cut:]
+        tail = ("" if not residual else
+                "WITH RECURSIVE " +
+                ", ".join(f"{n} AS ({b})" for n, b in residual)) + final
+        made = []
+        try:
+            for name, body in ctes[:cut]:
+                con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
+                made.append(name)
+            return con.sql(tail).df()
+        finally:
+            for n in reversed(made):
+                con.sql(f'DROP TABLE IF EXISTS "{n}"')
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -54,7 +133,7 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
         if name not in oracles:
             print(f"noorc {name}: rows={len(got)}"); n_noorc += 1; continue
         try:
-            exp = con.sql(oracles[name]).df()
+            exp = run_oracle(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1
             rec(name, False, err=f"oracle error {e}"); continue
