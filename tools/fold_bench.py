@@ -18,6 +18,7 @@ def main(artifact: str, passes: list) -> None:
     art = json.load(open(artifact))
     q = dict(art["queries"])
     samples = dict(art.get("samples", {}))
+    phases = dict(art.get("phases", {}))
     for p in passes:
         d = json.load(open(p))
         for k, v in d["queries"].items():
@@ -27,6 +28,9 @@ def main(artifact: str, passes: list) -> None:
         # not masked by min-folding (the g11 demand)
         for k, vs in d.get("samples", {}).items():
             samples[k] = samples.get(k, []) + vs
+        # per-sample phase breakdowns ride along, aligned with samples
+        for k, ph in d.get("phases", {}).items():
+            phases[k] = phases.get(k, []) + ph
     improved = {k: (art["queries"][k], q[k]) for k in art["queries"]
                 if q[k] < art["queries"][k] - 5e-4}
     new = {k: (None, q[k]) for k in q if k not in art["queries"]}
@@ -34,9 +38,12 @@ def main(artifact: str, passes: list) -> None:
     art["value"] = round(sum(q.values()), 3)
     art["nqueries"] = len(q)
     art["passes"] = art.get("passes", 1) + len(passes)
-    # publish the full sample lists for the 25 most expensive queries
+    # publish the full sample lists for the 25 most expensive queries,
+    # plus phase breakdowns for the loop queries that record them
     top25 = sorted(q, key=lambda k: -q[k])[:25]
     art["samples"] = {k: samples[k] for k in sorted(top25) if k in samples}
+    keep = set(top25) | {"g11_pagerank", "g12_concomp", "g13_label_prop"}
+    art["phases"] = {k: phases[k] for k in sorted(keep) if k in phases}
     json.dump(art, open(artifact, "w"), separators=(",", ":"))
     print(f"total {art['value']}s over {art['nqueries']} queries, "
           f"{art['passes']} passes")
