@@ -50,8 +50,11 @@ val sparkDriverXms: Option[String] = {
   }.toOption
   (mib(sparkDriverMem), capMib) match {
     case (Some(req), Some(cap)) => Some(s"-Xms${math.min(req, cap)}m")
-    case (Some(req), None)      => Some(s"-Xms${req}m")
-    case _                      => None // unparseable override: skip Xms
+    // /proc/meminfo unreadable (macOS, some containers): the physical-RAM
+    // cap can't be determined, so committing the full request up front
+    // could fail the JVM boot on strict-overcommit or small-RAM hosts.
+    // Skip Xms entirely — lazy default Xms always boots.
+    case _ => None
   }
 }
 javaOptions ++= jdk17AddOpens ++ sparkDriverXms.toSeq ++ Seq(

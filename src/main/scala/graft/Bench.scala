@@ -215,11 +215,21 @@ object Bench {
     // tail): ship ONLY the min sample's phase breakdown for the three
     // queries the r14 driver pass read anomalously slow — when that
     // environment hits the 9 s mode again, ITS artifact carries the
-    // per-phase evidence
+    // per-phase evidence. Entries per query are capped (star-CC can
+    // emit up to 25 cc_roundN phases): keep _gc_sec plus the largest
+    // phases, so the cap drops the cheap rounds, not the evidence.
+    def cappedPhases(ph: Seq[(String, Double)], n: Int): Seq[(String, Double)] =
+      if (ph.size <= n) ph
+      else {
+        val keep = ph.filter(_._1 == "_gc_sec") ++
+          ph.filterNot(_._1 == "_gc_sec").sortBy(-_._2).take(n - 1)
+        ph.filter(keep.contains)
+      }
     val minPhases = Seq("g11_pagerank", "g12_concomp", "g13_label_prop")
       .flatMap { n =>
         allSamples.find(_._1 == n).map(_._2).filter(_.nonEmpty)
-          .map(ss => "\"" + n + "\":" + phaseObj(ss.minBy(_._1)._2))
+          .map(ss => "\"" + n + "\":" +
+            phaseObj(cappedPhases(ss.minBy(_._1)._2, 8)))
       }.mkString("\"min_phases\":{", ",", "},")
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
@@ -232,11 +242,28 @@ object Bench {
     val rounded = results
       .map { case (k, v) => k -> math.round(v * 1000) / 1000.0 }
       .sortBy(-_._2)
-    val budgeted = rounded.inits.find(e =>
-      line(e, minPhases + "\"truncated_to_slowest\":" + e.size + ",")
-        .length <= 1800).get
-    println(line(budgeted.sortBy(_._1),
-      minPhases + "\"truncated_to_slowest\":" + budgeted.size + ","))
+    // all in-sweep samples for the slowest queries (2dp) — so a driver-
+    // side anomaly is adjudicable from the driver's own artifact (N
+    // agreeing samples vs one outlier) without a builder re-run
+    val topSamples = rounded.take(8).flatMap { case (n, _) =>
+      allSamples.find(s => s._1 == n && s._2.nonEmpty).map { case (_, ss) =>
+        "\"" + n + "\":[" +
+          ss.map(s => math.round(s._1 * 100) / 100.0).mkString(",") + "]"
+      }
+    }.mkString("\"samples\":{", ",", "},")
+    // preference order if the budget can't hold everything: keep the
+    // per-query samples (round-16 artifact of record), then min_phases;
+    // the bare line always fits, so the final .next() cannot throw
+    val budgetedLine = Iterator(topSamples + minPhases, topSamples,
+        minPhases, "")
+      .flatMap { extra =>
+        rounded.inits.find(e =>
+          line(e, extra + "\"truncated_to_slowest\":" + e.size + ",")
+            .length <= 1800)
+          .map(e => line(e.sortBy(_._1),
+            extra + "\"truncated_to_slowest\":" + e.size + ","))
+      }.next()
+    println(budgetedLine)
     spark.stop()
   }
 }

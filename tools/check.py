@@ -15,8 +15,16 @@ import pandas as pd
 try:  # fail as a catchable MemoryError instead of an OS oom-kill:
     import resource  # DuckDB 1.0 can blow past its memory_limit (the
     # g16 struct-max path reached 130 GB RSS before the kernel killed
-    # the whole gate at sf1.0)
-    resource.setrlimit(resource.RLIMIT_AS, (100 << 30, 100 << 30))
+    # the whole gate at sf1.0). The limit must sit BELOW physical RAM
+    # or the kernel OOM-killer fires first and the staged-CTE retry
+    # never triggers — derive it from MemTotal (80%), capped at 100 GiB.
+    try:
+        _mem_kb = next(int(l.split()[1]) for l in open("/proc/meminfo")
+                       if l.startswith("MemTotal"))
+        _lim = min(100 << 30, _mem_kb * 1024 * 4 // 5)
+    except Exception:
+        _lim = 100 << 30
+    resource.setrlimit(resource.RLIMIT_AS, (_lim, _lim))
 except Exception:
     pass
 
@@ -69,12 +77,17 @@ def run_oracle(con, sql):
             raise
         print("  (oom inlined; retrying with staged CTEs)")
         ctes, final = parsed
-        # a genuinely recursive CTE (self-reference in FROM/JOIN) can't
-        # become a temp table: stage only the prefix before the first
-        # one and leave the rest in a residual WITH RECURSIVE — the
-        # expensive re-expanded stages are the non-recursive prefix
+        # a genuinely recursive CTE (self-reference anywhere in its own
+        # body — FROM, JOIN, comma-join, subquery) can't become a temp
+        # table: stage only the prefix before the first one and leave
+        # the rest in a residual WITH RECURSIVE — the expensive
+        # re-expanded stages are the non-recursive prefix. Any
+        # word-boundary hit outside string literals counts: over-
+        # conservative (a column alias shadowing the name would match),
+        # which only shrinks the staged prefix, never breaks semantics.
         def recursive(name, body):
-            return re.search(rf"\b(FROM|JOIN)\s+{name}\b", body, re.I)
+            return re.search(rf"\b{re.escape(name)}\b",
+                             re.sub(r"'[^']*'", "''", body), re.I)
         cut = next((ix for ix, (n, b) in enumerate(ctes)
                     if recursive(n, b)), len(ctes))
         residual = ctes[cut:]

@@ -26,11 +26,22 @@ def main(artifact: str, passes: list) -> None:
         # accumulate EVERY in-sweep sample (not just the pass min): a
         # persistent slowdown must be visible as N agreeing samples,
         # not masked by min-folding (the g11 demand)
+        dph = d.get("phases", {})
         for k, vs in d.get("samples", {}).items():
-            samples[k] = samples.get(k, []) + vs
-        # per-sample phase breakdowns ride along, aligned with samples
-        for k, ph in d.get("phases", {}).items():
-            phases[k] = phases.get(k, []) + ph
+            old = samples.get(k, [])
+            # phases[k][i] must describe samples[k][i]: when either side
+            # (a pre-phases artifact, or a pass without phases for k)
+            # lacks a list, pad with empty dicts to the sample count so
+            # concatenation can't misalign the index correspondence
+            if k in phases or k in dph:
+                prior = phases.get(k, [])
+                cur = dph.get(k, [])
+                phases[k] = (prior + [{}] * (len(old) - len(prior)) +
+                             cur + [{}] * (len(vs) - len(cur)))
+            samples[k] = old + vs
+        for k, ph in dph.items():  # phases with no samples list: rare,
+            if k not in samples:   # but don't drop them
+                phases[k] = phases.get(k, []) + ph
     improved = {k: (art["queries"][k], q[k]) for k in art["queries"]
                 if q[k] < art["queries"][k] - 5e-4}
     new = {k: (None, q[k]) for k in q if k not in art["queries"]}
