@@ -23,42 +23,56 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Commit the heap up front (Xms=Xmx) — the standard production executor
-// sizing, and the fix for the g11 bench bimodality (BENCH_r15_full
-// verdicts): with a large -Xmx and a tiny default -Xms, the full GC the
-// bench runs between samples lets G1 uncommit the heap, and the next
-// timed sample then pays multi-GB mmap+zero page faults — measured 2-3x
-// inflation on the allocation-heavy iterative graph loops at -Xmx96g,
-// reproducing the driver-pass slowdown that min-folded builder passes
-// never showed. Xms is capped at 70% of physical RAM so an oversized
-// SPARK_DRIVER_MEM still boots (committed-but-untouched pages are lazy,
-// but a hard cap keeps strict-overcommit boxes safe too).
-val sparkDriverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-val sparkDriverXms: Option[String] = {
-  def mib(s: String): Option[Long] = {
-    val m = "(?i)^([0-9]+)([gm])$".r
-    s.trim match {
-      case m(n, u) => Some(if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong)
-      case _ => None
-    }
+// Heap sizing, A/B-measured (SCALE.md round-16):
+//
+// 1. Commit the heap up front (Xms=Xmx). With a large -Xmx and a tiny
+//    default -Xms, the full GC the bench runs between samples lets G1
+//    uncommit the heap, and the next timed sample then pays multi-GB
+//    mmap+zero page faults — measured 2-3x inflation on the
+//    allocation-heavy iterative graph loops at -Xmx96g (round 15).
+// 2. RIGHT-SIZE the heap instead of taking an oversized request. A
+//    committed 90 GB heap (70% of a 128 GiB box) is strictly worse than
+//    32 g for this suite: the round-16 A/B measured the full 249-query
+//    pass at 163.4 s (32 g) vs 187.6 s (128 g request -> Xms 90 g), with
+//    the 90 g run paying first-TOUCH page faults deep into the first
+//    timed sweep (g11's first sample: 19.6 s, all of it in the staging
+//    phase per its trace) and squeezing the page cache every parquet
+//    re-read rides on. The suite's live set fits in a few GB (it ran
+//    green at -Xmx8g for 14 rounds); GRAFT_HEAP_CAP (default 32g)
+//    bounds the effective heap, and an explicit larger cap re-opens it
+//    for genuinely bigger-than-bench workloads.
+// 3. Xms additionally capped at 70% of physical RAM so an oversized cap
+//    still boots; when /proc/meminfo is unreadable (macOS, some
+//    containers) skip Xms entirely — lazy default Xms always boots.
+def graftMib(s: String): Option[Long] = {
+  val m = "(?i)^([0-9]+)([gm])$".r
+  s.trim match {
+    case m(n, u) => Some(if (u.equalsIgnoreCase("g")) n.toLong * 1024 else n.toLong)
+    case _ => None
   }
-  val capMib = scala.util.Try {
+}
+val sparkDriverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val graftHeapCapMib: Long =
+  graftMib(sys.env.getOrElse("GRAFT_HEAP_CAP", "32g")).getOrElse(32768L)
+// effective heap: min(requested, cap); unparseable request -> pass raw
+val graftHeapMib: Option[Long] =
+  graftMib(sparkDriverMem).map(req => math.min(req, graftHeapCapMib))
+val sparkDriverXmx: String =
+  graftHeapMib.map(m => s"-Xmx${m}m").getOrElse(s"-Xmx$sparkDriverMem")
+val sparkDriverXms: Option[String] = {
+  val ramCapMib = scala.util.Try {
     val src = scala.io.Source.fromFile("/proc/meminfo")
     try src.getLines().find(_.startsWith("MemTotal"))
       .map(_.replaceAll("[^0-9]", "").toLong * 7 / 10 / 1024).get
     finally src.close()
   }.toOption
-  (mib(sparkDriverMem), capMib) match {
-    case (Some(req), Some(cap)) => Some(s"-Xms${math.min(req, cap)}m")
-    // /proc/meminfo unreadable (macOS, some containers): the physical-RAM
-    // cap can't be determined, so committing the full request up front
-    // could fail the JVM boot on strict-overcommit or small-RAM hosts.
-    // Skip Xms entirely — lazy default Xms always boots.
+  (graftHeapMib, ramCapMib) match {
+    case (Some(eff), Some(cap)) => Some(s"-Xms${math.min(eff, cap)}m")
     case _ => None
   }
 }
 javaOptions ++= jdk17AddOpens ++ sparkDriverXms.toSeq ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx$sparkDriverMem",
+  sparkDriverXmx,
 )
