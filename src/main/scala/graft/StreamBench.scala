@@ -16,6 +16,14 @@ import graft.write.KVTable
   *  - st1-shaped: raw KV upsert ingest (events → put)
   *  - st9-shaped: SQL MERGE INTO with per-batch pre-aggregation
   *  - st13-shaped: CDC-apply incremental MV refresh (O(churn) fold)
+  *  - st15-shaped: stream-stream LEFT OUTER interval join (four join
+  *    state stores — the heaviest per-trigger commit in the suite)
+  *
+  * The st15 shape additionally runs a TRIGGER-COUNT axis: the same
+  * total rows split across 4/8/16 data triggers. Wall-clock slope vs
+  * trigger count at fixed rows IS the per-trigger commit floor, and
+  * the residual at the 4-trigger point is the per-row cost — the two
+  * components the single wall-clock number conflates.
   *
   * Staging, base-table builds and sink wipes run OUTSIDE the timed
   * region; the timed region is exactly start()→awaitTermination().
@@ -162,12 +170,80 @@ object StreamBench {
     (rowsSeen.get(), sec)
   }
 
+  /** st15-shaped: stream-stream LEFT OUTER interval join over events
+    * × m — clicks left-joined to in-interval purchases across four
+    * join state stores, null-extension driven by two far-future
+    * sentinel pairs (the st15 flush discipline). `files` sets the DATA
+    * trigger count (sentinels add 2 more); rows axis holds files=4,
+    * trigger axis holds m and sweeps files. */
+  private def runStreamJoin(s: SparkSession, d: String, m: Int,
+                            files: Int): (Long, Double) = {
+    import s.implicits._
+    val ev0 = Tables.events(s, d)
+    val ev = replicate(ev0, Seq("event_id", "user_id"), m)
+    val dir = RepoPaths.target(
+      s"graft_streambench/st15_${Staging.slug(d)}_x${m}_f$files")
+    Staging.ensureFlat(dir, s"st15 x$m f$files v1 $d") {
+      val maxNs = ev0.agg(max($"ts")).as[Long].head()
+      def sentinelPair(hours: Long): () => Unit = () => {
+        val base = ev0.limit(1)
+          .withColumn("ts", lit(maxNs + hours * 3600L * 1000000000L))
+          .withColumn("user_id", lit(-1L))
+        base.withColumn("event_type", lit("click"))
+          .unionByName(base.withColumn("event_type", lit("purchase")))
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      val dataSteps: Seq[() => Unit] = (0 until files).map(f => () =>
+        ev.filter(pmod($"event_id", lit(files.toLong)) === f.toLong)
+          .coalesce(1).write.mode("append").parquet(dir): Unit)
+      graft.streaming.Staging.ordered(dir)(
+        (dataSteps :+ sentinelPair(240L) :+ sentinelPair(241L)): _*)
+    }
+    val rows = s.read.parquet(dir).count()
+    val schema = ev0.schema
+    def side(tpe: String, prefix: String) =
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .filter($"event_type" === tpe)
+        .select($"user_id".as(s"${prefix}_user"),
+          $"event_id".as(s"${prefix}_id"),
+          expr("CAST(ts DIV 1000000000 AS TIMESTAMP)").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" &&
+        $"p_ts" < $"c_ts" + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val out = RepoPaths.target("graft_streambench/st15_out")
+    graft.sources.kv.GraftFs.delete(out, recursive = true)
+    // trigger-sized state commits dominate: match the st* queries'
+    // reduced shuffle-partition discipline so the measured floor is
+    // the engine's, not an oversized-partition artifact
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.max(prev.toInt / 4, 1).toString)
+    val sec = try timed {
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.parquet(out)(
+            batch.filter(col("c_user") >= 0)
+              .select(col("c_user").as("user_id"),
+                col("c_id").as("click_id"), col("p_id").as("purchase_id")),
+            batchId)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    (rows, sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     val runs: Seq[(String, (SparkSession, String, Int) => (Long, Double))] =
       Seq("st1_ingest" -> runIngest, "st9_merge_into" -> runMerge,
-        "st13_cdc_apply" -> runCdcApply)
+        "st13_cdc_apply" -> runCdcApply,
+        "st15_stream_join" -> ((s, d, m) => runStreamJoin(s, d, m, FILES)))
     val ms = Seq(1, 3, 10)
     // untimed warm lap at 1× per sink: stages the 1× dirs, warms
     // codegen/JIT on the exact plans, builds nothing timed
@@ -182,8 +258,18 @@ object StreamBench {
       }
       s""""$name":{${cells.mkString(",")}}"""
     }
+    // trigger-count axis on the st15 shape: SAME total rows (3×) split
+    // across 4/8/16 data triggers — the sec-vs-trigger slope is the
+    // per-trigger commit floor, row cost is the shared residual
+    val trig = Seq(4, 8, 16).map { f =>
+      val (rows, sec) = runStreamJoin(spark, sfDir, 3, f)
+      System.err.println(
+        f"[streambench] st15 trigger axis f$f: $rows rows / $sec%.2f s")
+      s""""f$f":{"rows":$rows,"sec":${math.round(sec * 1000) / 1000.0}}"""
+    }
     println(s"""{"metric":"stream_throughput","unit":"rows_per_sec",""" +
-      s""""triggers":$FILES,"results":{${out.mkString(",")}},"sf":"$sfDir"}""")
+      s""""triggers":$FILES,"results":{${out.mkString(",")}},""" +
+      s""""st15_trigger_axis":{${trig.mkString(",")}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
