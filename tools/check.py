@@ -65,44 +65,58 @@ def run_oracle(con, sql):
     a 3-superstep BSP oracle re-expands its 12M-row dedup subtree
     exponentially — infeasible at sf1.0 even though every individual
     stage is small. Staging is semantics-preserving (same SQL text per
-    stage, evaluated once, in definition order)."""
+    stage, evaluated once, in definition order).
+
+    GRAFT_STAGE_CTES=1 stages EAGERLY instead of only on OOM: the
+    re-expansion can also show up as a grind rather than an OOM (the
+    semdedup oracle's chained Lloyd rounds re-inline every prior round
+    per reference — 30+ min at sf1.0 where the staged form takes
+    seconds), and a slow success never trips the except path. Used by
+    tools/sf1_gate.sh; per-stage evaluation is strictly once per CTE."""
+    if os.environ.get("GRAFT_STAGE_CTES") == "1" and split_ctes(sql):
+        return run_staged(con, sql)
     try:
         return con.sql(sql).df()
     except (duckdb.OutOfMemoryException, duckdb.IOException, MemoryError):
         # IOException: the inlined plan's spill can exhaust the disk
         # (st8's re-expanded shingle join wrote >79 GB of temp) —
         # staging bounds each stage, so retry the same way
-        parsed = split_ctes(sql)
-        if parsed is None:
+        if split_ctes(sql) is None:
             raise
         print("  (oom inlined; retrying with staged CTEs)")
-        ctes, final = parsed
-        # a genuinely recursive CTE (self-reference anywhere in its own
-        # body — FROM, JOIN, comma-join, subquery) can't become a temp
-        # table: stage only the prefix before the first one and leave
-        # the rest in a residual WITH RECURSIVE — the expensive
-        # re-expanded stages are the non-recursive prefix. Any
-        # word-boundary hit outside string literals counts: over-
-        # conservative (a column alias shadowing the name would match),
-        # which only shrinks the staged prefix, never breaks semantics.
-        def recursive(name, body):
-            return re.search(rf"\b{re.escape(name)}\b",
-                             re.sub(r"'[^']*'", "''", body), re.I)
-        cut = next((ix for ix, (n, b) in enumerate(ctes)
-                    if recursive(n, b)), len(ctes))
-        residual = ctes[cut:]
-        tail = ("" if not residual else
-                "WITH RECURSIVE " +
-                ", ".join(f"{n} AS ({b})" for n, b in residual)) + final
-        made = []
-        try:
-            for name, body in ctes[:cut]:
-                con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
-                made.append(name)
-            return con.sql(tail).df()
-        finally:
-            for n in reversed(made):
-                con.sql(f'DROP TABLE IF EXISTS "{n}"')
+        return run_staged(con, sql)
+
+
+def run_staged(con, sql):
+    """Evaluate a WITH-chain query with each CTE staged as a temp
+    table (definition order, once each — semantics-preserving)."""
+    ctes, final = split_ctes(sql)
+    # a genuinely recursive CTE (self-reference anywhere in its own
+    # body — FROM, JOIN, comma-join, subquery) can't become a temp
+    # table: stage only the prefix before the first one and leave
+    # the rest in a residual WITH RECURSIVE — the expensive
+    # re-expanded stages are the non-recursive prefix. Any
+    # word-boundary hit outside string literals counts: over-
+    # conservative (a column alias shadowing the name would match),
+    # which only shrinks the staged prefix, never breaks semantics.
+    def recursive(name, body):
+        return re.search(rf"\b{re.escape(name)}\b",
+                         re.sub(r"'[^']*'", "''", body), re.I)
+    cut = next((ix for ix, (n, b) in enumerate(ctes)
+                if recursive(n, b)), len(ctes))
+    residual = ctes[cut:]
+    tail = ("" if not residual else
+            "WITH RECURSIVE " +
+            ", ".join(f"{n} AS ({b})" for n, b in residual)) + final
+    made = []
+    try:
+        for name, body in ctes[:cut]:
+            con.sql(f'CREATE TEMP TABLE "{name}" AS {body}')
+            made.append(name)
+        return con.sql(tail).df()
+    finally:
+        for n in reversed(made):
+            con.sql(f'DROP TABLE IF EXISTS "{n}"')
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -117,19 +131,28 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
-    con = duckdb.connect()
-    # bounded memory + disk spill: the sf1.0 graph/BSP oracle SQL can
-    # otherwise OOM-kill the process on a busy box
-    con.sql("SET memory_limit='40GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_spill'")
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        # the driver's testdata is one file per table; SynthGen writes
-        # Spark-style DIRECTORIES of part files — glob those
-        src = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(src):
-            src = f"{src}/*.parquet"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    def fresh_con():
+        con = duckdb.connect()
+        # bounded memory + disk spill: the sf1.0 graph/BSP oracle SQL
+        # can otherwise OOM-kill the process on a busy box
+        con.sql("SET memory_limit='40GB'")
+        con.sql("SET temp_directory='/tmp/duckdb_spill'")
+        for t in ["region","nation","customer","supplier","part","orders",
+                  "lineitem","events","documents","embeddings"]:
+            # the driver's testdata is one file per table; SynthGen
+            # writes Spark-style DIRECTORIES of part files — glob those
+            src = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(src):
+                src = f"{src}/*.parquet"
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        return con
+    # a FRESH connection per oracle: one long-lived connection
+    # accumulates pinned buffer-pool blocks across a 30+ oracle gate
+    # run (measured: llm_semdedup's staged stages run in 75 s on a
+    # fresh connection but hit "failed to pin block (37.2/37.2 GiB
+    # used)" after the preceding 20 oracles on a shared one); views
+    # are metadata-only, so reconnect cost is nil
+    con = fresh_con()
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noorc = 0
     record = {}
@@ -146,6 +169,8 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> None:
         if name not in oracles:
             print(f"noorc {name}: rows={len(got)}"); n_noorc += 1; continue
         try:
+            con.close()
+            con = fresh_con()
             exp = run_oracle(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1
