@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through verbatim. The default logged
+// strategy prefixes every line with "[info] ", so the one-line JSON
+// artifacts Bench/StreamBench print have never been machine-parseable
+// by a plain per-line json.loads on the captured log (the driver's
+// BENCH_r*.json "parsed" field was null in all 16 rounds). With
+// StdoutOutput the artifact line reaches the log bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -71,6 +78,17 @@ val sparkDriverXms: Option[String] = {
     case _ => None
   }
 }
+// An explicit SPARK_DRIVER_MEM above the cap is silently unsatisfiable
+// otherwise — warn so a genuinely-larger-than-bench workload knows to
+// raise GRAFT_HEAP_CAP rather than OOM at 32 g wondering where its
+// request went.
+val graftHeapClampWarning: Unit =
+  for {
+    req <- graftMib(sparkDriverMem)
+    if sys.env.contains("SPARK_DRIVER_MEM") && req > graftHeapCapMib
+  } System.err.println(
+    s"[warn] SPARK_DRIVER_MEM=$sparkDriverMem clamped to ${graftHeapCapMib}m " +
+      s"by GRAFT_HEAP_CAP (default 32g); raise GRAFT_HEAP_CAP to honor it")
 javaOptions ++= jdk17AddOpens ++ sparkDriverXms.toSeq ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -1110,40 +1110,43 @@ object LlmQueries {
   /** Two Lloyd rounds of spherical k-means + full-corpus assignment,
     * replicated in DuckDB SQL (the llm_ann_ivf_kmeans discipline):
     * `e` = corpus, `c2` = refined centroids, `ab` = (vec_id, cent_id).
-    * Shared by the IVF-kmeans ANN oracle and the SemDeDup oracle. */
+    * Shared by the IVF-kmeans ANN oracle and the SemDeDup oracle.
+    *
+    * The full-corpus assignments use ARG_MAX over an encoded
+    * (rounded-cosine, -cent_id) BIGINT key instead of a row_number
+    * window: semantics are identical (max by 6dp cosine, ties to the
+    * smallest cent_id — round(cos,6)*1e6 is integral, and cent_ids
+    * stay below the 1e12 radix at any synthetic scale), but the hash
+    * aggregate streams the N-vectors-by-C-centroids join in O(N)
+    * state where DuckDB's window sort materializes all N*C rows —
+    * the one oracle-side memory hazard of the sf1.0 gate. */
+  private[graft] val ASSIGN_KEY =
+    """CAST(round(list_cosine_similarity(v.e, c.ec), 6) * 1000000
+      |             AS BIGINT) * 1000000000000 - c.cent_id""".stripMargin
   private val KMEANS_CTE =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |c0 AS (SELECT vec_id AS cent_id, e AS ec FROM e WHERE vec_id % 40 = 0),
-      |a1 AS (SELECT vec_id, cent_id FROM (
-      |  SELECT v.vec_id, c.cent_id,
-      |         row_number() OVER (PARTITION BY v.vec_id
-      |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-      |                    c.cent_id) AS r
-      |  FROM e v CROSS JOIN c0 c) WHERE r <= 1),
+      |a1 AS (SELECT v.vec_id,
+      |       arg_max(c.cent_id, $ASSIGN_KEY) AS cent_id
+      |       FROM e v CROSS JOIN c0 c GROUP BY v.vec_id),
       |m1 AS (SELECT a1.cent_id, j, avg(v.e[j+1]) AS m
       |       FROM a1 JOIN e v USING (vec_id), range(64) rj(j)
       |       GROUP BY a1.cent_id, j),
       |c1 AS (SELECT c0.cent_id, coalesce(n.ec, c0.ec) AS ec
       |       FROM c0 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
       |                          FROM m1 GROUP BY cent_id) n USING (cent_id)),
-      |a2 AS (SELECT vec_id, cent_id FROM (
-      |  SELECT v.vec_id, c.cent_id,
-      |         row_number() OVER (PARTITION BY v.vec_id
-      |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-      |                    c.cent_id) AS r
-      |  FROM e v CROSS JOIN c1 c) WHERE r <= 1),
+      |a2 AS (SELECT v.vec_id,
+      |       arg_max(c.cent_id, $ASSIGN_KEY) AS cent_id
+      |       FROM e v CROSS JOIN c1 c GROUP BY v.vec_id),
       |m2 AS (SELECT a2.cent_id, j, avg(v.e[j+1]) AS m
       |       FROM a2 JOIN e v USING (vec_id), range(64) rj(j)
       |       GROUP BY a2.cent_id, j),
       |c2 AS (SELECT c1.cent_id, coalesce(n.ec, c1.ec) AS ec
       |       FROM c1 LEFT JOIN (SELECT cent_id, list(m ORDER BY j) AS ec
       |                          FROM m2 GROUP BY cent_id) n USING (cent_id)),
-      |ab AS (SELECT vec_id, cent_id FROM (
-      |  SELECT v.vec_id, c.cent_id,
-      |         row_number() OVER (PARTITION BY v.vec_id
-      |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-      |                    c.cent_id) AS r
-      |  FROM e v CROSS JOIN c2 c) WHERE r <= 1)""".stripMargin
+      |ab AS (SELECT v.vec_id,
+      |       arg_max(c.cent_id, $ASSIGN_KEY) AS cent_id
+      |       FROM e v CROSS JOIN c2 c GROUP BY v.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "llm_weighted_sample" ->
@@ -1493,14 +1496,11 @@ object LlmQueries {
         |  FROM scored)
         |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
     "llm_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, e AS ec FROM e WHERE vec_id % 40 = 0),
-        |ab AS (SELECT vec_id, cent_id FROM (
-        |  SELECT v.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY v.vec_id
-        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-        |                    c.cent_id) AS r
-        |  FROM e v CROSS JOIN c) WHERE r <= 1),
+        |ab AS (SELECT v.vec_id,
+        |       arg_max(c.cent_id, $ASSIGN_KEY) AS cent_id
+        |       FROM e v CROSS JOIN c GROUP BY v.vec_id),
         |aq AS (SELECT vec_id, cent_id FROM (
         |  SELECT v.vec_id, c.cent_id,
         |         row_number() OVER (PARTITION BY v.vec_id
@@ -1600,15 +1600,12 @@ object LlmQueries {
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "llm_ann_ivf_incr" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |co AS (SELECT vec_id, e FROM e WHERE vec_id % 25 <> 0),
         |c AS (SELECT vec_id AS cent_id, e AS ec FROM co WHERE vec_id % 40 = 0),
-        |ab AS (SELECT vec_id, cent_id FROM (
-        |  SELECT v.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY v.vec_id
-        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-        |                    c.cent_id) AS r
-        |  FROM co v CROSS JOIN c) WHERE r <= 1),
+        |ab AS (SELECT v.vec_id,
+        |       arg_max(c.cent_id, $ASSIGN_KEY) AS cent_id
+        |       FROM co v CROSS JOIN c GROUP BY v.vec_id),
         |aq AS (SELECT vec_id, cent_id FROM (
         |  SELECT v.vec_id, c.cent_id,
         |         row_number() OVER (PARTITION BY v.vec_id

@@ -1632,15 +1632,12 @@ object WriteQueries {
     // results equals one batch probe over the whole query split —
     // identical to llm_ann_ivf_incr's oracle shape
     "st17_ann_ingest" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |co AS (SELECT vec_id, e FROM e WHERE vec_id % 25 <> 0),
         |c AS (SELECT vec_id AS cent_id, e AS ec FROM co WHERE vec_id % 40 = 0),
-        |ab AS (SELECT vec_id, cent_id FROM (
-        |  SELECT v.vec_id, c.cent_id,
-        |         row_number() OVER (PARTITION BY v.vec_id
-        |           ORDER BY round(list_cosine_similarity(v.e, c.ec), 6) DESC,
-        |                    c.cent_id) AS r
-        |  FROM co v CROSS JOIN c) WHERE r <= 1),
+        |ab AS (SELECT v.vec_id,
+        |       arg_max(c.cent_id, ${graft.llm.LlmQueries.ASSIGN_KEY}) AS cent_id
+        |       FROM co v CROSS JOIN c GROUP BY v.vec_id),
         |aq AS (SELECT vec_id, cent_id FROM (
         |  SELECT v.vec_id, c.cent_id,
         |         row_number() OVER (PARTITION BY v.vec_id

@@ -16,7 +16,10 @@ def main(new_path, old_path, thresh=1.25):
     nq, oq = new["queries"], old["queries"]
     regress, improve = [], []
     for k in sorted(set(nq) & set(oq)):
-        r = nq[k] / oq[k] if oq[k] > 0 else 1.0
+        # eps floors both sides: a 0.0 min (sub-ms query rounded down)
+        # must neither divide-by-zero nor read as an infinite ratio
+        eps = 1e-3
+        r = max(nq[k], eps) / max(oq[k], eps)
         if nq[k] > 0.5 and r > thresh:
             regress.append((k, oq[k], nq[k], r, new.get("samples", {}).get(k)))
         elif oq[k] > 0.5 and 1 / r > thresh:
