@@ -2,6 +2,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Build the stdout artifact line under a character budget (the
+    * driver reads it from a bounded log tail, so an over-budget line
+    * loses its head and stops parsing). `render(entries, extra)` is
+    * the caller's JSON assembler; `rounded` is the per-query map
+    * slowest-first; `extras` are optional payload blocks in preference
+    * order (each tried whole, first that fits wins, then none). Within
+    * an extra, query entries are dropped cheapest-first (`inits`) until
+    * the line fits; the emitted entries are re-sorted by name. Total
+    * fallback: if even the entry-less, extra-less line exceeds the
+    * budget, emit it anyway — a slightly-long line that may parse beats
+    * an exception that loses the whole artifact. */
+  private[graft] def budgetedLine(
+      render: (Seq[(String, Double)], String) => String,
+      rounded: Seq[(String, Double)],
+      extras: Seq[String],
+      budget: Int): String = {
+    def trunc(e: Seq[(String, Double)]) =
+      "\"truncated_to_slowest\":" + e.size + ","
+    (extras.iterator ++ Iterator(""))
+      .flatMap { extra =>
+        rounded.inits.find(e => render(e, extra + trunc(e)).length <= budget)
+          .map(e => render(e.sortBy(_._1), extra + trunc(e)))
+      }.nextOption()
+      .getOrElse(render(Nil, trunc(Nil)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -252,18 +279,9 @@ object Bench {
       }
     }.mkString("\"samples\":{", ",", "},")
     // preference order if the budget can't hold everything: keep the
-    // per-query samples (round-16 artifact of record), then min_phases;
-    // the bare line always fits, so the final .next() cannot throw
-    val budgetedLine = Iterator(topSamples + minPhases, topSamples,
-        minPhases, "")
-      .flatMap { extra =>
-        rounded.inits.find(e =>
-          line(e, extra + "\"truncated_to_slowest\":" + e.size + ",")
-            .length <= 1800)
-          .map(e => line(e.sortBy(_._1),
-            extra + "\"truncated_to_slowest\":" + e.size + ","))
-      }.next()
-    println(budgetedLine)
+    // per-query samples (round-16 artifact of record), then min_phases
+    println(Bench.budgetedLine(line, rounded,
+      Seq(topSamples + minPhases, topSamples, minPhases), 1800))
     spark.stop()
   }
 }
