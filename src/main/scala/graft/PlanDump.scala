@@ -18,10 +18,23 @@ object PlanDump {
     val outDir = Paths.get(args.lift(3).getOrElse("plans/r17"))
     Files.createDirectories(outDir)
     val spark = GraftSession.local()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // iterative operators return final-state (checkpoint) reads, so the
+    // loop's actual plan never shows in the query's own explain —
+    // synthetic entries expose the lazy staged plan for evidence
+    val staged: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "g11_pagerank__staged_sym" -> ((s, dd) =>
+        graph.GraphOps.pageRankStaged(
+          graph.GraphQueries.pairs2(s, dd), iters = 2, damp = 0.85,
+          symmetric = true)._1),
+      "g11_pagerank__staged_nosym" -> ((s, dd) =>
+        graph.GraphOps.pageRankStaged(
+          graph.GraphQueries.pairs2(s, dd), iters = 2, damp = 0.85,
+          symmetric = false)._1))
+    val names = (SparkEntry.queries.keys.toSeq ++ staged.keys).sorted
       .filter(n => pattern.findFirstIn(n).isDefined)
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = staged.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       val full = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       // iterative loops return final-state reads whose cached-relation

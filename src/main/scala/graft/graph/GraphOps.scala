@@ -174,8 +174,10 @@ object GraphOps {
         if (step % 4 == 0) next.localCheckpoint(eager = true)
         else {
           val n = next.persist(StorageLevel.MEMORY_AND_DISK)
-          // materialize the cache in one pass with zero result traffic
-          n.foreach(_ => ())
+          // materialize the cache in one pass; count() scans every
+          // cached batch like foreach but skips the per-row
+          // InternalRow→Row conversion foreach pays
+          n.count()
           n
         }
       prev.foreach(_.unpersist(false))
@@ -296,8 +298,9 @@ object GraphOps {
     * sized, never edge-sized. The result is materialized
     * (localCheckpoint) so the edge/degree caches can be RELEASED before
     * returning — repeated invocations leak nothing. */
-  def pageRank(pairs: DataFrame, iters: Int, damp: Double = 0.85): DataFrame = {
-    val (result, cleanup) = pageRankStaged(pairs, iters, damp)
+  def pageRank(pairs: DataFrame, iters: Int, damp: Double = 0.85,
+               symmetric: Boolean = false): DataFrame = {
+    val (result, cleanup) = pageRankStaged(pairs, iters, damp, symmetric)
     try traced(result.sparkSession, "pr_final_checkpoint")(
       result.localCheckpoint(true)) finally cleanup()
   }
@@ -325,7 +328,8 @@ object GraphOps {
     * pin the cached-edge-layout iteration shape before materialization
     * collapses it to a checkpoint scan. */
   private[graft] def pageRankStaged(pairs: DataFrame, iters: Int,
-                                    damp: Double = 0.85)
+                                    damp: Double = 0.85,
+                                    symmetric: Boolean = false)
       : (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     // The edge list is the immutable giant of the iteration: partition
@@ -337,36 +341,57 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = p.groupBy(col("src").as("vertex"))
       .agg(count(lit(1)).as("degree"))
-    // dangling vertices: only ever a dst — in-graph, but no out-edges
-    val sinks = p.select(col("dst").as("vertex")).distinct()
-      .join(outDeg, Seq("vertex"), "left_anti")
-      .select(col("vertex"), lit(0L).as("degree"))
-    val deg = outDeg.unionByName(sinks)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // dangling vertices: only ever a dst — in-graph, but no out-edges.
+    // `symmetric = true` (the kcoreFixpoint opt-in discipline): every
+    // dst IS a src by construction, so the sink set is empty and the
+    // edge-sized distinct + anti-join that would prove it are skipped
+    // — same guarantee, zero cost (pairs2-shaped callers).
+    val deg = (if (symmetric) outDeg
+      else {
+        val sinks = p.select(col("dst").as("vertex")).distinct()
+          .join(outDeg, Seq("vertex"), "left_anti")
+          .select(col("vertex"), lit(0L).as("degree"))
+        outDeg.unionByName(sinks)
+      }).persist(StorageLevel.MEMORY_AND_DISK)
     // eager staging stage (unconditional, so traced and untraced runs
     // execute the IDENTICAL plan): populates the edge-layout and
     // degree caches — work every iteration needs anyway — and makes
     // the edge-staging cost a separate entry in the per-phase
-    // breakdown instead of riding inside iteration 1
-    traced(pairs.sparkSession, "pr_stage_edges_deg")(deg.count(): Unit)
-    val n = deg.agg(count(lit(1)).as("n"))
+    // breakdown instead of riding inside iteration 1. The vertex count
+    // rides out of the same job as a DRIVER SCALAR: n is one long, so
+    // shipping it as a literal replaces a per-iteration one-row
+    // aggregate + broadcast-exchange pair (two scheduler round-trips
+    // per superstep) with the number itself — same double, same plan
+    // arithmetic (1.0/n is computed identically either way).
+    val nVal = traced(pairs.sparkSession, "pr_stage_edges_deg")(deg.count())
     def step(pr: DataFrame): DataFrame = {
       val contrib = p
         .join(pr.filter(col("degree") > 0).withColumnRenamed("vertex", "src"),
           "src")
         .groupBy(col("dst").as("vertex"))
         .agg(sum(col("pr") / col("degree")).as("c"))
-      val dangling = pr.filter(col("degree") === 0)
-        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
-      deg.join(contrib, Seq("vertex"), "left")
-        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
-        .select(col("vertex"), col("degree"),
-          round(lit(1.0 - damp) / col("n")
+      // dangling mass: on a symmetric graph the term is exactly zero
+      // and `x + 0.0/n` is FP-identical to `x` (the scaladoc claim,
+      // now taken) — skip the per-iteration aggregate + broadcast.
+      val base = deg.join(contrib, Seq("vertex"), "left")
+      val withDm = if (symmetric) base
+        else {
+          val dangling = pr.filter(col("degree") === 0)
+            .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+          base.crossJoin(broadcast(dangling))
+        }
+      val rank =
+        if (symmetric)
+          round(lit((1.0 - damp) / nVal)
+            + lit(damp) * coalesce(col("c"), lit(0.0)), 12)
+        else
+          round(lit((1.0 - damp) / nVal)
             + lit(damp) * (coalesce(col("c"), lit(0.0))
-              + col("dm") / col("n")), 12).as("pr"))
+              + col("dm") / lit(nVal.toDouble)), 12)
+      withDm.select(col("vertex"), col("degree"), rank.as("pr"))
     }
-    val pr0 = deg.crossJoin(broadcast(n))
-      .select(col("vertex"), col("degree"), (lit(1.0) / col("n")).as("pr"))
+    val pr0 = deg
+      .select(col("vertex"), col("degree"), lit(1.0 / nVal).as("pr"))
     // each step references pr TWICE (contribution join + dangling sum),
     // so a lazy fold would double the plan tree per round — materialize
     // between rounds (vertex-sized, the bspIterateDelta discipline) and
@@ -810,14 +835,22 @@ object GraphOps {
             pairWith(st).unionByName(
               pairWith(p.select(col("vertex"), col("peer"),
                 col("prob_ppm"), col("ts")))))
-          .localCheckpoint(true) // the join feeds BOTH message legs
-        inbox = paired.select($"e_peer".as("vertex"), $"d_peer".as("peer"),
-            $"d_vendor".as("vendor"), $"pp".as("prob_ppm"),
-            $"d_ts".as("ts"))
-          .unionByName(
-            paired.select($"d_peer".as("vertex"), $"e_peer".as("peer"),
+        // both message legs come out of ONE pass over the join via
+        // explode(array(struct, struct)) — the same row multiset as the
+        // former two-select union, without materializing the join to an
+        // eager checkpoint first (one fewer blocking job + checkpoint
+        // write per superstep; lineage stays bounded because delta and
+        // pending are still checkpointed each round)
+        inbox = paired.select(explode(array(
+            struct($"e_peer".as("vertex"), $"d_peer".as("peer"),
               $"d_vendor".as("vendor"), $"pp".as("prob_ppm"),
-              $"e_ts".as("ts")))
+              $"d_ts".as("ts")),
+            struct($"d_peer".as("vertex"), $"e_peer".as("peer"),
+              $"d_vendor".as("vendor"), $"pp".as("prob_ppm"),
+              $"e_ts".as("ts")))).as("m"))
+          .select($"m.vertex".as("vertex"), $"m.peer".as("peer"),
+            $"m.vendor".as("vendor"), $"m.prob_ppm".as("prob_ppm"),
+            $"m.ts".as("ts"))
       }
       if (!drained)
         pending = Some(pending.fold(delta)(p =>

@@ -412,7 +412,11 @@ object GraphQueries {
       // decimal (12 → 10 dp) lands 1-in-100 values on an exact ".50"
       // half-way case, where Spark (shortest-repr HALF_UP) and other
       // engines (binary-value round) legitimately disagree
-      val pr2 = GraphOps.pageRank(pairs2(s, d), iters = 2)
+      // pairs2 is symmetric by construction (reverse() of the dedup'd
+      // pair set) — opt out of the sink-detection shuffle and the
+      // per-iteration dangling-mass jobs (provably zero; bit-identical
+      // formula, see pageRankStaged)
+      val pr2 = GraphOps.pageRank(pairs2(s, d), iters = 2, symmetric = true)
       val top = pr2.select($"vertex", $"pr".as("pagerank"))
         .orderBy($"pagerank".desc, $"vertex").limit(100)
       top.withColumn("rank", row_number()
