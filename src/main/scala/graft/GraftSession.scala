@@ -67,4 +67,26 @@ object GraftSession {
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try body finally s.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  /** Scoped planning profile for BOUNDED stream replays — AvailableNow
+    * runs over staged files whose final emission is forced by explicit
+    * far-future sentinel rows (the st2/st10/st15 flush discipline):
+    * the engine's automatic trailing NO-DATA micro-batch exists to
+    * emit/evict event-time state when no more data ever arrives, but a
+    * sentinel-flushed bounded replay has nothing left to emit there —
+    * the extra batch is one full commit cycle (state-store commits
+    * across every partition of every stateful operator + offset/commit
+    * WAL writes) of pure overhead, measured at 0.4-2 s per stream at
+    * ANY data scale (trigger cost is partition-count-, not row-,
+    * bound). Scoped, NOT a session default: open-ended flows that
+    * close state by watermark timeout with no trailing data
+    * (Sessionize.eventTimeIdle, session_window merges) NEED the
+    * no-data batch — SessionizeSpec/StreamWindowSpec pin that
+    * semantic, and library users keep it. */
+  def withBoundedReplay[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
 }

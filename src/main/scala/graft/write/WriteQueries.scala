@@ -41,7 +41,12 @@ object WriteQueries {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       math.max(prev.toInt / 4, 1).toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // these registry runs are sentinel-flushed bounded replays — the
+    // trailing no-data micro-batch is one full commit cycle of pure
+    // overhead (GraftSession.withBoundedReplay scaladoc); harmless
+    // no-op for the wrapped batch/stateless sites
+    try graft.GraftSession.withBoundedReplay(s)(body)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Build-once table setup for READ-operator queries (s10, m11): the
