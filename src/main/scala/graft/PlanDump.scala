@@ -30,7 +30,24 @@ object PlanDump {
       "g11_pagerank__staged_nosym" -> ((s, dd) =>
         graph.GraphOps.pageRankStaged(
           graph.GraphQueries.pairs2(s, dd), iters = 2, damp = 0.85,
-          symmetric = false)._1))
+          symmetric = false)._1),
+      // one label-propagation ROUND (the loop checkpoints each round,
+      // so the query's own explain is a final-state read) — round-18
+      // exchange-count evidence. Inputs replicate the REAL loop
+      // context: the dst-partitioned persisted edge cache and a
+      // checkpointed labels relation (unknown stats — no broadcast),
+      // exactly as labelPropagation stages them.
+      "g13_label_prop__round" -> ((s, dd) => {
+        import org.apache.spark.sql.functions.col
+        val p = graph.GraphQueries.pairs2(s, dd)
+          .select(col("src"), col("dst"))
+          .repartition(col("dst")).sortWithinPartitions(col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels = p.select(col("src").as("vertex")).distinct()
+          .withColumn("label", col("vertex"))
+          .localCheckpoint(true)
+        graph.GraphOps.lpRound(p, labels)
+      }))
     val names = (SparkEntry.queries.keys.toSeq ++ staged.keys).sorted
       .filter(n => pattern.findFirstIn(n).isDefined)
     names.foreach { name =>

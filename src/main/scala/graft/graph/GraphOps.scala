@@ -434,18 +434,37 @@ object GraphOps {
           .withColumn("label", col("vertex"))
           .localCheckpoint(eager = true))
       for (i <- 1 to iters) {
-        labels = traced(s, s"lp_round$i")(p
-          .join(labels.withColumnRenamed("vertex", "dst"), "dst")
-          .groupBy(col("src").as("vertex"), col("label"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("vertex"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("vertex"), (-col("m.nl")).as("label"))
-          .localCheckpoint(eager = true))
+        labels = traced(s, s"lp_round$i")(
+          lpRound(p, labels).localCheckpoint(eager = true))
       }
       labels
     } finally { p.unpersist(false): Unit }
   }
+
+  /** One label-propagation round over the dst-partitioned edge cache —
+    * exposed (package-private) so PlanDump can commit the REAL round
+    * plan as evidence; the loop above checkpoints each round, so the
+    * query's own explain only shows a final-state read.
+    *
+    * Round shape: ONE exchange, not two. The joined rows are projected
+    * to (src,label) and hash-partitioned by src; hash(src) satisfies
+    * the clustered distribution of BOTH the (vertex,label) count and
+    * the per-vertex argmax, so the two hash aggregations chain
+    * exchange-free on top of the single repartition (guide §2.4: two
+    * operations keyed the same way share one exchange). The count's
+    * map-side partial aggregation is given up, but a vertex's
+    * neighbors are spread across dst partitions, so pre-exchange
+    * (src,label) duplicates were rare — the second exchange cost more
+    * than the partial agg saved. */
+  private[graft] def lpRound(p: DataFrame, labels: DataFrame): DataFrame =
+    p.join(labels.withColumnRenamed("vertex", "dst"), "dst")
+      .select(col("src"), col("label"))
+      .repartition(col("src"))
+      .groupBy(col("src").as("vertex"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("vertex"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("vertex"), (-col("m.nl")).as("label"))
 
   /** G14: multi-source BFS distance labeling to `maxHops`, by
     * delta-frontier expansion — the unweighted shortest-path front end
@@ -541,22 +560,36 @@ object GraphOps {
       : DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    var e = traced(s, "cc_stage")(pairs
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true))
     // signature of the CURRENT edge set: (count, sum of 32-bit row
     // hashes, summed as long — overflow-free under ANSI below 2^32
     // edges). Equal signatures are necessary, not sufficient, for set
     // equality: a mismatch skips the exact probe with zero false
     // convergences, and a (vanishingly rare) collision only means the
     // exact probe runs one extra time — it stays authoritative.
-    def sig(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)), sum(hash($"a", $"b").cast("long"))).first()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // The signature rides the round's own checkpoint-materialization
+    // job as an `observe` metric instead of a second full-pass
+    // aggregation job per round (guide §1.2: one pass, not two).
+    // name-scoped per invocation: observation names must be unique
+    // among ACTIVE observations on the session, and two cc runs could
+    // in principle overlap on one session
+    val obsScope = System.identityHashCode(pairs)
+    def sigObs(name: String): org.apache.spark.sql.Observation =
+      org.apache.spark.sql.Observation(s"${name}_$obsScope")
+    def withSig(d: DataFrame, o: org.apache.spark.sql.Observation): DataFrame =
+      d.observe(o, count(lit(1)).as("n"),
+        sum(hash($"a", $"b").cast("long")).as("h"))
+    def sigOf(o: org.apache.spark.sql.Observation): (Long, Long) = {
+      val m = o.get
+      (m("n").asInstanceOf[Long],
+        Option(m("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    var eSig = sig(e)
+    val obs0 = sigObs("cc_sig_stage")
+    var e = traced(s, "cc_stage")(withSig(pairs
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct(), obs0)
+      .localCheckpoint(true))
+    var eSig = sigOf(obs0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) { traced(s, s"cc_round$round") {
@@ -573,15 +606,17 @@ object GraphOps {
       // endpoint b: m = min smaller-neighbor; emit (m, other smaller
       // neighbors) and (m, b)
       val mS = large.groupBy($"b").agg(min($"a").as("m"))
-      val small = large.join(mS, "b")
+      val obsR = sigObs(s"cc_sig_$round")
+      val small = withSig(large.join(mS, "b")
         .select($"m".as("a"), $"a".as("b"))
         .unionByName(mS.select($"m".as("a"), $"b"))
-        .filter($"a" =!= $"b").distinct()
+        .filter($"a" =!= $"b").distinct(), obsR)
         .localCheckpoint(true)
-      // cheap monotone pre-check first; exact fixpoint probe (≤1 row
-      // collected; both directions of the symmetric difference in ONE
-      // job) only when the signatures say convergence is possible
-      val smallSig = sig(small)
+      // cheap monotone pre-check first (signature observed during the
+      // checkpoint job above — no extra job); exact fixpoint probe
+      // (≤1 row collected; both directions of the symmetric difference
+      // in ONE job) only when the signatures say convergence is possible
+      val smallSig = sigOf(obsR)
       converged = smallSig == eSig &&
         small.except(e).unionByName(e.except(small)).limit(1).isEmpty
       e = small
@@ -664,23 +699,33 @@ object GraphOps {
             "missing reverse edges — the claim is false; drop the flag " +
             "(the default symmetrizes) or fix the input")
     }
+    // per-round edge counts ride each round's checkpoint job as an
+    // `observe` metric instead of a second count() job per round
+    // (guide §1.2: one pass, not two)
+    def counted(d: DataFrame, name: String): (DataFrame, () => Long) = {
+      val o = org.apache.spark.sql.Observation(name)
+      (d.observe(o, count(lit(1)).as("n")),
+        () => o.get("n").asInstanceOf[Long])
+    }
     val sym = if (symmetric) in else reverse(in).distinct()
-    var edges = sym.localCheckpoint(true)
-    var n = edges.count()
+    val (sym0, n0) = counted(sym, s"kcore_n_stage_${System.identityHashCode(in)}")
+    var edges = sym0.localCheckpoint(true)
+    var n = n0()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val keep = edges.groupBy(col("src").as("vertex"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("vertex"))
-      val next = edges
+      val (nextObs, m0) = counted(edges
         .join(keep.withColumnRenamed("vertex", "src"), Seq("src"),
           "left_semi")
         .join(keep.withColumnRenamed("vertex", "dst"), Seq("dst"),
           "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val m = next.count()
+        .select(col("src"), col("dst")),
+        s"kcore_n_${round}_${System.identityHashCode(in)}")
+      val next = nextObs.localCheckpoint(true)
+      val m = m0()
       converged = m == n
       edges = next
       n = m
@@ -803,6 +848,10 @@ object GraphOps {
           $"c.peer" === $"s.peer", "left")
         .filter($"s.prob_ppm".isNull || $"c.prob_ppm" > $"s.prob_ppm")
         .select($"c.vertex", $"c.peer", $"c.vendor", $"c.prob_ppm", $"c.ts")
+      // the drained probe rides the delta's checkpoint job as an
+      // `observe` count instead of a separate limit-1 job per superstep
+      val deltaObs = org.apache.spark.sql.Observation(
+        s"g16_delta_${step}_${System.identityHashCode(batch)}")
       val delta = pending.fold(vsState) { p =>
         vsState.as("c")
           .join(p.as("p"), $"c.vertex" === $"p.vertex" &&
@@ -810,8 +859,8 @@ object GraphOps {
           .filter($"p.prob_ppm".isNull || $"c.prob_ppm" > $"p.prob_ppm")
           .select($"c.vertex", $"c.peer", $"c.vendor", $"c.prob_ppm",
             $"c.ts")
-      }.localCheckpoint(true)
-      drained = delta.isEmpty // limit-1 over the checkpointed blocks
+      }.observe(deltaObs, count(lit(1)).as("n")).localCheckpoint(true)
+      drained = deltaObs.get("n").asInstanceOf[Long] == 0L
       // propagate the delta against the PRE-MERGE existing connections.
       // Join the state leg and the pending leg SEPARATELY, then union
       // the pairs: join distributes over union, and a union node would

@@ -208,14 +208,15 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
           val comp = layout.compactedByBucket.getOrElse(b, Seq.empty)
           KVBucketPartition(b, layout.numBuckets, comp.toArray,
             comp.map(layout.lenByPath).toArray,
-            layout.logFiles.toArray): InputPartition
+            layout.logFiles.toArray,
+            layout.logFiles.map(layout.lenByPath).toArray): InputPartition
         }
         .toArray
     } else {
       // log-only: one partition per file — appends are memstore-sized
       layout.logFiles
         .map(f => KVBucketPartition(-1, -1, Array.empty, Array.empty,
-          Array(f)): InputPartition)
+          Array(f), Array(layout.lenByPath(f))): InputPartition)
         .toArray
     }
   }
@@ -248,7 +249,8 @@ class KVScan(path: String, layout: KVLayout, required: StructType,
 case class KVBucketPartition(bucket: Int, numBuckets: Int,
                              compactedFiles: Array[String],
                              compactedLens: Array[Long],
-                             logFiles: Array[String])
+                             logFiles: Array[String],
+                             logLens: Array[Long] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -409,11 +411,22 @@ class KVPartitionReader(p: KVBucketPartition, required: StructType,
 /** Columnar scan task. The compacted files — the whole table, at scale —
   * stream through Spark's VectorizedParquetRecordReader (batch decode,
   * dictionary-aware, row groups pruned by the same FilterPredicates the
-  * row-wise reader uses); the log files ride the existing row-wise
-  * decode (bucket-gated, filter-checked) and are packed into on-heap
-  * column vectors, one batch per 4096 rows. Output order (compacted
-  * then log) is irrelevant: every consumer of this scan resolves or
-  * aggregates per key. */
+  * row-wise reader uses). The log files (round 18) ALSO stream through
+  * the vectorized decode: each decoded batch is bucket-gated per row
+  * (the one check the reader must own — a partition-integrity property)
+  * and the surviving rows are packed into on-heap column vectors; the
+  * pushed filters are NOT re-evaluated row-exactly on this leg because
+  * Spark re-applies every one of them above the scan (KVScanBuilder
+  * returns them all as residual) and the row-group FilterPredicate
+  * still prunes at the parquet layer. Before round 18 the log leg rode
+  * the row-wise parquet-mr Group decode — one Group allocation plus
+  * per-field boxing per row, per BUCKET (every bucket task re-reads
+  * the whole log) — which made the memstore-sized log the CPU
+  * bottleneck of every merged read with a hot log (the CDC replays,
+  * the mutation scripts). Falls back to the row-wise leg when the
+  * planning-time log lengths were not provided (older partition
+  * encodings). Output order (compacted then log) is irrelevant: every
+  * consumer of this scan resolves or aggregates per key. */
 class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
                                 filters: Array[Filter],
                                 hconf: org.apache.spark.util.SerializableConfiguration)
@@ -421,6 +434,7 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import org.apache.spark.sql.types.StructField
 
   private val CAP = 4096
   private val rowGroupPredicate = KVParquetFilters.predicate(filters)
@@ -429,25 +443,34 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
   private var vec: VectorizedParquetRecordReader = _
   private var batch: ColumnarBatch = _
 
-  // log leg: reuse the row-wise reader over ONLY the log files — it
-  // already applies the bucket gate and the pushed filters row-exactly
+  private val vectorizedLog = p.logLens.length == p.logFiles.length
+  private val needGate = p.numBuckets > 0
+  // the bucket gate needs `key`; append it to the log leg's read schema
+  // when the projection pruned it, and project it back out when packing
+  private val logSchema: StructType =
+    if (!vectorizedLog || !needGate || required.fieldNames.contains("key"))
+      required
+    else StructType(required.fields :+ StructField("key", LongType))
+  private val logKeyIdx: Int = logSchema.fieldNames.indexOf("key")
+  private var logIdx = 0
+  private var logVec: VectorizedParquetRecordReader = _
+
+  // fallback log leg: the row-wise reader over ONLY the log files — it
+  // applies the bucket gate and the pushed filters row-exactly
   private var logRows: KVPartitionReader =
-    if (p.logFiles.isEmpty) null
+    if (p.logFiles.isEmpty || vectorizedLog) null
     else new KVPartitionReader(
       KVBucketPartition(p.bucket, p.numBuckets, Array.empty, Array.empty,
         p.logFiles),
       required, filters, hconf)
 
-  private def openNextCompacted(): Boolean = {
-    if (compIdx >= p.compactedFiles.length) return false
-    val f = p.compactedFiles(compIdx)
+  private def openVectorized(f: String, fLen: Long,
+                             schema: StructType): VectorizedParquetRecordReader = {
     // split length from the planning-time listing: these are qualified
     // URIs (file:/..., hdfs://...) that java.io.File would stat as 0,
     // and a zero-length split selects no row groups
-    val fLen = p.compactedLens(compIdx)
-    compIdx += 1
     val conf = new Configuration(hconf.value)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
     // Spark's schema converter reads these from the Hadoop conf with no
@@ -475,18 +498,79 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
       r.initBatch(new StructType(), InternalRow.empty)
       r.enableReturningBatches()
     } catch { case e: Throwable => r.close(); throw e }
-    vec = r
+    r
+  }
+
+  private def openNextCompacted(): Boolean = {
+    if (compIdx >= p.compactedFiles.length) return false
+    val f = p.compactedFiles(compIdx)
+    val fLen = p.compactedLens(compIdx)
+    compIdx += 1
+    vec = openVectorized(f, fLen, required)
     true
   }
 
   override def next(): Boolean = {
     while (true) {
-      if (vec == null && !openNextCompacted()) return nextLogBatch()
+      if (vec == null && !openNextCompacted())
+        return if (vectorizedLog) nextLogBatchVectorized() else nextLogBatch()
       if (vec.nextKeyValue()) {
         batch = vec.getCurrentValue.asInstanceOf[ColumnarBatch]
         return true
       }
       vec.close(); vec = null
+    }
+    false
+  }
+
+  /** Vectorized log leg: decode each log file through the same batch
+    * reader, bucket-gate rows on the (possibly appended) key column,
+    * pack survivors into fresh vectors projected back to `required`. */
+  private def nextLogBatchVectorized(): Boolean = {
+    while (true) {
+      if (logVec == null) {
+        if (logIdx >= p.logFiles.length) return false
+        logVec = openVectorized(p.logFiles(logIdx), p.logLens(logIdx), logSchema)
+        logIdx += 1
+      }
+      if (!logVec.nextKeyValue()) { logVec.close(); logVec = null }
+      else {
+        val src = logVec.getCurrentValue.asInstanceOf[ColumnarBatch]
+        val n = src.numRows()
+        val kCol = if (needGate) src.column(logKeyIdx) else null
+        val out = OnHeapColumnVector.allocateColumns(n.max(1), required)
+        var m = 0
+        var r = 0
+        while (r < n) {
+          val pass = !needGate || {
+            val kv: Any =
+              if (kCol.isNullAt(r)) null
+              else java.lang.Long.valueOf(kCol.getLong(r))
+            GraftBucket.of(kv, p.numBuckets) == p.bucket
+          }
+          if (pass) {
+            var i = 0
+            while (i < required.length) {
+              val sc = src.column(i) // required cols lead logSchema
+              if (sc.isNullAt(r)) out(i).putNull(m)
+              else required.fields(i).dataType match {
+                case LongType => out(i).putLong(m, sc.getLong(r))
+                case _ =>
+                  val b = sc.getUTF8String(r).getBytes
+                  out(i).putByteArray(m, b, 0, b.length)
+              }
+              i += 1
+            }
+            m += 1
+          }
+          r += 1
+        }
+        if (m == 0) out.foreach(_.close())
+        else {
+          batch = new ColumnarBatch(out.map(v => v: ColumnVector).toArray, m)
+          return true
+        }
+      }
     }
     false
   }
@@ -520,6 +604,7 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
   override def get(): ColumnarBatch = batch
   override def close(): Unit = {
     if (vec != null) vec.close()
+    if (logVec != null) logVec.close()
     if (logRows != null) logRows.close()
   }
 }

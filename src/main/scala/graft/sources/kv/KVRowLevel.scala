@@ -251,7 +251,8 @@ class KVResolvedScan(path: String, layout: KVLayout,
           val comp = layout.compactedByBucket.getOrElse(b, Seq.empty)
           KVBucketPartition(b, layout.numBuckets, comp.toArray,
             comp.map(layout.lenByPath).toArray,
-            layout.logFiles.toArray): InputPartition
+            layout.logFiles.toArray,
+            layout.logFiles.map(layout.lenByPath).toArray): InputPartition
         }
         .toArray
     } else if (layout.logFiles.nonEmpty) {
@@ -259,7 +260,8 @@ class KVResolvedScan(path: String, layout: KVLayout,
       // all — safe by the layout contract (an uncompacted table is
       // memstore-sized; compaction is what buys distribution)
       Array(KVBucketPartition(-1, -1, Array.empty, Array.empty,
-        layout.logFiles.toArray))
+        layout.logFiles.toArray,
+        layout.logFiles.map(layout.lenByPath).toArray))
     } else Array.empty
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -23,10 +23,30 @@ object IdempotentSink {
   val COL = "batch"
 
   /** The foreachBatch function: land `batchId` in its own overwritten
-    * partition directory under `out`. */
+    * partition directory under `out`.
+    *
+    * File sizing (round 18): without it every micro-batch writes one
+    * file per task — `shuffle.partitions/4` near-empty files per
+    * trigger under the registry's stream profile, a small-files
+    * generator at production trigger counts. A REBALANCE hint before
+    * the write lets AQE (on by default in a foreachBatch body — it
+    * executes as a BATCH query) coalesce the output to
+    * advisory-partition-sized files, while the shuffle sits ABOVE any
+    * stateful operator so state-store partitioning is untouched and
+    * the batch's compute parallelism is preserved. Scale note: this is
+    * the guide's coalesce-on-write recipe — at 100 TB the same hint
+    * merges to ~advisory-size (default 64 MB) files instead of 1.
+    * Bodies that run under `GraftSession.withMicroBatchPlanning` (AQE
+    * deliberately off for trigger-sized work) skip the hint: a
+    * rebalance without AQE is a blind reshuffle to the session
+    * partition count — cost without the sizing. */
   def parquet(out: String): (DataFrame, Long) => Unit =
-    (batch, batchId) =>
-      batch.write.mode(SaveMode.Overwrite).parquet(s"$out/$COL=$batchId")
+    (batch, batchId) => {
+      val aqeOn = batch.sparkSession.conf
+        .get("spark.sql.adaptive.enabled", "true").toBoolean
+      val sized = if (aqeOn) batch.hint("rebalance") else batch
+      sized.write.mode(SaveMode.Overwrite).parquet(s"$out/$COL=$batchId")
+    }
 
   /** Read the sink back without the synthetic batch column. */
   def read(spark: SparkSession, out: String): DataFrame =

@@ -211,6 +211,77 @@ class KVCdcSpec extends AnyFunSuite with SparkSpec {
       "horizon-3 safe compaction left pre-horizon duplicate versions")
   }
 
+  test("dual-cutoff replay matches changesBetween on family/cell " +
+      "tombstones, null coordinates and equal-ts value ties") {
+    // exercises every CutState granularity the round-18 primitive-map
+    // rewrite re-implements: row/family/cell tombstone masks, the
+    // NULL-qualifier cell coordinate (interner id 0), and the
+    // equal-timestamp larger-value-wins tie-break — each read through
+    // the streaming reader and compared cell-for-cell against the
+    // batch changesBetween diff
+    val path = targetPath("graft_kv_test/cdc_granular")
+    val t = KVTable(spark, path, wipe = true)
+    def cells(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("key", "family", "qualifier", "value", "ts")
+    t.put(cells(Seq(
+      (1L, "F", "a", "v1", 1L), (1L, "F", "b", "v2", 1L),
+      (1L, "G", "a", "v3", 1L),
+      (2L, "F", "a", "v4", 1L), (2L, "F", null, "vnullq", 1L),
+      (3L, "F", "a", "tie0", 1L),
+      (4L, "F", "a", "keep", 1L))))
+    t.compact()
+    // window (1,2]: family tombstone kills 1/F/*; cell tombstone kills
+    // 2/F/a; the null-qualifier cell updates; key 3 lands TWO versions
+    // at the SAME ts (larger value must win on both paths)
+    t.delete(Seq((1L, "F")).toDF("key", "family")
+      .withColumn("qualifier", lit(null).cast("string")), ts = 2L)
+    t.delete(Seq((2L, "F", "a")).toDF("key", "family", "qualifier"), ts = 2L)
+    t.put(cells(Seq(
+      (2L, "F", null, "vnullq2", 2L),
+      (3L, "F", "a", "tie9", 2L), (3L, "F", "a", "tie5", 2L))))
+    val stream = new KVCdcMicroBatchStream(path, startTs = 1L,
+      stepTs = Long.MaxValue)
+    def readWindow(from: Long, to: Long) = {
+      val parts = stream.planInputPartitions(KVCdcOffset(from), KVCdcOffset(to))
+      val factory = stream.createReaderFactory()
+      parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val rows = Iterator.continually(r).takeWhile(_.next()).map { rr =>
+          val row = rr.get()
+          def str(i: Int) =
+            if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+          def lng(i: Int): java.lang.Long =
+            if (row.isNullAt(i)) null else java.lang.Long.valueOf(row.getLong(i))
+          (row.getLong(0), str(1), str(2), str(3), str(4), str(5),
+            lng(6), lng(7))
+        }.toList
+        r.close()
+        rows
+      }.toSeq.sortBy(r => (r._1, String.valueOf(r._2), String.valueOf(r._3)))
+    }
+    val want = t.changesBetween(1L, 2L)
+      .select($"key", $"family", $"qualifier", $"change_type",
+        $"old_value", $"new_value", $"old_ts", $"new_ts")
+      .collect().toSeq
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4),
+        if (r.isNullAt(5)) null else r.getString(5),
+        if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6)),
+        if (r.isNullAt(7)) null else java.lang.Long.valueOf(r.getLong(7))))
+      .sortBy(r => (r._1, String.valueOf(r._2), String.valueOf(r._3)))
+    val got = readWindow(1L, 2L)
+    assert(got === want, "stream dual-cutoff diff != batch changesBetween")
+    // the tie must have resolved to the larger value on both paths
+    assert(got.exists(r => r._1 == 3L && r._6 == "tie9"))
+    // both tombstone granularities surfaced as deletes
+    assert(got.count(_._4 == "delete") >= 3)
+    // the untouched cell emitted nothing
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("a committed window replays deterministically from the source") {
     val path = targetPath("graft_kv_test/cdc_replay")
     val t = seed(path)
