@@ -536,19 +536,20 @@ class KVColumnarPartitionReader(p: KVBucketPartition, required: StructType,
       if (!logVec.nextKeyValue()) { logVec.close(); logVec = null }
       else {
         val src = logVec.getCurrentValue.asInstanceOf[ColumnarBatch]
+        // ungated leg (log-only layout, numBuckets <= 0): logSchema ==
+        // required, nothing to filter — hand the decoded batch straight
+        // through like the compacted leg does, no repack
+        if (!needGate) { batch = src; return true }
         val n = src.numRows()
-        val kCol = if (needGate) src.column(logKeyIdx) else null
+        val kCol = src.column(logKeyIdx)
         val out = OnHeapColumnVector.allocateColumns(n.max(1), required)
         var m = 0
         var r = 0
         while (r < n) {
-          val pass = !needGate || {
-            val kv: Any =
-              if (kCol.isNullAt(r)) null
-              else java.lang.Long.valueOf(kCol.getLong(r))
-            GraftBucket.of(kv, p.numBuckets) == p.bucket
-          }
-          if (pass) {
+          val kv: Any =
+            if (kCol.isNullAt(r)) null
+            else java.lang.Long.valueOf(kCol.getLong(r))
+          if (GraftBucket.of(kv, p.numBuckets) == p.bucket) {
             var i = 0
             while (i < required.length) {
               val sc = src.column(i) // required cols lead logSchema
