@@ -20,7 +20,12 @@ object PlanDump {
     val spark = GraftSession.local()
     // iterative operators return final-state (checkpoint) reads, so the
     // loop's actual plan never shows in the query's own explain —
-    // synthetic entries expose the lazy staged plan for evidence
+    // synthetic entries expose the lazy staged plan for evidence.
+    // NOTE (r17 ADVICE): the *Staged entries deliberately never invoke
+    // the returned cleanup thunk — the persisted edge/degree caches
+    // live for the remainder of this dump run only (dev tool; the
+    // session stops at the end of main). Library callers go through
+    // pageRank(), which always releases them.
     val staged: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
       "g11_pagerank__staged_sym" -> ((s, dd) =>

@@ -332,6 +332,24 @@ object GraphOps {
                                     symmetric: Boolean = false)
       : (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
+    // symmetric=true is the same opt-in discipline as kcoreFixpoint,
+    // so it carries the same guard: a false claim here would silently
+    // drop dangling vertices from the result and leak their rank mass,
+    // so under spark.graft.debug.validate=true the claim is
+    // spot-checked (a bounded edge sample must find its reverse in the
+    // input) and misuse FAILS LOUDLY (RankingSpec pins it)
+    if (symmetric && pairs.sparkSession.conf
+        .getOption("spark.graft.debug.validate").contains("true")) {
+      val in = pairs.select(col("src"), col("dst"))
+      val missing = in.limit(1000)
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .join(in, Seq("src", "dst"), "left_anti").limit(1).count()
+      if (missing > 0)
+        throw new IllegalArgumentException(
+          "pageRank(symmetric = true) called on an edge list missing " +
+            "reverse edges — the claim is false; drop the flag (the " +
+            "default detects sinks) or fix the input")
+    }
     // The edge list is the immutable giant of the iteration: partition
     // it by the join key ONCE and cache that layout (the same
     // iterative-join discipline as [[bspIterateDeltaFrom]]) — otherwise

@@ -31,13 +31,20 @@ object WriteQueries {
       s"$name v$version $d fp=${graft.Staging.fingerprint(d)}")(build(dir))
   }
 
-  /** Stateful streams commit one state store per shuffle partition per
-    * micro-batch; at this data volume the commit fan-out dominates, so
-    * every stateful stream here runs at a quarter of the session's
-    * partitions. The count is baked into a checkpoint at first start (a
-    * restart keeps it) — a per-pipeline sizing decision, exactly as at
-    * 100 TB where it would instead be set HIGHER than the default. */
-  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+  /** BOUNDED-REPLAY stream profile (name carries the precondition —
+    * r17 ADVICE): every wrapped run must be a sentinel-flushed or
+    * per-batch-emitting bounded replay, because this wrapper ALSO
+    * disables the trailing no-data micro-batch (withBoundedReplay
+    * below). An open-ended stream that closes state purely by
+    * watermark timeout must NOT use it, or it loses its final
+    * emissions. Partition sizing: stateful streams commit one state
+    * store per shuffle partition per micro-batch; at this data volume
+    * the commit fan-out dominates, so every stateful stream here runs
+    * at a quarter of the session's partitions. The count is baked into
+    * a checkpoint at first start (a restart keeps it) — a per-pipeline
+    * sizing decision, exactly as at 100 TB where it would instead be
+    * set HIGHER than the default. */
+  private def withBoundedStreamRun[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       math.max(prev.toInt / 4, 1).toString)
@@ -573,7 +580,7 @@ object WriteQueries {
     // sums, counter merges) — it runs at the reduced partition count,
     // the same per-pipeline sizing call the streams make; at 100 TB
     // the SAME knob is set higher, not lower.
-    "m16_cdc_apply" -> ((s, d) => withStreamPartitions(s) {
+    "m16_cdc_apply" -> ((s, d) => withBoundedStreamRun(s) {
       import s.implicits._
       val t = KVTable(s, base("m16"), wipe = true)
       val o = Tables.orders(s, d)
@@ -949,7 +956,7 @@ object WriteQueries {
       val agg = src.withWatermark("tsc", "1 hour")
         .groupBy(session_window($"tsc", "4 hours"), $"user_id")
         .agg(count(lit(1)).as("n_events"))
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q = agg.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             graft.streaming.IdempotentSink.parquet(out)(
@@ -1017,7 +1024,7 @@ object WriteQueries {
     // double-apply). At 100 TB the refresh costs O(churn) per trigger,
     // forever; the oracle recomputes the aggregate from scratch, so
     // the gate proves streaming-incremental == batch.
-    "st13_cdc_apply_stream" -> ((s, d) => withStreamPartitions(s) {
+    "st13_cdc_apply_stream" -> ((s, d) => withBoundedStreamRun(s) {
       import s.implicits._
       val t = KVTable(s, base("st13"), wipe = true)
       val o = Tables.orders(s, d)
@@ -1099,7 +1106,7 @@ object WriteQueries {
         "left_outer")
       val out = RepoPaths.target("graft_stream/st15_out")
       KVTable.deleteRecursively(out)
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q = joined.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             graft.streaming.IdempotentSink.parquet(out)(
@@ -1142,7 +1149,7 @@ object WriteQueries {
         pmod(sharedHash(concat(lit(s"cm$j:"), c.cast("string"))), lit(W))
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q = src.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val partial = batch.select(posexplode(array(
@@ -1203,7 +1210,7 @@ object WriteQueries {
       val agg = src.withWatermark("tsc", "1 hour")
         .groupBy(window($"tsc", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"))
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q = agg.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             graft.streaming.IdempotentSink.parquet(out)(
@@ -1244,7 +1251,7 @@ object WriteQueries {
             .when($"event_type" === "error", "q_not_error")
             .when($"user_id" % 97 === 0, "q_user_blocked")
             .otherwise("landed"))
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q = classified.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val b = batch.persist()
@@ -1303,7 +1310,7 @@ object WriteQueries {
       }
       val src = s.readStream.schema(batchAll.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q = src.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             graft.GraftSession.withMicroBatchPlanning(batch.sparkSession) {
@@ -1331,7 +1338,7 @@ object WriteQueries {
         ev.unionByName(ev.filter($"event_id" % 3 === 0))
           .write.mode("overwrite").parquet(dir)
       }
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         graft.streaming.StreamDedup
           .run(s, stage, ev.schema, out, ckpt, keys = Seq("event_id"),
             eventTimeCol = "tsc", horizon = "90 days")
@@ -1349,7 +1356,7 @@ object WriteQueries {
       val stage = stageOnce(s, "st3", d, version = 1) { dir =>
         Tables.events(s, d).write.mode("overwrite").parquet(dir)
       }
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         graft.streaming.Sessionize
           .run(s, stage, Tables.events(s, d).schema,
             sinkPath = base("st3_sessions"), gapSec = 14400L)
@@ -1395,7 +1402,7 @@ object WriteQueries {
       // executors — the match stream never materializes on the driver
       // (the memory sink here would hold the full click×purchase
       // result in driver heap, the first thing to break at 100 TB).
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q0 = joined.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             graft.streaming.IdempotentSink.parquet(out)(
@@ -1426,7 +1433,7 @@ object WriteQueries {
         Tables.events(s, d).repartition(2)
           .write.mode("overwrite").parquet(dir)
       }
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         graft.streaming.StreamStats
           .run(s, stage, Tables.events(s, d).schema, base("st6_stats"))
       }.orderBy($"event_type")
@@ -1455,7 +1462,7 @@ object WriteQueries {
       }
       val src = s.readStream.schema(batchAll.schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         val q = src.writeStream.outputMode("append")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             // trigger-sized work: AQE off for the batch body (the
@@ -1503,7 +1510,7 @@ object WriteQueries {
                 .coalesce(1).write.mode("append").parquet(dir)
           }.toSeq: _*)
       }
-      withStreamPartitions(s) {
+      withBoundedStreamRun(s) {
         graft.streaming.StreamStats
           .alerts(s, stage, ev.schema, RepoPaths.target("graft_stream/st7_out"))
       }.select($"event_type", $"event_id", $"sec", $"cents", $"z")

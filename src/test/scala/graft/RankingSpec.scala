@@ -65,6 +65,27 @@ class RankingSpec extends AnyFunSuite with SparkSpec {
       s"pageRank leaked cached RDDs: $before -> $after")
   }
 
+  test("pageRank: symmetric=true equals the default path on a " +
+    "symmetric graph, and a FALSE claim fails loudly under the " +
+    "debug flag") {
+    // asymmetric star so per-vertex ranks differ (a regular graph
+    // would mask a wrong-degree bug behind uniformity)
+    val pairs = symPairs(Seq((0L, 1L), (0L, 2L), (0L, 3L), (2L, 3L)))
+    def ranks(sym: Boolean) = GraphOps.pageRank(pairs, iters = 3,
+      symmetric = sym).select($"vertex", $"degree", $"pr")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(ranks(sym = true) === ranks(sym = false))
+    spark.conf.set("spark.graft.debug.validate", "true")
+    try {
+      assert(ranks(sym = true) === ranks(sym = false)) // true claim passes
+      val e = intercept[IllegalArgumentException] {
+        GraphOps.pageRank(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+          iters = 2, symmetric = true).count()
+      }
+      assert(e.getMessage.contains("missing reverse edges"))
+    } finally spark.conf.unset("spark.graft.debug.validate")
+  }
+
   test("pageRank: iterations contract toward the fixpoint") {
     // the star is bipartite so ranks OSCILLATE around the fixpoint —
     // assert the damped contraction, not monotonicity
